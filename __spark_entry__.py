@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Every query here is a thin composition over ``outboxx_spark`` operators;
+the oracle SQL mirrors the exact same declared semantics (shared feed CTE
+and stream VALUES from the same modules).
 """
 
 from __future__ import annotations
@@ -12,27 +15,210 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from outboxx_spark.config import TOAST_PLACEHOLDER
+from outboxx_spark.functions.envelope import serialize_feed
+from outboxx_spark.functions.typemap import toast_or_value
+from outboxx_spark.operators.dedup import dedup_events
+from outboxx_spark.operators.routing import route, streams_dim
+from outboxx_spark.operators.tally import tally
+from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
+from outboxx_spark.sources.feed import ORACLE_FEED_CTE, read_feed
+from outboxx_spark.sources.snapshot import snapshot_table
+from outboxx_spark.sources.tables import read_table
+from outboxx_spark.testbed import default_config, streams_values_sql
+
+# Fixed literals for the snapshot queries: the 'slot start LSN' and
+# snapshot wall-clock shared by every READ row (O4 dedup boundary).
+SNAP_LSN = 0
+SNAP_TS = 1704067200  # 2024-01-01 00:00:00 UTC
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full CDC batch pipeline (feed -> serialize once ->
+    broadcast-routed fan-out -> partition key) at sf0.001."""
+    return routed_envelopes(spark, "/root/testdata/sf0.001", default_config())
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = read_feed(spark, sf_dir)
+    return route(feed, streams_dim(spark, default_config().streams))
+
+
+def q_route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R2: one row per (event, matched stream), incl. 2-way fan-out on
+    public.t0 INSERTs and dropped events for unrouted public.t3."""
+    df = routed_envelopes(spark, sf_dir, default_config())
+    return df.select("stream", "destination", "resource", "op", "lsn", "key")
+
+
+def q_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-(stream, op) counts of routed events."""
+    return tally(_routed(spark, sf_dir))
+
+
+def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: serialize the envelope, parse it back, compare parsed values
+    (op/meta/data) against the oracle's direct computation."""
+    feed = read_feed(spark, sf_dir)
+    env = serialize_feed(feed, FEED_DATA_COLS)
+    v = F.col("value")
+    return env.select(
+        F.get_json_object(v, "$.op").alias("op_rt"),
+        F.get_json_object(v, "$.meta.source").alias("source_rt"),
+        F.get_json_object(v, "$.meta.resource").alias("resource_rt"),
+        F.get_json_object(v, "$.meta.timestamp").cast("long").alias("ts_rt"),
+        F.get_json_object(v, "$.meta.lsn").alias("lsn_text"),
+        F.get_json_object(v, "$.data.user_id").cast("long").alias("user_id_rt"),
+        F.get_json_object(v, "$.data.value").cast("double").alias("value_rt"),
+        F.get_json_object(v, "$.data.props").alias("props_rt"),
+    )
+
+
+def q_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: stringified routing key; null keys fail the query (fail-fast
+    path unit-tested; the feed has no null keys)."""
+    feed = read_feed(spark, sf_dir)
+    return feed.select(F.col("user_id").cast("string").alias("key"), "lsn")
+
+
+def q_update_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: UPDATE events carry only the new image downstream."""
+    feed = read_feed(spark, sf_dir)
+    return feed.filter(F.col("op") == "UPDATE").select("lsn", "user_id", "value", "props")
+
+
+def q_read_optin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: READ events route only to read-opted streams."""
+    return _routed(spark, sf_dir).filter(F.col("op") == "READ").select("stream", "resource", "lsn")
+
+
+def q_dedup_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: at-least-once duplicates collapse on (resource, lsn)."""
+    feed = read_feed(spark, sf_dir).select("resource", "lsn", "op", "user_id")
+    return dedup_events(feed.unionAll(feed))
+
+
+def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: snapshot rows as op=READ sharing the stream-start LSN."""
+    return snapshot_table(spark, sf_dir, "customer", start_lsn=SNAP_LSN, snapshot_ts=SNAP_TS)
+
+
+def q_type_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: typed promotion — ints typed, numeric-as-exact-string, bool,
+    verbatim strings (NaN/Inf + TOAST rules unit-tested)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("long").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("lineno"),
+        F.col("l_quantity").cast("decimal(20,6)").cast("string").alias("qty_numeric"),
+        (F.col("l_quantity") > 25).alias("is_bulk"),
+        F.col("l_returnflag").alias("ret_flag"),
+    )
+
+
+def q_toast_placeholder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/TOAST: unchanged columns render the placeholder, never NULL
+    (error events stand in for unchanged-TOAST rows)."""
+    feed = read_feed(spark, sf_dir)
+    return feed.select(
+        "lsn",
+        toast_or_value(F.col("props"), F.col("event_type") == "error").alias("props_out"),
+    )
+
+
+def q_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: replication-lag shape — per-resource staleness vs the feed head
+    (wall-clock replaced by the deterministic feed max for the oracle)."""
+    feed = read_feed(spark, sf_dir)
+    per_res = feed.groupBy("resource").agg(F.max("commit_ts").alias("head"))
+    gmax = F.max("head").over(W.partitionBy())
+    return per_res.select("resource", (gmax - F.col("head")).alias("lag_s"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_route_fanout": q_route_fanout,
+        "cdc_tally": q_tally,
+        "cdc_envelope_roundtrip": q_envelope_roundtrip,
+        "cdc_partition_key": q_partition_key,
+        "cdc_update_projection": q_update_projection,
+        "cdc_read_optin": q_read_optin,
+        "cdc_dedup_boundary": q_dedup_boundary,
+        "cdc_snapshot_read": q_snapshot_read,
+        "cdc_type_mapping": q_type_mapping,
+        "cdc_toast_placeholder": q_toast_placeholder,
+        "cdc_lag": q_lag,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — same semantics, declared over the same shared
+# feed CTE and stream VALUES
+# ---------------------------------------------------------------------------
+
+_STREAMS = streams_values_sql()
+_ROUTED_SQL = f"""
+routed AS (
+  SELECT s.stream, s.destination, f.resource, f.op, f.lsn,
+         CAST(f.user_id AS VARCHAR) AS key, f.user_id, f.value, f.props
+  FROM feed f
+  JOIN {_STREAMS} s
+    ON f.resource = s.resource AND lower(f.op) = s.op_lc
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lsn_text = "printf('%X/%X', lsn >> 32, lsn & 4294967295)"
+    return {
+        "cdc_route_fanout": ORACLE_FEED_CTE
+        + f", {_ROUTED_SQL} SELECT stream, destination, resource, op, lsn, key FROM routed",
+        "cdc_tally": ORACLE_FEED_CTE
+        + f", {_ROUTED_SQL} SELECT stream, op, COUNT(*) AS n FROM routed GROUP BY stream, op",
+        "cdc_envelope_roundtrip": ORACLE_FEED_CTE
+        + f"""
+        SELECT op AS op_rt, 'postgres' AS source_rt, resource AS resource_rt,
+               commit_ts AS ts_rt, {lsn_text} AS lsn_text,
+               user_id AS user_id_rt, value AS value_rt, props AS props_rt
+        FROM feed""",
+        "cdc_partition_key": ORACLE_FEED_CTE
+        + " SELECT CAST(user_id AS VARCHAR) AS key, lsn FROM feed",
+        "cdc_update_projection": ORACLE_FEED_CTE
+        + " SELECT lsn, user_id, value, props FROM feed WHERE op = 'UPDATE'",
+        "cdc_read_optin": ORACLE_FEED_CTE
+        + f", {_ROUTED_SQL} SELECT stream, resource, lsn FROM routed WHERE op = 'READ'",
+        "cdc_dedup_boundary": ORACLE_FEED_CTE
+        + """
+        SELECT DISTINCT resource, lsn, op, user_id
+        FROM (SELECT * FROM feed UNION ALL SELECT * FROM feed)""",
+        "cdc_snapshot_read": f"""
+        SELECT 'READ' AS op, 'public.customer' AS resource,
+               CAST({SNAP_LSN} AS BIGINT) AS lsn, CAST({SNAP_TS} AS BIGINT) AS commit_ts,
+               c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer""",
+        "cdc_type_mapping": """
+        SELECT CAST(l_orderkey AS BIGINT) AS okey,
+               CAST(l_linenumber AS BIGINT) AS lineno,
+               CAST(CAST(l_quantity AS DECIMAL(20,6)) AS VARCHAR) AS qty_numeric,
+               l_quantity > 25 AS is_bulk,
+               l_returnflag AS ret_flag
+        FROM lineitem""",
+        "cdc_toast_placeholder": ORACLE_FEED_CTE
+        + f"""
+        SELECT lsn,
+               CASE WHEN event_type = 'error' THEN '{TOAST_PLACEHOLDER}' ELSE props END AS props_out
+        FROM feed""",
+        "cdc_lag": ORACLE_FEED_CTE
+        + """
+        SELECT resource,
+               (SELECT max(commit_ts) FROM feed) - max(commit_ts) AS lag_s
+        FROM feed GROUP BY resource""",
+    }

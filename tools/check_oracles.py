@@ -1,0 +1,101 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet
+tables, compare row-count + schema + order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import duckdb  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(normalize(x) for x in v)
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from outboxx_spark.session import get_spark
+
+    spark = get_spark("check_oracles")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sorted(sdf.columns)
+            sset = sorted(
+                tuple(normalize(r[c]) for c in scols) for r in srows
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        if sql is None:
+            print(f"PASS(rows-only) {name}: {len(srows)} rows")
+            continue
+        try:
+            rel = con.sql(sql)
+            ocols_raw = rel.columns
+            orows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        ocols = sorted(ocols_raw)
+        order = [ocols_raw.index(c) for c in ocols]
+        oset = sorted(tuple(normalize(r[i]) for i in order) for r in orows)
+        if scols != ocols:
+            print(f"FAIL {name}: schema mismatch spark={scols} oracle={ocols}")
+            failures += 1
+        elif len(sset) != len(oset):
+            print(f"FAIL {name}: rowcount spark={len(sset)} oracle={len(oset)}")
+            failures += 1
+        elif sset != oset:
+            diff = [i for i, (a, b) in enumerate(zip(sset, oset)) if a != b][:3]
+            print(f"FAIL {name}: value mismatch at sorted rows {diff}")
+            for i in diff[:2]:
+                print(f"  spark : {sset[i]}")
+                print(f"  oracle: {oset[i]}")
+            failures += 1
+        else:
+            print(f"PASS {name}: {len(sset)} rows, {len(scols)} cols")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
