@@ -69,16 +69,22 @@ def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (op/meta/data) against the oracle's direct computation."""
     feed = read_feed(spark, sf_dir)
     env = serialize_feed(feed, FEED_DATA_COLS)
-    v = F.col("value")
-    return env.select(
-        F.get_json_object(v, "$.op").alias("op_rt"),
-        F.get_json_object(v, "$.meta.source").alias("source_rt"),
-        F.get_json_object(v, "$.meta.resource").alias("resource_rt"),
-        F.get_json_object(v, "$.meta.timestamp").cast("long").alias("ts_rt"),
-        F.get_json_object(v, "$.meta.lsn").alias("lsn_text"),
-        F.get_json_object(v, "$.data.user_id").cast("long").alias("user_id_rt"),
-        F.get_json_object(v, "$.data.value").cast("double").alias("value_rt"),
-        F.get_json_object(v, "$.data.props").alias("props_rt"),
+    # Parse the envelope back ONCE (from_json with a declared schema is a
+    # single codegen'd parse; get_json_object xN would re-parse per field).
+    parsed = F.from_json(
+        F.col("value"),
+        "op string, data struct<user_id:long, event_type:string, value:double, props:string>, "
+        "meta struct<source:string, resource:string, timestamp:long, lsn:string>",
+    )
+    return env.select(parsed.alias("e")).select(
+        F.col("e.op").alias("op_rt"),
+        F.col("e.meta.source").alias("source_rt"),
+        F.col("e.meta.resource").alias("resource_rt"),
+        F.col("e.meta.timestamp").alias("ts_rt"),
+        F.col("e.meta.lsn").alias("lsn_text"),
+        F.col("e.data.user_id").alias("user_id_rt"),
+        F.col("e.data.value").alias("value_rt"),
+        F.col("e.data.props").alias("props_rt"),
     )
 
 

@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Timing methodology: each query is forced end-to-end with a noop sink
+(full computation, no driver collect, no disk write skew), after one
+warm-up run of a trivial action to amortize JVM/session startup.
+The headline metric is the full CDC pipeline's wall time; throughput in
+events/sec is derived for comparison with the reference's ev/s numbers
+(BASELINE.md: outboxx 127k ev/s single-node).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from outboxx_spark.session import get_spark
+
+    spark = get_spark("outboxx_bench")
+
+    import __spark_entry__ as E
+
+    # Warm up the JVM + file listing once.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    qs = E.queries()
+    bench_names = list(qs)
+    timings: dict[str, float] = {}
+    n_events = None
+    for name in bench_names:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # Headline: full routed CDC pipeline (feed -> serialize -> route -> key)
+    from outboxx_spark.pipeline import routed_envelopes
+    from outboxx_spark.sources.feed import read_feed
+    from outboxx_spark.testbed import default_config
+
+    n_events = read_feed(spark, sf_dir).count()
+    t0 = time.perf_counter()
+    routed_envelopes(spark, sf_dir, default_config()).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    pipeline_sec = time.perf_counter() - t0
+    timings["cdc_pipeline_full"] = round(pipeline_sec, 4)
+
+    total = round(sum(timings.values()), 4)
+    out = {
+        "metric": "total_query_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": {
+            "pipeline_events": n_events,
+            "pipeline_events_per_sec": round(n_events / pipeline_sec) if pipeline_sec else None,
+        },
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
