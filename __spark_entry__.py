@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from outboxx_spark.config import TOAST_PLACEHOLDER
+from outboxx_spark.dataops import dedup as dd
+from outboxx_spark.dataops import similarity as sim
+from outboxx_spark.dataops import text as tx
+from outboxx_spark.dataops.multimodal import attach_blobs, decode_features
 from outboxx_spark.functions.envelope import serialize_feed
 from outboxx_spark.functions.typemap import toast_or_value
 from outboxx_spark.operators.dedup import dedup_events
@@ -149,6 +153,87 @@ def q_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_res.select("resource", (gmax - F.col("head")).alias("lag_s"))
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy survivors."""
+    return dd.exact_dedup_groups(read_table(spark, sf_dir, "documents"))
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token/stopword/uniqueness features."""
+    return tx.quality_features(read_table(spark, sf_dir, "documents"))
+
+
+def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with deterministic argmax."""
+    return tx.lang_id(read_table(spark, sf_dir, "documents"))
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 + min-shingle-hash."""
+    return tx.fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+def q_docs_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted-index join)."""
+    return dd.ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
+
+
+def q_docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact verification; oracle = the exact
+    Jaccard pair set (128 perms / 32 bands -> recall ~1-5e-8 at j>=0.8)."""
+    return dd.minhash_dedup_pairs(read_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
+
+
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signatures."""
+    return dd.simhash(read_table(spark, sf_dir, "documents"))
+
+
+def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at Hamming<=3 via pigeonhole-exact banded join;
+    oracle = brute-force O(n^2) scan."""
+    return dd.simhash_near_pairs(dd.simhash(read_table(spark, sf_dir, "documents")), max_hamming=3)
+
+
+def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 10 query vectors."""
+    return sim.ann_bruteforce_topk(read_table(spark, sf_dir, "embeddings"), n_queries=10, k=10)
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4)."""
+    return sim.embedding_near_dup_pairs(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (approximate; rows-only check — recall vs
+    brute force asserted in tests/test_dataops.py)."""
+    return sim.lsh_ann_topk(read_table(spark, sf_dir, "embeddings"), n_queries=10, k=10)
+
+
+def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary blob column + typed metadata."""
+    blobs = attach_blobs(read_table(spark, sf_dir, "documents"))
+    return blobs.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.digest").alias("digest"),
+    )
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode via mapInPandas (rows-only check; determinism and
+    batch shape asserted in tests)."""
+    blobs = attach_blobs(read_table(spark, sf_dir, "documents"))
+    return decode_features(blobs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_route_fanout": q_route_fanout,
@@ -162,6 +247,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_type_mapping": q_type_mapping,
         "cdc_toast_placeholder": q_toast_placeholder,
         "cdc_lag": q_lag,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_quality": q_docs_quality,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_ngram_dedup": q_docs_ngram_dedup,
+        "docs_minhash_dedup": q_docs_minhash_dedup,
+        "docs_simhash": q_docs_simhash,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
+        "emb_ann_topk": q_emb_ann_topk,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_ann_lsh": q_emb_ann_lsh,
+        "mm_metadata": q_mm_metadata,
+        "mm_features": q_mm_features,
     }
 
 
@@ -227,4 +325,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT resource,
                (SELECT max(commit_ts) FROM feed) - max(commit_ts) AS lag_s
         FROM feed GROUP BY resource""",
+        "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
+        "docs_quality": tx.QUALITY_SQL,
+        "docs_lang_id": tx.lang_id_sql(),
+        "docs_fingerprint": tx.fingerprint_sql(),
+        "docs_ngram_dedup": dd.ngram_jaccard_pairs_sql(k=3, threshold=0.5),
+        # MinHash-LSH + exact verification reproduces the exact pair set
+        "docs_minhash_dedup": dd.ngram_jaccard_pairs_sql(k=3, threshold=0.5),
+        "docs_simhash": dd.simhash_sql(),
+        "docs_simhash_pairs": (
+            "WITH sigs AS (" + dd.simhash_sql() + ") " + dd.simhash_near_pairs_sql(max_hamming=3)
+        ),
+        "emb_ann_topk": sim.ann_bruteforce_topk_sql(n_queries=10, k=10),
+        "emb_near_dup": sim.embedding_near_dup_pairs_sql(threshold=0.4),
+        # emb_ann_lsh, mm_features: approximate / UDF-backed -> rows-only
+        "mm_metadata": """
+        SELECT doc_id, 'text/plain' AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS digest
+        FROM documents""",
     }

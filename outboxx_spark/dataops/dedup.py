@@ -1,0 +1,301 @@
+"""Deduplication operators for training-data pipelines, on ``documents``:
+
+- exact (hash-groupBy)
+- n-gram Jaccard pairs (shingle inverted index self-join)
+- MinHash + LSH banding (the 100 TB scale path, verified exactly)
+- SimHash with banded Hamming join (pigeonhole-exact recall)
+
+Scale design notes (the part that matters at 1000 executors):
+
+* Exact dedup is one hash-partitioned groupBy with map-side partial
+  aggregation — the minimum possible shuffle (one row per distinct hash).
+* The Jaccard inverted index explodes distinct shingles; join traffic is
+  sum over shingles of df^2. Hot shingles (stopword runs) create skew —
+  production path caps document frequency (``max_df``) before the join,
+  the standard prefix-filtering trick; AQE skew-join splits the rest.
+* MinHash replaces the quadratic candidate step with O(n · bands) bucket
+  keys; bucket joins shuffle only (band, hash) keys. 128 perms / 32
+  bands x 4 -> P(miss at j=0.8) ~ 5e-8, so verifying candidates with
+  exact Jaccard reproduces the exact pair set (what the oracle checks).
+* SimHash bands are *provably* exact for hamming <= 3 with 4 x 15-bit
+  bands (pigeonhole): the banded equi-join is a lossless replacement for
+  the O(n^2) scan.
+
+Everything is built-in expressions (explode / groupBy / join) — no
+Python in the hot path; md5-derived hashes keep the DuckDB oracle exact.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from outboxx_spark.dataops.hashing import (
+    HASH_P,
+    LSH_BAND_SIZE,
+    MINHASH_A,
+    MINHASH_B,
+    N_MINHASHES,
+    SIMHASH_BITS,
+    md5_hash60,
+    md5_hash60_sql,
+    minhash_expr_sql,
+)
+from outboxx_spark.dataops.text import shingles, shingles_sql
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group identical texts by md5; keep the min doc_id as survivor.
+    One shuffle on the hash key, partial-agg map-side."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def shingle_index(df: DataFrame, k: int = 3, text_col: str = "text", max_df: int | None = None) -> DataFrame:
+    """(doc_id, shingle) inverted index over distinct shingles. ``max_df``
+    drops shingles appearing in more than that many documents — the
+    skew/volume cap for the production path (changes candidate recall
+    only for pairs connected solely through ubiquitous shingles)."""
+    idx = df.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("s"))
+    if max_df is not None:
+        keep = idx.groupBy("s").agg(F.count("*").alias("df_")).filter(F.col("df_") <= max_df)
+        idx = idx.join(F.broadcast(keep.select("s")), "s", "inner")
+    return idx
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, k: int = 3, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """All (a < b) document pairs with shingle-set Jaccard >= threshold.
+    Output columns are integers only (intersection/set sizes) so the
+    correctness compare is float-free; jaccard >= t is applied as
+    inter * 1 >= t * (|A|+|B|-inter) in exact integer/decimal arithmetic.
+    """
+    idx = shingle_index(df, k, text_col)
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("inter").cast("double")
+            >= F.lit(threshold) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b")
+    )
+
+
+def ngram_jaccard_pairs_sql(k: int = 3, threshold: float = 0.5) -> str:
+    sh = shingles_sql("text", k)
+    return f"""
+    WITH sh AS (SELECT doc_id, unnest({sh}) AS s FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b, i.inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.inter AS DOUBLE) >= {threshold} * (sa.n_sh + sb.n_sh - i.inter)
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """doc_id -> N_MINHASHES minimum permuted hashes. One explode + one
+    groupBy with N partial mins (all map-side combinable)."""
+    idx = shingle_index(df, k, text_col).withColumn("h", md5_hash60(F.col("s")) % HASH_P)
+    mins = [
+        F.min((F.col("h") * MINHASH_A[i] + MINHASH_B[i]) % HASH_P).alias(f"mh{i}")
+        for i in range(N_MINHASHES)
+    ]
+    return idx.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signature (32 bands of 4), bucket-join on (band, band
+    signature), emit distinct candidate (a < b) pairs. Shuffle volume:
+    n_docs x n_bands tiny keyed rows — the scale path."""
+    n_bands = N_MINHASHES // LSH_BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"mh{b * LSH_BAND_SIZE + j}").cast("string") for j in range(LSH_BAND_SIZE)],
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, k: int = 3, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard — same output
+    contract as ``ngram_jaccard_pairs`` but near-linear candidate
+    generation. Verification joins each candidate pair to the two
+    distinct-shingle arrays and computes the exact intersection."""
+    cands = lsh_candidate_pairs(minhash_signatures(df, k, text_col))
+    sets_ = df.select("doc_id", shingles(F.col(text_col), k).alias("sh"))
+    a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+    )
+    return verified.filter(
+        F.col("inter").cast("double")
+        >= F.lit(threshold) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over the distinct-token set: bit j set iff the sum
+    of ±1 votes (token hash bit j) is >= 0. One explode + one groupBy
+    with 60 partial sums — map-side combinable, no UDF."""
+    toks = df.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
+    ).withColumn("h", md5_hash60(F.col("tok")))
+    votes = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = reduce(
+        lambda acc, j: acc + F.when(F.col(f"v{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_sql() -> str:
+    h = md5_hash60_sql("tok")
+    votes = ", ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+    hashed AS (SELECT doc_id, {h} AS h FROM toks),
+    votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {sig} AS simhash FROM votes
+    """
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(a < b) pairs with Hamming distance <= max_hamming, via 4-band
+    pigeonhole join: with 4 x 15-bit bands, any pair within distance 3
+    agrees on >= 1 band, so the banded equi-join has EXACT recall — a
+    provably lossless replacement for the O(n^2) scan at scale."""
+    n_bands = 4
+    bits = SIMHASH_BITS // n_bands  # 15
+    mask = (1 << bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * bits).bitwiseAND(F.lit(mask)).alias("chunk"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col("doc_id"), F.col("simhash"), F.explode(bands).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cands.filter(dist <= max_hamming).select("doc_a", "doc_b", dist.alias("hamming"))
+
+
+def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
+    return f"""
+    , sigs2 AS (SELECT doc_id, simhash FROM sigs)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sigs2 a JOIN sigs2 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

@@ -1,0 +1,211 @@
+"""Text analysis operators for training-data pipelines, over the
+``documents`` table: token counting, quality scoring, language ID,
+document fingerprinting, shingling.
+
+All hot-path expressions are built-in JVM functions (split/filter/
+aggregate/md5) — no Python UDFs — so they stay inside whole-stage
+codegen and scale linearly with partitions. Each operator has an exact
+DuckDB-SQL mirror for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from outboxx_spark.dataops.hashing import HASH_P, md5_hash60, md5_hash60_sql
+
+# ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (the corpus is single-space separated; a BPE-ish
+    regex tokenizer is below for irregular text)."""
+    return F.split(text, " ")
+
+
+TOKENS_SQL = "string_split({t}, ' ')"
+
+# BPE-ish fallback: word pieces = runs of letters, digits, or single
+# punctuation — for text where whitespace split under-segments.
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(BPE_REGEX), 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+# tiny stopword set — enough to exercise the ratio features
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/stopword/uniqueness features + a composite quality score.
+
+    Formula kept to exact-reproducible arithmetic (int counts + one
+    double division each) so the oracle matches bit-for-bit.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_uniq = F.size(F.array_distinct(toks))
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars_obs"),
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_uniq.alias("n_unique_tokens"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        (n_uniq.cast("double") / n_tok).alias("unique_ratio"),
+        (F.length(t).cast("double") / n_tok).alias("avg_token_span"),
+    )
+
+
+QUALITY_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars_obs,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_filter(string_split(text, ' '), x -> list_contains({list(STOPWORDS)}, x))) AS n_stopwords,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+       CAST(len(list_filter(string_split(text, ' '), x -> list_contains({list(STOPWORDS)}, x))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stopword_ratio,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS unique_ratio,
+       CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_span
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# language identification (marker-token heuristic)
+# ---------------------------------------------------------------------------
+
+# n-gram/marker heuristic: score = marker-token hits per language,
+# argmax with deterministic alphabetical tie-break ('en' wins ties via
+# ordering below). Real corpora get real marker lists; the mechanism —
+# a codegen'd filter+argmax, no UDF — is the scalable part.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "y", "de", "es"),
+    "fr": ("le", "la", "et", "de", "est"),
+    "zh": (),  # no latin markers; never wins on this corpus
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        if markers:
+            arr = F.array(*[F.lit(m) for m in markers])
+            out[lang] = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        else:
+            out[lang] = F.lit(0)
+    return out
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    scores = lang_scores(F.col(text_col))
+    # argmax over a deterministic language order (ties -> first)
+    pairs = F.array(
+        *[F.struct(scores[lang].alias("s"), F.lit(lang).alias("l")) for lang in sorted(LANG_MARKERS)]
+    )
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).alias("s"), F.lit("und").alias("l")),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+    )
+    return df.select("doc_id", best["l"].alias("pred_lang"))
+
+
+def lang_id_sql() -> str:
+    # same argmax, same deterministic order, via a greatest-chain
+    score = {
+        lang: (
+            f"len(list_filter(string_split(text, ' '), x -> list_contains({list(m)}, x)))"
+            if m
+            else "0"
+        )
+        for lang, m in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    # fold left: pick first max
+    expr = "'und'"
+    best = "-1"
+    for lang in langs:
+        expr = f"CASE WHEN {score[lang]} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({score[lang]}, {best})"
+    return f"SELECT doc_id, {expr} AS pred_lang FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two content fingerprints: md5 of the normalized text (exact-dup
+    key) and the minimum 60-bit shingle hash (a 1-perm MinHash, the
+    rolling-hash flavor robust to local edits)."""
+    t = F.col(text_col)
+    norm = F.lower(F.trim(t))
+    sh = shingles(t, 3)
+    min_shingle = F.array_min(F.transform(sh, lambda s: md5_hash60(s) % HASH_P))
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        min_shingle.alias("min_shingle_hash"),
+    )
+
+
+def fingerprint_sql() -> str:
+    sh = shingles_sql("text", 3)
+    h = md5_hash60_sql("s")
+    return f"""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_md5,
+           list_min(list_transform({sh}, s -> {h} % {HASH_P})) AS min_shingle_hash
+    FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by fingerprint + dedup)
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles; documents shorter than k tokens yield a
+    single whole-text shingle (both engines apply the same guard)."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            )
+        ),
+    ).otherwise(F.array(text))
+
+
+def shingles_sql(text_expr: str, k: int = 3) -> str:
+    toks = f"string_split({text_expr}, ' ')"
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {k} + 2), "
+        f"i -> array_to_string(({toks})[i:i+{k - 1}], ' '))) "
+        f"ELSE [{text_expr}] END"
+    )
