@@ -16,6 +16,10 @@ driver's correctness gate checks the exact same transformation.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,6 +84,22 @@ def read_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streamable_dir(path: str) -> str:
+    """Spark's FileStreamSource requires a *directory* source (it uses the
+    path itself as partition-discovery basePath). When the feed is a
+    single parquet file (the raw testdata layout), expose it through a
+    stable symlink directory."""
+    if os.path.isdir(path):
+        return path
+    key = hashlib.md5(path.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"outboxx_feed_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
 def read_feed_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """Streaming variant: file-source `readStream` over the same feed.
 
@@ -88,11 +108,12 @@ def read_feed_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: in
     in deployment the source is Kafka with ``maxOffsetsPerTrigger``.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = _streamable_dir(f"{sf_dir}/events.parquet")
+    static = spark.read.parquet(path)
     ev = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(f"{sf_dir}/events.parquet")
+        .parquet(path)
     )
     # nanos long -> timestamp, then the same feed projection as read_feed
     ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
