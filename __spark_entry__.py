@@ -30,6 +30,7 @@ from outboxx_spark.operators.routing import route, streams_dim
 from outboxx_spark.operators.tally import tally
 from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
 from outboxx_spark.sources.feed import ORACLE_FEED_CTE, read_feed
+from outboxx_spark.sources.pgoutput import decode_stream, encode_feed_as_pgoutput
 from outboxx_spark.sources.snapshot import snapshot_table
 from outboxx_spark.sources.tables import read_table
 from outboxx_spark.testbed import default_config, streams_values_sql
@@ -153,6 +154,25 @@ def q_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_res.select("resource", (gmax - F.col("head")).alias("lag_s"))
 
 
+def q_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7/S8: feed -> pgoutput binary stream (testbed encoder) ->
+    mapInPandas decoder with per-partition relation registry -> typed
+    events. Oracle = the plain feed (READ excluded: snapshot rows never
+    ride the WAL)."""
+    feed = read_feed(spark, sf_dir)
+    decoded = decode_stream(encode_feed_as_pgoutput(feed))
+    return decoded.select(
+        "op",
+        "resource",
+        "lsn",
+        "commit_ts",
+        F.col("data")["user_id"].cast("long").alias("user_id"),
+        F.col("data")["event_type"].alias("event_type"),
+        F.col("data")["value"].cast("double").alias("value"),
+        F.col("data")["props"].alias("props"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -247,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_type_mapping": q_type_mapping,
         "cdc_toast_placeholder": q_toast_placeholder,
         "cdc_lag": q_lag,
+        "cdc_pgoutput_roundtrip": q_pgoutput_roundtrip,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
@@ -325,6 +346,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT resource,
                (SELECT max(commit_ts) FROM feed) - max(commit_ts) AS lag_s
         FROM feed GROUP BY resource""",
+        "cdc_pgoutput_roundtrip": ORACLE_FEED_CTE
+        + """
+        SELECT op, resource, lsn, commit_ts, user_id, event_type, value, props
+        FROM feed WHERE op != 'READ'""",
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
         "docs_quality": tx.QUALITY_SQL,
         "docs_lang_id": tx.lang_id_sql(),

@@ -44,6 +44,7 @@ from outboxx_spark.dataops.hashing import (
     minhash_expr_sql,
 )
 from outboxx_spark.dataops.text import shingles, shingles_sql
+from outboxx_spark.dataops.util import parallelized as _parallelized
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -75,7 +76,7 @@ def shingle_index(df: DataFrame, k: int = 3, text_col: str = "text", max_df: int
     drops shingles appearing in more than that many documents — the
     skew/volume cap for the production path (changes candidate recall
     only for pairs connected solely through ubiquitous shingles)."""
-    idx = df.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("s"))
+    idx = _parallelized(df).select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("s"))
     if max_df is not None:
         keep = idx.groupBy("s").agg(F.count("*").alias("df_")).filter(F.col("df_") <= max_df)
         idx = idx.join(F.broadcast(keep.select("s")), "s", "inner")
@@ -187,7 +188,7 @@ def minhash_dedup_pairs(
     generation. Verification joins each candidate pair to the two
     distinct-shingle arrays and computes the exact intersection."""
     cands = lsh_candidate_pairs(minhash_signatures(df, k, text_col))
-    sets_ = df.select("doc_id", shingles(F.col(text_col), k).alias("sh"))
+    sets_ = _parallelized(df).select("doc_id", shingles(F.col(text_col), k).alias("sh"))
     a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -216,7 +217,7 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """60-bit SimHash over the distinct-token set: bit j set iff the sum
     of ±1 votes (token hash bit j) is >= 0. One explode + one groupBy
     with 60 partial sums — map-side combinable, no UDF."""
-    toks = df.select(
+    toks = _parallelized(df).select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
     ).withColumn("h", md5_hash60(F.col("tok")))
     votes = [

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from outboxx_spark.dataops.hashing import HASH_P, md5_hash60, md5_hash60_sql
+from outboxx_spark.dataops.util import parallelized
 
 # ---------------------------------------------------------------------------
 # tokenization
@@ -163,7 +164,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.lower(F.trim(t))
     sh = shingles(t, 3)
     min_shingle = F.array_min(F.transform(sh, lambda s: md5_hash60(s) % HASH_P))
-    return df.select(
+    return parallelized(df).select(
         "doc_id",
         F.md5(norm).alias("content_md5"),
         min_shingle.alias("min_shingle_hash"),

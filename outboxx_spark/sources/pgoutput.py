@@ -1,0 +1,364 @@
+"""pgoutput logical-replication binary protocol: encoder + decoder (S6).
+
+The reference's decoder (`src/source/postgres/pg_output_decoder.zig:
+11-30, 162-412`) parses the pgoutput v1 binary stream: message types
+B(egin) C(ommit) R(elation) I(nsert) U(pdate) D(elete), consumed-but-
+skipped T(runcate) Y(type) O(rigin), fail-stop on unknown; tuples carry
+per-column kinds 'n' (null) / 'u' (unchanged TOAST) / 't' (text,
+u32-length-prefixed); all integers big-endian. The relation registry
+(S7, `relation_registry.zig`) maps relation_id -> schema, upserted on
+every RELATION message (ALTER TABLE safe), lookup failure = fail-stop.
+The converter (S8, `converter.zig:26-102`) stamps every event of a txn
+with the BEGIN's commit time and renders metadata.
+
+Spark shape: the byte stream is a partitioned binary column; decoding is
+``mapInPandas`` — Arrow batches in, ChangeEvent rows out, with the
+relation registry + current-txn state held per partition (the exact
+state scope the reference keeps per connection). No shuffle: decode is a
+narrow map over however the feed is partitioned. The encoder exists for
+the testbed: it renders a deterministic pgoutput stream from the events
+feed so decode can be verified against the same DuckDB oracle as the
+plain feed (queries: ``cdc_pgoutput_roundtrip``).
+
+Format reference: PostgreSQL docs, "Logical Replication Message Formats"
+(protocol version 1).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from outboxx_spark.config import TOAST_PLACEHOLDER
+
+PG_EPOCH_UNIX = 946_684_800  # 2000-01-01, converter.zig:19
+
+# OIDs (converter.zig:146-192 promotion set)
+OID_BOOL = 16
+OID_INT8 = 20
+OID_INT2 = 21
+OID_INT4 = 23
+OID_TEXT = 25
+OID_FLOAT4 = 700
+OID_FLOAT8 = 701
+OID_NUMERIC = 1700
+OID_JSONB = 3802
+
+
+class PgOutputError(ValueError):
+    """Decode failure (unknown message type, truncated buffer, unknown
+    relation) — fail-stop, like the reference."""
+
+
+# ---------------------------------------------------------------------------
+# encoding (testbed side)
+# ---------------------------------------------------------------------------
+
+
+def _cstr(s: str) -> bytes:
+    return s.encode() + b"\x00"
+
+
+def encode_begin(final_lsn: int, commit_ts_us: int, xid: int) -> bytes:
+    return b"B" + struct.pack(">QQI", final_lsn, commit_ts_us, xid)
+
+
+def encode_commit(commit_lsn: int, end_lsn: int, commit_ts_us: int) -> bytes:
+    return b"C" + struct.pack(">BQQQ", 0, commit_lsn, end_lsn, commit_ts_us)
+
+
+def encode_relation(
+    relation_id: int,
+    namespace: str,
+    relname: str,
+    columns: list[tuple[str, int]],
+    replica_identity: bytes = b"f",
+) -> bytes:
+    out = b"R" + struct.pack(">I", relation_id) + _cstr(namespace) + _cstr(relname)
+    out += replica_identity + struct.pack(">H", len(columns))
+    for name, oid in columns:
+        out += b"\x01" + _cstr(name) + struct.pack(">Ii", oid, -1)
+    return out
+
+
+def encode_tuple(values: list[str | None | type(...)]) -> bytes:
+    """``None`` -> 'n' null; ``...`` (Ellipsis) -> 'u' unchanged TOAST;
+    str -> 't' text with u32 length prefix."""
+    out = struct.pack(">H", len(values))
+    for v in values:
+        if v is None:
+            out += b"n"
+        elif v is ...:
+            out += b"u"
+        else:
+            b = str(v).encode()
+            out += b"t" + struct.pack(">I", len(b)) + b
+    return out
+
+
+def encode_insert(relation_id: int, new: list) -> bytes:
+    return b"I" + struct.pack(">I", relation_id) + b"N" + encode_tuple(new)
+
+
+def encode_update(relation_id: int, new: list, old: list | None = None) -> bytes:
+    out = b"U" + struct.pack(">I", relation_id)
+    if old is not None:
+        out += b"O" + encode_tuple(old)
+    return out + b"N" + encode_tuple(new)
+
+
+def encode_delete(relation_id: int, old: list, key_only: bool = False) -> bytes:
+    return b"D" + struct.pack(">I", relation_id) + (b"K" if key_only else b"O") + encode_tuple(old)
+
+
+def encode_truncate() -> bytes:
+    # minimal body; decoder skips T without parsing
+    return b"T" + struct.pack(">IBI", 1, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# decoding
+# ---------------------------------------------------------------------------
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise PgOutputError(
+                f"truncated message: need {n} bytes at offset {self.pos}, have {len(self.buf)}"
+            )
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def u8(self) -> int:
+        return self.take(1)[0]
+
+    def u16(self) -> int:
+        return struct.unpack(">H", self.take(2))[0]
+
+    def u32(self) -> int:
+        return struct.unpack(">I", self.take(4))[0]
+
+    def i32(self) -> int:
+        return struct.unpack(">i", self.take(4))[0]
+
+    def u64(self) -> int:
+        return struct.unpack(">Q", self.take(8))[0]
+
+    def cstr(self) -> str:
+        end = self.buf.find(b"\x00", self.pos)
+        if end < 0:
+            raise PgOutputError("unterminated cstring")
+        out = self.buf[self.pos : end].decode()
+        self.pos = end + 1
+        return out
+
+
+def _decode_tuple(r: _Reader) -> list[str | None]:
+    """Per-column kinds n/u/t/b (`pg_output_decoder.zig:24-30`); 'u'
+    renders the TOAST placeholder so the column stays present."""
+    ncols = r.u16()
+    out: list[str | None] = []
+    for _ in range(ncols):
+        kind = r.take(1)
+        if kind == b"n":
+            out.append(None)
+        elif kind == b"u":
+            out.append(TOAST_PLACEHOLDER)
+        elif kind in (b"t", b"b"):
+            out.append(r.take(r.u32()).decode())
+        else:
+            raise PgOutputError(f"unknown tuple column kind {kind!r}")
+    return out
+
+
+class RelationInfo:
+    __slots__ = ("namespace", "relname", "columns")
+
+    def __init__(self, namespace: str, relname: str, columns: list[tuple[str, int]]) -> None:
+        self.namespace = namespace
+        self.relname = relname
+        self.columns = columns
+
+    @property
+    def resource(self) -> str:
+        return f"{self.namespace}.{self.relname}"
+
+
+class PgOutputDecoder:
+    """Stateful message decoder + converter: registry (S7) + current-txn
+    commit time (S8). One instance per partition."""
+
+    def __init__(self) -> None:
+        self.registry: dict[int, RelationInfo] = {}
+        self.commit_ts_us: int | None = None
+
+    def decode(self, lsn: int, payload: bytes) -> dict | None:
+        """One message -> one ChangeEvent dict (I/U/D) or None (B/C/R and
+        skipped types). Raises PgOutputError on unknown types (fail-stop)
+        after consuming nothing further."""
+        if not payload:
+            raise PgOutputError("empty message")
+        r = _Reader(payload)
+        t = r.take(1)
+        if t == b"B":
+            r.u64()  # final lsn
+            self.commit_ts_us = r.u64()
+            return None
+        if t == b"C":
+            return None
+        if t == b"R":
+            rid = r.u32()
+            ns, rel = r.cstr(), r.cstr()
+            r.take(1)  # replica identity
+            cols = []
+            for _ in range(r.u16()):
+                r.take(1)  # flags
+                name = r.cstr()
+                oid = r.u32()
+                r.i32()  # typmod
+                cols.append((name, oid))
+            # upsert: re-registration on ALTER TABLE replaces the entry
+            self.registry[rid] = RelationInfo(ns, rel, cols)
+            return None
+        if t in (b"T", b"Y", b"O"):
+            return None  # consumed-but-skipped, don't crash
+        if t in (b"I", b"U", b"D"):
+            rid = r.u32()
+            info = self.registry.get(rid)
+            if info is None:
+                raise PgOutputError(f"RelationNotFound: {rid}")
+            old = None
+            if t == b"I":
+                tag = r.take(1)
+                if tag != b"N":
+                    raise PgOutputError(f"unexpected insert tuple tag {tag!r}")
+                new = _decode_tuple(r)
+                op = "INSERT"
+            elif t == b"U":
+                tag = r.take(1)
+                if tag in (b"O", b"K"):
+                    old = _decode_tuple(r)
+                    tag = r.take(1)
+                if tag != b"N":
+                    raise PgOutputError(f"unexpected update tuple tag {tag!r}")
+                new = _decode_tuple(r)
+                op = "UPDATE"
+            else:
+                tag = r.take(1)
+                if tag not in (b"O", b"K"):
+                    raise PgOutputError(f"unexpected delete tuple tag {tag!r}")
+                new = _decode_tuple(r)  # DELETE data = old image
+                op = "DELETE"
+            if len(new) != len(info.columns):
+                raise PgOutputError(
+                    f"ColumnCountMismatch: {len(new)} values vs {len(info.columns)} columns"
+                )
+            commit_ts = (
+                self.commit_ts_us // 1_000_000 + PG_EPOCH_UNIX
+                if self.commit_ts_us is not None
+                else None
+            )
+            return {
+                "op": op,
+                "resource": info.resource,
+                "lsn": lsn,
+                "commit_ts": commit_ts,
+                "data": dict(zip([c[0] for c in info.columns], new)),
+                "old": dict(zip([c[0] for c in info.columns], old)) if old else None,
+            }
+        raise PgOutputError(f"unknown message type {t!r}")
+
+
+def decode_stream(df: DataFrame) -> DataFrame:
+    """(lsn, payload binary) -> ChangeEvents, via mapInPandas with
+    per-partition decoder state. Narrow map — decode never shuffles."""
+    out_schema = (
+        "op string, resource string, lsn long, commit_ts long, "
+        "data map<string,string>, old map<string,string>"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = PgOutputDecoder()  # state spans all batches of the partition
+        for pdf in batches:
+            rows = []
+            for lsn, payload in zip(pdf["lsn"], pdf["payload"]):
+                ev = dec.decode(int(lsn), bytes(payload))
+                if ev is not None:
+                    rows.append(ev)
+            yield pd.DataFrame(
+                rows, columns=["op", "resource", "lsn", "commit_ts", "data", "old"]
+            )
+
+    return df.select("lsn", "payload").mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# testbed: events feed -> pgoutput byte stream
+# ---------------------------------------------------------------------------
+
+FEED_COLUMNS = [
+    ("user_id", OID_INT8),
+    ("event_type", OID_TEXT),
+    ("value", OID_FLOAT8),
+    ("props", OID_JSONB),
+]
+
+
+def _fmt_value(v) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return repr(v)  # shortest round-trip repr, like PG float8 out
+    return str(v)
+
+
+def encode_feed_as_pgoutput(feed: DataFrame) -> DataFrame:
+    """Deterministic pgoutput stream from the flat feed: per partition,
+    RELATION on first use of each virtual table, then one
+    BEGIN / I|U|D / COMMIT txn per event (READ events are skipped — they
+    exist only on the snapshot path, never in WAL). Output (lsn,
+    payload) rows, ~3 messages per event."""
+    out_schema = "lsn long, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: set[int] = set()
+        for pdf in batches:
+            rows: list[tuple[int, bytes]] = []
+            for rec in pdf.itertuples(index=False):
+                if rec.op == "READ":
+                    continue
+                table_n = int(rec.user_id) % 4
+                rid = 1000 + table_n
+                if rid not in seen:
+                    seen.add(rid)
+                    rows.append((int(rec.lsn), encode_relation(rid, "public", f"t{table_n}", FEED_COLUMNS)))
+                commit_us = (int(rec.commit_ts) - PG_EPOCH_UNIX) * 1_000_000
+                vals = [
+                    _fmt_value(rec.user_id),
+                    _fmt_value(rec.event_type),
+                    _fmt_value(rec.value),
+                    _fmt_value(rec.props),
+                ]
+                rows.append((int(rec.lsn), encode_begin(int(rec.lsn), commit_us, 1)))
+                if rec.op == "INSERT":
+                    body = encode_insert(rid, vals)
+                elif rec.op == "UPDATE":
+                    body = encode_update(rid, vals, old=vals)
+                else:
+                    body = encode_delete(rid, vals)
+                rows.append((int(rec.lsn), body))
+                rows.append((int(rec.lsn), encode_commit(int(rec.lsn), int(rec.lsn), commit_us)))
+            yield pd.DataFrame(rows, columns=["lsn", "payload"])
+
+    return feed.mapInPandas(run, out_schema)
