@@ -29,7 +29,14 @@ from outboxx_spark.operators.dedup import dedup_events
 from outboxx_spark.operators.routing import route, streams_dim
 from outboxx_spark.operators.tally import tally
 from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
+from outboxx_spark.operators.windows import (
+    sessionize,
+    sessionize_sql,
+    windowed_tally,
+    windowed_tally_sql,
+)
 from outboxx_spark.sources.feed import ORACLE_FEED_CTE, read_feed
+from outboxx_spark.sources.json_feed import parse_envelopes, typed_projection
 from outboxx_spark.sources.pgoutput import decode_stream, encode_feed_as_pgoutput
 from outboxx_spark.sources.snapshot import snapshot_table
 from outboxx_spark.sources.tables import read_table
@@ -173,6 +180,29 @@ def q_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment ingestion path: serialized envelopes -> from_json with
+    schema-on-read map payload -> typed per-table projection. Proves the
+    full serialize/parse/type cycle incl. the X/X LSN inverse."""
+    feed = read_feed(spark, sf_dir)
+    env = serialize_feed(feed, FEED_DATA_COLS).select("value")
+    parsed = parse_envelopes(env)
+    return typed_projection(
+        parsed,
+        {"user_id": "long", "event_type": "string", "value": "double", "props": "string"},
+    )
+
+
+def q_windowed_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time tally per (hour, resource, op)."""
+    return windowed_tally(read_feed(spark, sf_dir), window_s=3600)
+
+
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per user (30 min gap)."""
+    return sessionize(read_feed(spark, sf_dir), gap_s=1800)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -268,6 +298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_toast_placeholder": q_toast_placeholder,
         "cdc_lag": q_lag,
         "cdc_pgoutput_roundtrip": q_pgoutput_roundtrip,
+        "cdc_json_ingest": q_json_ingest,
+        "cdc_windowed_tally": q_windowed_tally,
+        "cdc_sessions": q_sessions,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
@@ -350,6 +383,12 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT op, resource, lsn, commit_ts, user_id, event_type, value, props
         FROM feed WHERE op != 'READ'""",
+        "cdc_json_ingest": ORACLE_FEED_CTE
+        + """
+        SELECT op, resource, lsn, commit_ts, user_id, event_type, value, props
+        FROM feed""",
+        "cdc_windowed_tally": ORACLE_FEED_CTE + windowed_tally_sql(3600),
+        "cdc_sessions": ORACLE_FEED_CTE + sessionize_sql(1800),
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
         "docs_quality": tx.QUALITY_SQL,
         "docs_lang_id": tx.lang_id_sql(),
