@@ -29,6 +29,7 @@ from outboxx_spark.operators.dedup import dedup_events
 from outboxx_spark.operators.routing import route, streams_dim
 from outboxx_spark.operators.tally import tally
 from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
+from outboxx_spark.operators.materialize import materialize, materialize_sql
 from outboxx_spark.operators.windows import (
     sessionize,
     sessionize_sql,
@@ -203,6 +204,12 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(read_feed(spark, sf_dir), gap_s=1800)
 
 
+def q_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: latest state per (resource, key), DELETE
+    drops the row — the consumer-side MERGE/SCD1 view of the stream."""
+    return materialize(read_feed(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -301,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_json_ingest": q_json_ingest,
         "cdc_windowed_tally": q_windowed_tally,
         "cdc_sessions": q_sessions,
+        "cdc_materialize": q_materialize,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
@@ -389,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         FROM feed""",
         "cdc_windowed_tally": ORACLE_FEED_CTE + windowed_tally_sql(3600),
         "cdc_sessions": ORACLE_FEED_CTE + sessionize_sql(1800),
+        "cdc_materialize": ORACLE_FEED_CTE + materialize_sql(),
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
         "docs_quality": tx.QUALITY_SQL,
         "docs_lang_id": tx.lang_id_sql(),

@@ -26,10 +26,22 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from outboxx_spark.functions.typemap import lsn_text
 
 SOURCE_NAME = "postgres"
+
+
+def _finite_guard(c: Column, name: str) -> Column:
+    """Serializer guard (`json.zig:94-100`): a non-finite float reaching
+    serialization is a hard error. On the text->typed path the converter
+    stringifies NaN/Inf first (S9), so this never fires for
+    Postgres-sourced data — it catches typed-feed corruption."""
+    return F.when(
+        F.isnan(c) | (c == float("inf")) | (c == float("-inf")),
+        F.raise_error(F.lit(f"NonFiniteFloat: column {name} is not JSON-serializable")),
+    ).otherwise(c)
 
 
 def meta_struct(resource: Column, timestamp: Column, lsn: Column) -> Column:
@@ -59,9 +71,18 @@ def serialize_feed(df: DataFrame, data_cols: list[str]) -> DataFrame:
     ``data_cols`` is the new-image payload (R4: for UPDATE the feed
     carries only the new image downstream). Emitted once per event; the
     routing join afterwards fans the same serialized value out to N
-    streams without re-serializing.
+    streams without re-serializing. Double columns get the non-finite
+    hard-error guard.
     """
-    data = F.struct(*[F.col(c).alias(c) for c in data_cols])
+    types = dict(zip(df.schema.names, df.schema.fields))
+    cols = []
+    for c in data_cols:
+        f = types.get(c)
+        if f is not None and isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            cols.append(_finite_guard(F.col(c), c).alias(c))
+        else:
+            cols.append(F.col(c).alias(c))
+    data = F.struct(*cols)
     return df.withColumn(
         "value",
         envelope_json(F.col("op"), data, F.col("resource"), F.col("commit_ts"), F.col("lsn")),

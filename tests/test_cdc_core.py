@@ -121,6 +121,29 @@ def test_envelope_shape_and_key_order(spark):
     }
 
 
+def test_serializer_rejects_nonfinite_floats(spark):
+    from outboxx_spark.functions.envelope import serialize_feed
+
+    df = spark.createDataFrame(
+        [("INSERT", "public.t0", 1, 100, float("nan"))],
+        "op string, resource string, lsn long, commit_ts long, value double",
+    )
+    with pytest.raises(Exception, match="NonFiniteFloat"):
+        serialize_feed(df, ["value"]).collect()
+
+
+def test_serializer_escapes_control_chars(spark):
+    from outboxx_spark.functions.envelope import serialize_feed
+
+    df = spark.createDataFrame(
+        [("INSERT", "public.t0", 1, 100, 'a"b\\c\nd\te')],
+        "op string, resource string, lsn long, commit_ts long, name string",
+    )
+    out = serialize_feed(df, ["name"]).collect()[0]["value"]
+    parsed = json.loads(out)  # must be valid RFC 8259 JSON
+    assert parsed["data"]["name"] == 'a"b\\c\nd\te'
+
+
 def _mini_events(spark):
     return spark.createDataFrame(
         [
