@@ -1,0 +1,70 @@
+"""Stateful streaming materialization: incremental winners across
+micro-batches must converge to the batch materialize() result; replays
+must not re-emit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from outboxx_spark.operators.materialize import materialize
+from outboxx_spark.sources.feed import read_feed, read_feed_stream
+from outboxx_spark.streaming.stateful import streaming_materialize
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def multi_file_feed(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("feed_state")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.repartition(4).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_streaming_materialize_converges_to_batch(spark, multi_file_feed, tmp_path):
+    stream = read_feed_stream(spark, multi_file_feed, max_files_per_trigger=1)
+    out = streaming_materialize(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mat_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = spark.sql("SELECT * FROM mat_out").collect()
+    # last emission per (resource, key) = the final winner
+    got: dict = {}
+    for r in emitted:
+        k = (r["resource"], r["key"])
+        if k not in got or r["lsn"] > got[k][1]:
+            got[k] = (r["op"], r["lsn"])
+
+    from pyspark.sql.window import Window as W
+
+    batch_all = {  # include DELETE winners (streaming emits tombstones)
+        (r["resource"], r["user_id"]): (r["op"], r["lsn"])
+        for r in read_feed(spark, multi_file_feed)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("resource", "user_id").orderBy(F.col("lsn").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == batch_all
+    # non-tombstone winners match the batch materializer exactly
+    batch = materialize(read_feed(spark, multi_file_feed))
+    got_live = {k: v for k, v in got.items() if v[0] != "DELETE"}
+    want_live = {
+        (r["resource"], r["user_id"]): (r["op"], r["lsn"]) for r in batch.collect()
+    }
+    assert got_live == want_live
+    # incremental: multiple micro-batches -> more emissions than final keys
+    assert len(emitted) >= len(got)
