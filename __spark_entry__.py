@@ -29,6 +29,7 @@ from outboxx_spark.operators.dedup import dedup_events
 from outboxx_spark.operators.routing import route, streams_dim
 from outboxx_spark.operators.tally import tally
 from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
+from outboxx_spark import olap
 from outboxx_spark.operators.materialize import materialize, materialize_sql
 from outboxx_spark.operators.windows import (
     sessionize,
@@ -309,6 +310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_windowed_tally": q_windowed_tally,
         "cdc_sessions": q_sessions,
         "cdc_materialize": q_materialize,
+        "olap_pricing_summary": olap.pricing_summary,
+        "olap_top_customers": olap.top_revenue_customers,
+        "olap_nation_volume": olap.nation_order_volume,
+        "olap_topk_per_priority": olap.top_orders_per_priority,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
@@ -398,6 +403,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_windowed_tally": ORACLE_FEED_CTE + windowed_tally_sql(3600),
         "cdc_sessions": ORACLE_FEED_CTE + sessionize_sql(1800),
         "cdc_materialize": ORACLE_FEED_CTE + materialize_sql(),
+        "olap_pricing_summary": olap.PRICING_SUMMARY_SQL,
+        "olap_top_customers": olap.top_revenue_customers_sql(10),
+        "olap_nation_volume": olap.NATION_ORDER_VOLUME_SQL,
+        "olap_topk_per_priority": olap.top_orders_per_priority_sql(5),
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
         "docs_quality": tx.QUALITY_SQL,
         "docs_lang_id": tx.lang_id_sql(),

@@ -19,5 +19,13 @@ def dedup_events(events: DataFrame) -> DataFrame:
     return events.dropDuplicates(["resource", "lsn"])
 
 
-def dedup_events_streaming(events: DataFrame, ts_col: str = "ts", watermark: str = "10 minutes") -> DataFrame:
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["resource", "lsn"])
+def dedup_events_streaming(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming variant: state bounded by the watermark horizon. Derives
+    an event-time column from the feed's Unix-seconds commit_ts."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withColumn("event_time", F.timestamp_seconds(F.col("commit_ts")))
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["resource", "lsn"])
+    )

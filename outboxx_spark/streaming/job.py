@@ -133,23 +133,36 @@ def start_stream(
 
     def process_batch(batch: DataFrame, epoch_id: int) -> None:
         out = _route_and_serialize(batch, streams)
-        # Single partitioned append per micro-batch: one job regardless of
-        # destination count (no per-stream driver loop).
-        (
-            out.select("destination", "key", "value", "resource", "op", "lsn")
-            .write.mode("append")
-            .partitionBy("destination")
-            .parquet(out_dir)
-        )
-        # A1 tally + M4 lag: tiny aggregates, computed after the sink write
-        # like the reference (metrics reflect *delivered* events).
         if registry is not None:
-            tallies = out.groupBy("stream", "op").agg(F.count("*").alias("n")).collect()
-            for r in tallies:
-                registry.add_processed(r["stream"], r["op"], r["n"])
-            head = batch.agg(F.max("commit_ts").alias("m")).collect()[0]["m"]
-            if head is not None:
-                registry.set_lag(time.time() - head)
+            # cache so the post-write tally doesn't recompute the
+            # serialize+route plan (micro-batch lifetime = arena, O1)
+            out = out.persist()
+        try:
+            # Single partitioned append per micro-batch: one job regardless
+            # of destination count (no per-stream driver loop).
+            (
+                out.select("destination", "key", "value", "resource", "op", "lsn")
+                .write.mode("append")
+                .partitionBy("destination")
+                .parquet(out_dir)
+            )
+            # A1 tally + M4 lag: tiny aggregates, computed after the sink
+            # write like the reference (metrics reflect *delivered* events).
+            if registry is not None:
+                rows = (
+                    out.groupBy("stream", "op")
+                    .agg(F.count("*").alias("n"), F.max("commit_ts").alias("head"))
+                    .collect()
+                )
+                head = None
+                for r in rows:
+                    registry.add_processed(r["stream"], r["op"], r["n"])
+                    head = max(head or 0, r["head"] or 0)
+                if head:
+                    registry.set_lag(time.time() - head)
+        finally:
+            if registry is not None:
+                out.unpersist()
 
     return (
         read_feed_stream(spark, sf_dir, max_files_per_trigger)
