@@ -27,8 +27,6 @@ Python in the hot path; md5-derived hashes keep the DuckDB oracle exact.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -225,12 +223,16 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
         for j in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy("doc_id").agg(*votes)
-    sig = reduce(
-        lambda acc, j: acc + F.when(F.col(f"v{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")),
-        range(SIMHASH_BITS),
-        F.lit(0).cast("long"),
+    # Assemble the signature as a bit string + conv(_, 2, 10): a flat
+    # expression. The natural nested when/add chain over 60 bits drops
+    # the projection out of codegen (measured 4.5s vs 1.3s at sf0.1).
+    bits = F.concat(
+        *[
+            F.when(F.col(f"v{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(SIMHASH_BITS - 1, -1, -1)
+        ]
     )
-    return agg.select("doc_id", sig.alias("simhash"))
+    return agg.select("doc_id", F.conv(bits, 2, 10).cast("long").alias("simhash"))
 
 
 def simhash_sql() -> str:

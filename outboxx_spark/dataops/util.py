@@ -8,9 +8,17 @@ from pyspark.sql import DataFrame
 def parallelized(df: DataFrame) -> DataFrame:
     """Small corpora arrive as one file -> one partition, serializing
     explode-/compute-heavy operators on a single core. Spread them
-    (measured 4.5x on ngram pairs at sf0.1, local[32]). On a real
-    cluster the input is already partitioned and this no-ops."""
+    (measured 4.5x on ngram pairs at sf0.1, local[32]).
+
+    The partition probe uses ``inputFiles()`` (a driver-side listing),
+    NOT ``df.rdd.getNumPartitions()`` — converting to RDD compiles the
+    plan and costs ~1s per call. Non-file-backed frames (already
+    shuffled/derived) skip the repartition."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
