@@ -268,6 +268,12 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse quantizer + probed inverted lists (approximate;
+    rows-only check, recall asserted in tests)."""
+    return sim.ivf_ann_topk(read_table(spark, sf_dir, "embeddings"), n_queries=10, k=10)
+
+
 def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN (approximate; rows-only check — recall vs
     brute force asserted in tests/test_dataops.py)."""
@@ -325,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_topk": q_emb_ann_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ann_ivf": q_emb_ann_ivf,
         "mm_metadata": q_mm_metadata,
         "mm_features": q_mm_features,
     }

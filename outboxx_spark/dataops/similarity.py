@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+IVF_SEED = 42
 LSH_SEED = 42
 # 6-bit signatures x 8 tables: expected bucket occupancy n/64 per table,
 # so a query sees ~n/8 candidates total — enough to fill top-k with decent
@@ -153,6 +154,103 @@ def embedding_near_dup_pairs_sql(threshold: float = 0.4) -> str:
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {cos} >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (approximate; scale path #2 — inverted file / coarse quantizer)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_centroids(sample: np.ndarray, n_clusters: int, n_iters: int = 8) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (the coarse
+    quantizer is tiny — centroids are a broadcastable constant). Init =
+    evenly spaced sample rows; ties and empty clusters resolved
+    deterministically."""
+    idx = np.linspace(0, len(sample) - 1, n_clusters).astype(int)
+    centroids = sample[idx].copy()
+    for _ in range(n_iters):
+        d = sample @ centroids.T  # cosine-ish assignment on normalized rows
+        assign = d.argmax(axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+    return centroids
+
+
+def ivf_assignments(
+    emb: DataFrame, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """vec_id -> nearest-centroid cluster id (one Arrow-batched matmul
+    per batch; centroids ride the closure as a broadcast constant)."""
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series((m @ centroids.T).argmax(axis=1).astype("int32"))
+
+    return emb.select(F.col(id_col).alias("vid"), assign(F.col(vec_col)).alias("cluster"))
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF: coarse-quantize the corpus into inverted lists; each query
+    probes its ``n_probe`` nearest centroids and exact-re-ranks only
+    those lists (~n_probe/n_clusters of the corpus).
+
+    At 100 TB: centroids are trained once on a sample and broadcast;
+    assignment is a narrow Arrow map; the probe join shuffles only the
+    candidate lists. Same output contract as the brute-force baseline
+    (rows-only driver check; recall asserted in tests)."""
+    sample_rows = (
+        emb.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()[vec_col]
+    )
+    sample = np.vstack(sample_rows.to_numpy()).astype(np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    centroids = _kmeans_centroids(sample, n_clusters)
+
+    assigned = ivf_assignments(emb, centroids, id_col, vec_col)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).join(assigned.withColumnRenamed("vid", "neighbor_id"), "neighbor_id")
+
+    # queries probe their n_probe nearest centroids
+    qpd = emb.filter(F.col(id_col) < n_queries).select(id_col, vec_col).toPandas()
+    qm = np.vstack(qpd[vec_col].to_numpy()).astype(np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    probes = (qm @ centroids.T).argsort(axis=1)[:, ::-1][:, :n_probe]
+    probe_rows = [
+        (int(qid), int(c)) for qid, cs in zip(qpd[id_col], probes) for c in cs
+    ]
+    probe_df = emb.sparkSession.createDataFrame(probe_rows, "query_id long, cluster int")
+
+    qv = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cands = (
+        corpus.join(F.broadcast(probe_df), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
 
 
 # ---------------------------------------------------------------------------

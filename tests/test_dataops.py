@@ -90,6 +90,28 @@ def test_lsh_ann_recall(spark, sf_dir):
     assert all(q < 5 for q, _ in approx)
 
 
+def test_ivf_ann_recall(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ann_bruteforce_topk(emb, n_queries=5, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivf_ann_topk(emb, n_queries=5, k=10, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing 4/16 clusters scans ~25% of the corpus; gaussian corpus is
+    # the hardest case — require real signal over random (25%)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    # determinism: same call -> same result
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivf_ann_topk(emb, n_queries=5, k=10, n_probe=4).collect()
+    }
+    assert approx == again
+
+
 def test_multimodal_metadata_and_decode_determinism(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").limit(20)
     blobs = attach_blobs(docs)
