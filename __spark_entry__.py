@@ -258,6 +258,26 @@ def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_pairs(dd.simhash(read_table(spark, sf_dir, "documents")), max_hamming=3)
 
 
+def q_docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> corpus: greedy min-id survivors after MinHash-LSH dedup
+    (oracle computes the same survivors from the exact pair set)."""
+    return dd.dedup_survivors(read_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
+
+
+def q_docs_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation filter (length + repetitiveness gates)."""
+    return tx.curate(read_table(spark, sf_dir, "documents"))
+
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON payload extraction from the props column."""
+    feed = read_feed(spark, sf_dir)
+    return feed.select(
+        "lsn",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
 def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the first 10 query vectors."""
     return sim.ann_bruteforce_topk(read_table(spark, sf_dir, "embeddings"), n_queries=10, k=10)
@@ -328,6 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_pairs": q_docs_simhash_pairs,
+        "docs_dedup_survivors": q_docs_dedup_survivors,
+        "docs_curate": q_docs_curate,
+        "cdc_props_extract": q_props_extract,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_ann_lsh": q_emb_ann_lsh,
@@ -425,6 +448,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash_pairs": (
             "WITH sigs AS (" + dd.simhash_sql() + ") " + dd.simhash_near_pairs_sql(max_hamming=3)
         ),
+        "docs_dedup_survivors": dd.dedup_survivors_sql(k=3, threshold=0.5),
+        "docs_curate": tx.curate_sql(),
+        "cdc_props_extract": ORACLE_FEED_CTE
+        + " SELECT lsn, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM feed",
         "emb_ann_topk": sim.ann_bruteforce_topk_sql(n_queries=10, k=10),
         "emb_near_dup": sim.embedding_near_dup_pairs_sql(threshold=0.4),
         # emb_ann_lsh, mm_features: approximate / UDF-backed -> rows-only

@@ -128,6 +128,28 @@ def ngram_jaccard_pairs_sql(k: int = 3, threshold: float = 0.5) -> str:
     """
 
 
+def dedup_survivors(
+    df: DataFrame, k: int = 3, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Greedy min-id dedup: a document is dropped iff it appears as the
+    higher id of a near-dup pair (so each dup cluster keeps its lowest
+    id, and chains collapse toward the minimum). One anti-join against
+    the pair set — composable with either the exact or the LSH pair
+    generator."""
+    pairs = minhash_dedup_pairs(df, k, threshold, text_col)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return df.join(dropped, "doc_id", "left_anti").select("doc_id")
+
+
+def dedup_survivors_sql(k: int = 3, threshold: float = 0.5) -> str:
+    pairs = ngram_jaccard_pairs_sql(k, threshold)
+    return f"""
+    WITH pairs AS ({pairs})
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+    """
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------

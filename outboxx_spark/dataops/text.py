@@ -152,6 +152,34 @@ def lang_id_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# curation pipeline (composition)
+# ---------------------------------------------------------------------------
+
+# thresholds chosen for the synthetic corpus; real pipelines tune these
+CURATION_MIN_TOKENS = 40
+CURATION_MIN_UNIQUE_RATIO = 0.25
+
+
+def curate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data curation filter: length + repetitiveness gates over
+    the quality features. Composes as one codegen'd projection+filter —
+    no extra pass over the corpus."""
+    feats = quality_features(df, text_col)
+    return feats.filter(
+        (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+        & (F.col("unique_ratio") >= CURATION_MIN_UNIQUE_RATIO)
+    ).select("doc_id", "n_tokens", "unique_ratio")
+
+
+def curate_sql() -> str:
+    return f"""
+    WITH feats AS ({QUALITY_SQL})
+    SELECT doc_id, n_tokens, unique_ratio FROM feats
+    WHERE n_tokens >= {CURATION_MIN_TOKENS} AND unique_ratio >= {CURATION_MIN_UNIQUE_RATIO}
+    """
+
+
+# ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------
 
