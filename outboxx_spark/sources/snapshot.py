@@ -48,6 +48,47 @@ def snapshot_table(
     )
 
 
+def snapshot_table_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    start_lsn: int,
+    snapshot_ts: int,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict | None = None,
+) -> DataFrame:
+    """Deployment-path snapshot (S5): partition-parallel JDBC read of one
+    table, stamped as READ events. In a real deployment the connection
+    pins the replication slot's exported snapshot (`BEGIN ISOLATION
+    LEVEL REPEATABLE READ; SET TRANSACTION SNAPSHOT '<name>'`,
+    `snapshot.zig:75-100`) via a session-init statement; partitioning on
+    a numeric key spreads the 100 TB scan across executors. Untestable
+    in this container (no Postgres/JDBC driver) — covered by the parquet
+    path above, which shares every downstream stage."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    return df.select(
+        F.lit(OP_READ).alias("op"),
+        F.lit(f"public.{table}").alias("resource"),
+        F.lit(start_lsn).cast("long").alias("lsn"),
+        F.lit(snapshot_ts).cast("long").alias("commit_ts"),
+        "*",
+    )
+
+
 def snapshot_resources(
     spark: SparkSession,
     sf_dir: str,
