@@ -258,6 +258,15 @@ def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_pairs(dd.simhash(read_table(spark, sf_dir, "documents")), max_hamming=3)
 
 
+def q_docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenizer: word pieces = letter runs / digit runs /
+    single punctuation. Token counting for irregular text."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(tx.bpe_tokens(F.col("text"))).alias("n_pieces")
+    )
+
+
 def q_docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> corpus: greedy min-id survivors after MinHash-LSH dedup
     (oracle computes the same survivors from the exact pair set)."""
@@ -348,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_pairs": q_docs_simhash_pairs,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_dedup_survivors": q_docs_dedup_survivors,
         "docs_curate": q_docs_curate,
         "cdc_props_extract": q_props_extract,
@@ -447,6 +457,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash": dd.simhash_sql(),
         "docs_simhash_pairs": (
             "WITH sigs AS (" + dd.simhash_sql() + ") " + dd.simhash_near_pairs_sql(max_hamming=3)
+        ),
+        "docs_bpe_tokens": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces FROM documents"
         ),
         "docs_dedup_survivors": dd.dedup_survivors_sql(k=3, threshold=0.5),
         "docs_curate": tx.curate_sql(),
