@@ -23,6 +23,63 @@ def multi_file_feed(spark, tmp_path_factory):
     return str(d)
 
 
+def test_stateful_state_survives_restart(spark, multi_file_feed, tmp_path):
+    """Kill the stateful query mid-feed; the restart must resume from
+    checkpointed GroupState and still converge to the batch winners."""
+    import time as _t
+
+    ckpt = str(tmp_path / "ckpt_restart")
+    out_dir = str(tmp_path / "mat_out")
+
+    def start():
+        stream = read_feed_stream(spark, multi_file_feed, max_files_per_trigger=1)
+
+        def sink(df, epoch_id):
+            df.write.mode("append").parquet(out_dir)
+
+        return (
+            streaming_materialize(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        if any(p and p["numInputRows"] > 0 for p in (q1.recentProgress or [])):
+            break
+        _t.sleep(0.3)
+    q1.stop()
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got: dict = {}
+    for r in spark.read.parquet(out_dir).collect():
+        k = (r["resource"], r["key"])
+        if k not in got or r["lsn"] > got[k][1]:
+            got[k] = (r["op"], r["lsn"])
+
+    from pyspark.sql.window import Window as W
+
+    want = {
+        (r["resource"], r["user_id"]): (r["op"], r["lsn"])
+        for r in read_feed(spark, multi_file_feed)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("resource", "user_id").orderBy(F.col("lsn").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_materialize_converges_to_batch(spark, multi_file_feed, tmp_path):
     stream = read_feed_stream(spark, multi_file_feed, max_files_per_trigger=1)
     out = streaming_materialize(stream)
