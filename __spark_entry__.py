@@ -182,6 +182,15 @@ def q_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Spark 4 Python DataSource (format('outboxx_cdc')): its
+    batch output must equal the native feed projection."""
+    from outboxx_spark.sources.datasource import register
+
+    register(spark)
+    return spark.read.format("outboxx_cdc").option("path", sf_dir).load()
+
+
 def q_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deployment ingestion path: serialized envelopes -> from_json with
     schema-on-read map payload -> typed per-table projection. Proves the
@@ -341,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_toast_placeholder": q_toast_placeholder,
         "cdc_lag": q_lag,
         "cdc_pgoutput_roundtrip": q_pgoutput_roundtrip,
+        "cdc_datasource_feed": q_datasource_feed,
         "cdc_json_ingest": q_json_ingest,
         "cdc_windowed_tally": q_windowed_tally,
         "cdc_sessions": q_sessions,
@@ -436,6 +446,8 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT op, resource, lsn, commit_ts, user_id, event_type, value, props
         FROM feed WHERE op != 'READ'""",
+        "cdc_datasource_feed": ORACLE_FEED_CTE
+        + " SELECT op, resource, lsn, commit_ts, user_id, event_type, value, props FROM feed",
         "cdc_json_ingest": ORACLE_FEED_CTE
         + """
         SELECT op, resource, lsn, commit_ts, user_id, event_type, value, props
