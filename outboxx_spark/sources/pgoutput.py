@@ -328,7 +328,15 @@ def encode_feed_as_pgoutput(feed: DataFrame) -> DataFrame:
     RELATION on first use of each virtual table, then one
     BEGIN / I|U|D / COMMIT txn per event (READ events are skipped — they
     exist only on the snapshot path, never in WAL). Output (lsn,
-    payload) rows, ~3 messages per event."""
+    payload) rows, ~3 messages per event.
+
+    Partition-safe by construction: every partition emits its own
+    RELATION messages before using them, so the stream decodes under any
+    input partitioning — and we spread single-file feeds across cores.
+    """
+    from outboxx_spark.dataops.util import parallelized
+
+    feed = parallelized(feed)
     out_schema = "lsn long, payload binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
