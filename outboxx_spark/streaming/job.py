@@ -125,13 +125,34 @@ def start_stream(
     checkpoint_dir: str,
     registry: MetricsRegistry | None = None,
     max_files_per_trigger: int = 1,
+    exactly_once: bool = False,
 ):
     """The streaming query. foreachBatch body = the reference's hot path;
-    checkpoint commit after the body = the at-least-once core (O2)."""
+    checkpoint commit after the body = the at-least-once core (O2).
+
+    ``exactly_once=True`` upgrades the file sink beyond the reference's
+    guarantee: output is partitioned by (epoch, destination) and written
+    with dynamic partition overwrite, so a replayed micro-batch
+    *replaces* its own epoch partition instead of appending duplicates —
+    idempotent-producer semantics for files (the Kafka path gets the
+    same from ``enable.idempotence`` + checkpoint replay)."""
     registry = registry or MetricsRegistry()
     streams = streams_dim(spark, config.streams)
 
     def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        if exactly_once:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            out = _route_and_serialize(batch, streams).withColumn("epoch", F.lit(epoch_id))
+            (
+                out.select("epoch", "destination", "key", "value", "resource", "op", "lsn")
+                .write.mode("overwrite")
+                .partitionBy("epoch", "destination")
+                .parquet(out_dir)
+            )
+            if registry is not None:
+                for r in out.groupBy("stream", "op").agg(F.count("*").alias("n")).collect():
+                    registry.add_processed(r["stream"], r["op"], r["n"])
+            return
         out = _route_and_serialize(batch, streams)
         if registry is not None:
             # cache so the post-write tally doesn't recompute the
