@@ -30,6 +30,7 @@ from outboxx_spark.operators.routing import route, streams_dim
 from outboxx_spark.operators.tally import tally
 from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
 from outboxx_spark import olap
+from outboxx_spark.operators.asof import asof_join, asof_join_sql
 from outboxx_spark.operators.materialize import materialize, materialize_sql
 from outboxx_spark.operators.windows import (
     sessionize,
@@ -214,6 +215,29 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(read_feed(spark, sf_dir), gap_s=1800)
 
 
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each feed event enriched with the user's latest order
+    at or before the event time (union + one window pass — Spark's
+    scalable ASOF formulation)."""
+    feed = read_feed(spark, sf_dir).select("lsn", "user_id", "commit_ts")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("o_ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    return asof_join(
+        feed,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="commit_ts",
+        right_ts="o_ts",
+        right_payload=["o_orderkey", "o_totalprice"],
+        right_order="o_orderkey",
+    )
+
+
 def q_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog compaction: latest state per (resource, key), DELETE
     drops the row — the consumer-side MERGE/SCD1 view of the stream."""
@@ -355,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_windowed_tally": q_windowed_tally,
         "cdc_sessions": q_sessions,
         "cdc_materialize": q_materialize,
+        "olap_asof_enrich": q_asof_enrich,
         "olap_pricing_summary": olap.pricing_summary,
         "olap_top_customers": olap.top_revenue_customers,
         "olap_nation_volume": olap.nation_order_volume,
@@ -455,6 +480,21 @@ def oracle_sql() -> dict[str, str]:
         "cdc_windowed_tally": ORACLE_FEED_CTE + windowed_tally_sql(3600),
         "cdc_sessions": ORACLE_FEED_CTE + sessionize_sql(1800),
         "cdc_materialize": ORACLE_FEED_CTE + materialize_sql(),
+        "olap_asof_enrich": ORACLE_FEED_CTE
+        + ", feed_sel AS (SELECT lsn, user_id, commit_ts FROM feed), "
+        "orders_sel AS (SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_ts, "
+        "o_orderkey, o_totalprice FROM orders) "
+        + asof_join_sql(
+            left_table="feed_sel",
+            right_table="orders_sel",
+            left_key="user_id",
+            right_key="o_custkey",
+            left_ts="commit_ts",
+            right_ts="o_ts",
+            left_cols=["lsn", "user_id", "commit_ts"],
+            right_payload=["o_orderkey", "o_totalprice"],
+            right_order="o_orderkey",
+        ).replace("WITH u AS", ", u AS", 1),
         "olap_pricing_summary": olap.PRICING_SUMMARY_SQL,
         "olap_top_customers": olap.top_revenue_customers_sql(10),
         "olap_nation_volume": olap.NATION_ORDER_VOLUME_SQL,
