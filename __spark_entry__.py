@@ -22,7 +22,11 @@ from outboxx_spark.config import TOAST_PLACEHOLDER
 from outboxx_spark.dataops import dedup as dd
 from outboxx_spark.dataops import similarity as sim
 from outboxx_spark.dataops import text as tx
-from outboxx_spark.dataops.multimodal import attach_blobs, decode_features
+from outboxx_spark.dataops.multimodal import (
+    MM_FEATURES_SQL,
+    attach_blobs,
+    decode_features_long,
+)
 from outboxx_spark.functions.envelope import serialize_feed
 from outboxx_spark.functions.typemap import toast_or_value
 from outboxx_spark.operators.dedup import dedup_events
@@ -354,10 +358,10 @@ def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed decode via mapInPandas (rows-only check; determinism and
-    batch shape asserted in tests)."""
+    """Stubbed decode via mapInPandas, exploded to (doc_id, dim, value)
+    scalars; oracle recomputes the byte-chunk means in SQL."""
     blobs = attach_blobs(read_table(spark, sf_dir, "documents"))
-    return decode_features(blobs)
+    return decode_features_long(blobs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -520,7 +524,7 @@ def oracle_sql() -> dict[str, str]:
         + " SELECT lsn, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM feed",
         "emb_ann_topk": sim.ann_bruteforce_topk_sql(n_queries=10, k=10),
         "emb_near_dup": sim.embedding_near_dup_pairs_sql(threshold=0.4),
-        # emb_ann_lsh, mm_features: approximate / UDF-backed -> rows-only
+        "mm_features": MM_FEATURES_SQL,
         "mm_metadata": """
         SELECT doc_id, 'text/plain' AS media_type,
                octet_length(encode(text)) AS n_bytes,

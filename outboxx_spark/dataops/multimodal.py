@@ -77,6 +77,56 @@ def decode_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     return df.select("doc_id", blob_col).mapInPandas(decode, out_schema)
 
 
+def decode_features_long(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Exploded (doc_id, dim, value) view of :func:`decode_features` —
+    hashable scalars only, so external comparators (and the driver's
+    canonicalizer) can sort/hash the result. Same information, long form."""
+    feats = decode_features(df, blob_col)
+    return feats.select("doc_id", F.posexplode("features").alias("dim", "value")).select(
+        "doc_id", F.col("dim").cast("long").alias("dim"), "value"
+    )
+
+
+# SQL mirror of _fake_decode over the documents table: blob = utf-8 bytes
+# of text; byte i recovered from hex(blob); chunk boundaries replicate
+# numpy.array_split (first L%8 chunks get one extra byte); empty chunks
+# mean 0.0. Integer byte sums are exact in both engines, so mean = sum/len
+# is bit-identical double division.
+MM_FEATURES_SQL = f"""
+WITH blobs AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS L
+  FROM documents
+),
+positions AS (
+  SELECT doc_id, h, L, unnest(range(L)) AS i FROM blobs
+),
+bytes AS (
+  SELECT doc_id, L, i,
+         (strpos('0123456789ABCDEF', substr(h, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substr(h, CAST(2 * i + 2 AS INT), 1)) - 1) AS b
+  FROM positions
+),
+chunked AS (
+  SELECT doc_id,
+         CASE WHEN i < (L % {FEATURE_DIM}) * (L // {FEATURE_DIM} + 1)
+              THEN i // (L // {FEATURE_DIM} + 1)
+              ELSE (L % {FEATURE_DIM})
+                   + (i - (L % {FEATURE_DIM}) * (L // {FEATURE_DIM} + 1))
+                     // GREATEST(L // {FEATURE_DIM}, 1)
+         END AS dim,
+         b
+  FROM bytes
+),
+scaffold AS (
+  SELECT doc_id, unnest(range({FEATURE_DIM})) AS dim FROM documents
+)
+SELECT s.doc_id, CAST(s.dim AS BIGINT) AS dim,
+       COALESCE(avg(c.b), 0.0) AS value
+FROM scaffold s LEFT JOIN chunked c ON s.doc_id = c.doc_id AND s.dim = c.dim
+GROUP BY s.doc_id, s.dim
+"""
+
+
 def real_image_decode(blob: bytes):  # pragma: no cover - stub
     """Real decoder slot. Raises until an image library is installed."""
     try:

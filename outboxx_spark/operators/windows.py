@@ -72,8 +72,10 @@ def sessionize_sql(gap_s: int = 1800, key: str = "user_id") -> str:
     ),
     sess AS (
       SELECT {key}, commit_ts,
-             sum(is_new) OVER (PARTITION BY {key} ORDER BY commit_ts, lsn
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             -- CAST: DuckDB windowed sum yields HUGEINT, which pandas
+             -- canonicalizes to float64 and breaks the cross-engine hash
+             CAST(sum(is_new) OVER (PARTITION BY {key} ORDER BY commit_ts, lsn
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM gapped
     )
     SELECT {key}, session_id, min(commit_ts) AS session_start,
