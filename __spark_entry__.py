@@ -334,6 +334,12 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (LSH) embedding near-dup: candidates from hyperplane
+    buckets, exact cosine verify — oracle is the exact O(n^2) pair set."""
+    return sim.embedding_near_dup_pairs_lsh(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: coarse quantizer + probed inverted lists (approximate;
     rows-only check, recall asserted in tests)."""
@@ -402,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_props_extract": q_props_extract,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
         "mm_metadata": q_mm_metadata,
@@ -524,6 +531,9 @@ def oracle_sql() -> dict[str, str]:
         + " SELECT lsn, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM feed",
         "emb_ann_topk": sim.ann_bruteforce_topk_sql(n_queries=10, k=10),
         "emb_near_dup": sim.embedding_near_dup_pairs_sql(threshold=0.4),
+        "emb_near_dup_lsh": sim.embedding_near_dup_pairs_sql(threshold=0.4),
+        "emb_ann_lsh": sim.lsh_ann_topk_sql(n_queries=10, k=10),
+        "emb_ann_ivf": sim.ivf_ann_topk_sql(n_queries=10, k=10),
         "mm_features": MM_FEATURES_SQL,
         "mm_metadata": """
         SELECT doc_id, 'text/plain' AS media_type,

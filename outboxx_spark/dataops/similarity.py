@@ -147,6 +147,61 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane-LSH buckets ->
+    per-table self-join on (table, signature) -> distinct candidate
+    pairs -> exact cosine verification. Never materializes the O(n^2)
+    cross product; the join key is (table, sig) so work is bounded by
+    bucket occupancy (choose n_planes ~ log2(n/target_bucket) as the
+    corpus grows; more tables = higher recall).
+
+    With 4 planes x 64 tables, a pair at cosine c collides in one table
+    with probability (1 - acos(c)/pi)^4, so P(miss) at c=0.4 is
+    (1-0.159)^64 ~ 1.6e-5 — and the seeded planes make the result
+    deterministic: recall 1.0 on this corpus is asserted in tests and
+    the oracle compares against the exact pair set.
+    """
+    sigs = lsh_signatures(emb, id_col, vec_col, n_planes=n_planes, n_tables=n_tables)
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("table"), F.col("sigs")[t].alias("sig"))
+            for t in range(n_tables)
+        ]
+    )
+    buckets = sigs.select("vec_id_", F.explode(tables).alias("ts")).select(
+        F.col("vec_id_").alias("vid"), F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig")
+    )
+    left = buckets.select(F.col("vid").alias("id_a"), "table", "sig")
+    right = buckets.select(F.col("vid").alias("id_b"), "table", "sig")
+    cand = (
+        left.join(right, ["table", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    normed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = normed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = normed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = dot_product(F.col("va"), F.col("vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(dot / (F.col("na") * F.col("nb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def embedding_near_dup_pairs_sql(threshold: float = 0.4) -> str:
     cos = COSINE_SQL.format(a="a.embedding", b="b.embedding")
     return f"""
@@ -185,12 +240,16 @@ def ivf_assignments(
     emb: DataFrame, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """vec_id -> nearest-centroid cluster id (one Arrow-batched matmul
-    per batch; centroids ride the closure as a broadcast constant)."""
+    per batch; centroids ride the closure as a broadcast constant).
+
+    No per-vector normalization: argmax_j (v . c_j) is invariant to a
+    positive scaling of v, so dividing by ||v|| can't change the
+    assignment — skipping it saves work and keeps the SQL mirror's
+    arithmetic identical."""
 
     @F.pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
         m = np.vstack(vecs.to_numpy()).astype(np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
         return pd.Series((m @ centroids.T).argmax(axis=1).astype("int32"))
 
     return emb.select(F.col(id_col).alias("vid"), assign(F.col(vec_col)).alias("cluster"))
@@ -222,6 +281,8 @@ def ivf_ann_topk(
     centroids = _kmeans_centroids(sample, n_clusters)
 
     assigned = ivf_assignments(emb, centroids, id_col, vec_col)
+    # driver-side sample + kmeans is deterministic, so the SQL oracle can
+    # retrain identical centroids from the same parquet (ivf_ann_topk_sql)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).join(assigned.withColumnRenamed("vid", "neighbor_id"), "neighbor_id")
@@ -229,8 +290,8 @@ def ivf_ann_topk(
     # queries probe their n_probe nearest centroids
     qpd = emb.filter(F.col(id_col) < n_queries).select(id_col, vec_col).toPandas()
     qm = np.vstack(qpd[vec_col].to_numpy()).astype(np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    probes = (qm @ centroids.T).argsort(axis=1)[:, ::-1][:, :n_probe]
+    # same argmax-scale-invariance: probe ranking needs no normalization
+    probes = (qm @ centroids.T).argsort(axis=1, kind="stable")[:, ::-1][:, :n_probe]
     probe_rows = [
         (int(qid), int(c)) for qid, cs in zip(qpd[id_col], probes) for c in cs
     ]
@@ -258,23 +319,33 @@ def ivf_ann_topk(
 # ---------------------------------------------------------------------------
 
 
-def _plane_matrix(dim: int) -> np.ndarray:
+def _plane_matrix(
+    dim: int, n_planes: int = LSH_N_PLANES, n_tables: int = LSH_N_TABLES
+) -> np.ndarray:
     """Deterministic hyperplanes: (n_tables * n_planes, dim), seeded."""
     rng = np.random.default_rng(LSH_SEED)
-    return rng.standard_normal((LSH_N_TABLES * LSH_N_PLANES, dim))
+    return rng.standard_normal((n_tables * n_planes, dim))
 
 
-def lsh_signatures(emb: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def lsh_signatures(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = LSH_N_PLANES,
+    n_tables: int = LSH_N_TABLES,
+) -> DataFrame:
     """vec_id -> one signature int per table. Vectorized Arrow batch:
-    one numpy matmul per batch (planes broadcast in the closure)."""
-    planes = _plane_matrix(dim)
-    bits_weights = (1 << np.arange(LSH_N_PLANES)).astype(np.int64)
+    one numpy matmul per batch. The seeded plane matrix is derived from
+    the batch's own vector width, so no extra Spark job probes the
+    dimension up front."""
+    bits_weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     @F.pandas_udf("array<long>")
     def signatures(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy())  # (batch, dim)
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        planes = _plane_matrix(m.shape[1], n_planes=n_planes, n_tables=n_tables)
         proj = m @ planes.T > 0  # (batch, tables*planes)
-        proj = proj.reshape(len(m), LSH_N_TABLES, LSH_N_PLANES)
+        proj = proj.reshape(len(m), n_tables, n_planes)
         sigs = (proj * bits_weights).sum(axis=2)  # (batch, tables)
         return pd.Series(list(sigs))
 
@@ -290,10 +361,10 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join -> exact cosine
     re-rank of candidates. Same output schema as the brute-force baseline
-    (query_id, neighbor_id, rank); recall checked in tests, not the SQL
-    oracle (the driver records rows-only for this one)."""
-    dim = len(emb.select(vec_col).first()[0])
-    sigs = lsh_signatures(emb, dim, id_col, vec_col)
+    (query_id, neighbor_id, rank). Fully deterministic (seeded planes),
+    so ``lsh_ann_topk_sql`` mirrors it exactly with the planes inlined
+    as literals."""
+    sigs = lsh_signatures(emb, id_col, vec_col)
     tables = F.array(
         *[
             F.struct(F.lit(t).alias("table"), F.col("sigs")[t].alias("sig"))
@@ -327,3 +398,134 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles for the approximate ANN paths. Both algorithms are fully
+# deterministic (seeded planes; deterministic k-means on a deterministic
+# sample), so the oracle inlines the trained constants as literals and
+# replays the exact candidate-generation + re-rank pipeline in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _vec_literal(v) -> str:
+    """Full-precision DOUBLE list literal (repr roundtrips float64)."""
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+def _matrix_values(m: np.ndarray) -> str:
+    return ",\n    ".join(f"({i}, {_vec_literal(row)})" for i, row in enumerate(m))
+
+
+def lsh_ann_topk_sql(n_queries: int = 10, k: int = 10, dim: int = 64) -> str:
+    """Mirror of :func:`lsh_ann_topk`: seeded hyperplanes inlined as
+    literals; signature = little-endian bits of sign(v . plane) per
+    table; candidates = bucket collisions across tables; exact cosine
+    re-rank."""
+    planes = _plane_matrix(dim)
+    cos = COSINE_SQL.format(a="q.embedding", b="n.embedding")
+    return f"""
+    WITH planes(pid, p) AS (VALUES
+    {_matrix_values(planes)}),
+    bits AS (
+      SELECT e.vec_id, pl.pid,
+             CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * (pl.p)[i])) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes pl
+    ),
+    sigs AS (
+      SELECT vec_id, pid // {LSH_N_PLANES} AS tbl,
+             CAST(sum(bit * (1 << (pid % {LSH_N_PLANES}))) AS BIGINT) AS sig
+      FROM bits GROUP BY 1, 2
+    ),
+    qb AS (SELECT vec_id AS query_id, tbl, sig FROM sigs WHERE vec_id < {n_queries}),
+    cands AS (
+      SELECT DISTINCT qb.query_id, s.vec_id AS neighbor_id
+      FROM sigs s JOIN qb ON s.tbl = qb.tbl AND s.sig = qb.sig
+      WHERE s.vec_id != qb.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, {cos} AS cos
+      FROM cands c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+def _train_centroids_from_parquet(
+    sf_dir: str, n_clusters: int, sample_size: int
+) -> np.ndarray:
+    """Replay ivf_ann_topk's training: first ``sample_size`` vectors by
+    vec_id, float64, row-normalized, deterministic k-means. Same numpy
+    code on the same bytes -> bit-identical centroids."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    pdf = t.to_pandas().sort_values("vec_id").head(sample_size)
+    sample = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    return _kmeans_centroids(sample, n_clusters)
+
+
+def ivf_ann_topk_sql(
+    n_queries: int = 10,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 1024,
+    sf_dir: str | None = None,
+) -> str:
+    """Mirror of :func:`ivf_ann_topk`: centroids retrained at SQL-build
+    time from the same parquet (driver's correctness gate runs at
+    sf0.01), then assignment (argmax dot, first-wins ties), probes
+    (top n_probe centroids, stable-argsort-reversed ties = higher cid
+    first), candidate lists, exact cosine re-rank."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    centroids = _train_centroids_from_parquet(sf_dir, n_clusters, sample_size)
+    dim = centroids.shape[1]
+    cos = COSINE_SQL.format(a="q.embedding", b="n.embedding")
+    return f"""
+    WITH centroids(cid, c) AS (VALUES
+    {_matrix_values(centroids)}),
+    dots AS (
+      SELECT e.vec_id, ct.cid,
+             list_sum(list_transform(range(1, {dim + 1}),
+               i -> CAST(e.embedding[i] AS DOUBLE) * (ct.c)[i])) AS d
+      FROM embeddings e, centroids ct
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM dots) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid DESC) AS rn
+        FROM dots WHERE vec_id < {n_queries}) WHERE rn <= {n_probe}
+    ),
+    cands AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM assign a JOIN probes p ON a.cluster = p.cluster
+      WHERE a.vec_id != p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, {cos} AS cos
+      FROM cands c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored QUALIFY rank <= {k}
+    """

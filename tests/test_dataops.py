@@ -145,3 +145,18 @@ def test_lang_id_deterministic_argmax(spark):
     # doc 1: de=3 (der,und,die) > en=2 -> de; doc 2: es wins
     assert out[1] == "de"
     assert out[2] == "es"
+
+
+def test_embedding_near_dup_lsh_matches_exact(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_near_dup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    # candidates are exact-verified, so no false positives; seeded planes
+    # give recall 1.0 on this corpus
+    assert lsh == exact and exact

@@ -58,3 +58,12 @@ def test_olap_dims_broadcast(spark, sf_dir):
 
     plan = _plan(nation_order_volume(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2  # nation + region at least
+
+
+def test_embedding_near_dup_lsh_never_cross_joins(spark, sf_dir):
+    from outboxx_spark.dataops.similarity import embedding_near_dup_pairs_lsh
+    from outboxx_spark.sources.tables import read_table
+
+    plan = _plan(embedding_near_dup_pairs_lsh(read_table(spark, sf_dir, "embeddings")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
