@@ -61,7 +61,10 @@ def envelope_json(op: Column, data: Column, resource: Column, timestamp: Column,
             op.alias("op"),
             data.alias("data"),
             meta_struct(resource, timestamp, lsn).alias("meta"),
-        )
+        ),
+        # The reference serializer writes explicit nulls ("lsn": null,
+        # "col": null — json.zig:57-126); Spark's default drops null keys.
+        {"ignoreNullFields": "false"},
     )
 
 

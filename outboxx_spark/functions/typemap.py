@@ -78,9 +78,16 @@ def toast_or_value(text_col: Column, unchanged: Column) -> Column:
 
 
 def lsn_text(lsn: Column) -> Column:
-    """u64 LSN -> Postgres text form X/X (`converter.zig:95-100`)."""
-    return F.format_string(
-        "%X/%X", F.shiftrightunsigned(lsn, 32), lsn.bitwiseAND(F.lit(0xFFFFFFFF))
+    """u64 LSN -> Postgres text form X/X (`converter.zig:95-100`).
+
+    Null-safe: a null LSN stays null (the envelope serializes it as an
+    explicit JSON null, json.zig:123-126) — format_string alone would
+    render the string "NULL/NULL"."""
+    return F.when(
+        lsn.isNotNull(),
+        F.format_string(
+            "%X/%X", F.shiftrightunsigned(lsn, 32), lsn.bitwiseAND(F.lit(0xFFFFFFFF))
+        ),
     )
 
 

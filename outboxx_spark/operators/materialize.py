@@ -17,15 +17,39 @@ disappears entirely.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+
+# Tie-break when two events share (resource, key, lsn) — shouldn't
+# happen (LSNs are unique per event) but row_number() over a
+# non-deterministic order could silently diverge between Spark and the
+# oracle if it ever did. Precedence: the destructive op wins, READ
+# (snapshot refresh) always loses to a real change.
+_OP_PRECEDENCE = {"DELETE": 3, "UPDATE": 2, "INSERT": 1, "READ": 0}
+
+
+def _op_rank(op: Column) -> Column:
+    expr = F.lit(0)
+    for name, rank in _OP_PRECEDENCE.items():
+        expr = F.when(op == name, F.lit(rank)).otherwise(expr)
+    return expr
+
+
+def _op_rank_sql(col: str = "op") -> str:
+    whens = " ".join(f"WHEN '{n}' THEN {r}" for n, r in _OP_PRECEDENCE.items())
+    return f"CASE {col} {whens} ELSE 0 END"
 
 
 def materialize(feed: DataFrame, key: str = "user_id") -> DataFrame:
     """Latest state per (resource, key): last writer by LSN wins,
-    DELETE drops the row."""
-    w = W.partitionBy("resource", key).orderBy(F.col("lsn").desc())
+    DELETE drops the row. Deterministic even under (lsn) ties: the
+    window also orders by op precedence, then commit_ts."""
+    w = W.partitionBy("resource", key).orderBy(
+        F.col("lsn").desc(),
+        _op_rank(F.col("op")).desc(),
+        F.col("commit_ts").desc(),
+    )
     latest = (
         feed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -35,10 +59,12 @@ def materialize(feed: DataFrame, key: str = "user_id") -> DataFrame:
 
 
 def materialize_sql(key: str = "user_id") -> str:
-    """DuckDB mirror (same determinism: LSN is unique per event)."""
+    """DuckDB mirror (identical tie-break chain)."""
     return f"""
     , latest AS (
-      SELECT *, row_number() OVER (PARTITION BY resource, {key} ORDER BY lsn DESC) AS rn
+      SELECT *, row_number() OVER (
+        PARTITION BY resource, {key}
+        ORDER BY lsn DESC, {_op_rank_sql("op")} DESC, commit_ts DESC) AS rn
       FROM feed
     )
     SELECT op, resource, lsn, commit_ts, user_id, event_type, value, props

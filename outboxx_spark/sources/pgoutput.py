@@ -264,11 +264,13 @@ class PgOutputDecoder:
                 raise PgOutputError(
                     f"ColumnCountMismatch: {len(new)} values vs {len(info.columns)} columns"
                 )
-            commit_ts = (
-                self.commit_ts_us // 1_000_000 + PG_EPOCH_UNIX
-                if self.commit_ts_us is not None
-                else None
-            )
+            if self.commit_ts_us is None:
+                # fail-stop like missing RELATION: every I/U/D must be
+                # stamped with its txn commit time (converter.zig S8); a
+                # data message outside a BEGIN means the frame stream was
+                # split/reordered between encode and decode
+                raise PgOutputError(f"{op} message with no preceding BEGIN (no commit time)")
+            commit_ts = self.commit_ts_us // 1_000_000 + PG_EPOCH_UNIX
             return {
                 "op": op,
                 "resource": info.resource,

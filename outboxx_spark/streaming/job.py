@@ -141,11 +141,14 @@ def start_stream(
 
     def process_batch(batch: DataFrame, epoch_id: int) -> None:
         if exactly_once:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             out = _route_and_serialize(batch, streams).withColumn("epoch", F.lit(epoch_id))
             (
                 out.select("epoch", "destination", "key", "value", "resource", "op", "lsn")
                 .write.mode("overwrite")
+                # per-write option, not session conf: a session-global
+                # partitionOverwriteMode=dynamic would silently change every
+                # later mode("overwrite") in the same SparkSession
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("epoch", "destination")
                 .parquet(out_dir)
             )

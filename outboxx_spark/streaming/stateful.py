@@ -37,13 +37,18 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iter
     prev_lsn = best[0] if best else -1
     for pdf in pdfs:
         for rec in pdf.itertuples(index=False):
+            if rec.lsn is None or pd.isna(rec.lsn):
+                continue  # unstamped frame can't win; never kill the query
             if best is None or int(rec.lsn) > best[0]:
+                # nullable feed columns: keep None through the state tuple
+                # (int()/float() on None would TypeError inside the UDF
+                # and terminate the whole streaming query)
                 best = (
                     int(rec.lsn),
                     rec.op,
-                    int(rec.commit_ts),
+                    None if pd.isna(rec.commit_ts) else int(rec.commit_ts),
                     rec.event_type,
-                    float(rec.value),
+                    None if pd.isna(rec.value) else float(rec.value),
                     rec.props,
                 )
     if best is not None and best[0] > prev_lsn:

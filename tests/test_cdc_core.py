@@ -121,6 +121,29 @@ def test_envelope_shape_and_key_order(spark):
     }
 
 
+def test_envelope_emits_explicit_nulls(spark):
+    # Reference serializer writes "lsn": null and null data columns as
+    # "col": null (json.zig:57-126); Spark's to_json default would drop
+    # the keys entirely.
+    df = spark.createDataFrame(
+        [("DELETE", None, "public.users", 1700000000, None)],
+        "op string, id long, resource string, ts long, lsn long",
+    )
+    out = df.select(
+        envelope_json(
+            F.col("op"),
+            F.struct(F.col("id")),
+            F.col("resource"),
+            F.col("ts"),
+            F.col("lsn"),
+        ).alias("j")
+    ).collect()[0]["j"]
+    assert '"id":null' in out and '"lsn":null' in out
+    parsed = json.loads(out)
+    assert list(parsed["data"].keys()) == ["id"]
+    assert list(parsed["meta"].keys()) == ["source", "resource", "timestamp", "lsn"]
+
+
 def test_serializer_rejects_nonfinite_floats(spark):
     from outboxx_spark.functions.envelope import serialize_feed
 

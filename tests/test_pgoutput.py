@@ -117,7 +117,8 @@ def test_relation_reregistration_replaces_schema():
     d = _dec_with_rel()
     # ALTER TABLE: resend RELATION with an extra column
     d.decode(2, encode_relation(42, "public", "users", COLS + [("age", OID_INT8)]))
-    ev = d.decode(3, encode_insert(42, ["1", "Alice", "33"]))
+    d.decode(3, encode_begin(3, 0, 8))
+    ev = d.decode(4, encode_insert(42, ["1", "Alice", "33"]))
     assert ev["data"] == {"id": "1", "name": "Alice", "age": "33"}
 
 
@@ -135,3 +136,12 @@ def test_spark_encode_decode_matches_feed(spark):
     for r in want_rows:
         v = got[(r["op"], r["resource"], r["lsn"])]
         assert float(v) == r["value"]
+
+def test_data_message_without_begin_fails():
+    # Fail-stop like RelationNotFound: an I/U/D with no preceding BEGIN
+    # means the frame stream was split or reordered between encode and
+    # decode — emitting commit_ts=None would break the stamp-every-event
+    # contract (converter.zig S8).
+    d = _dec_with_rel()
+    with pytest.raises(PgOutputError, match="no preceding BEGIN"):
+        d.decode(2, encode_insert(42, ["1", "Alice"]))
