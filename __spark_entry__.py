@@ -516,7 +516,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint": tx.fingerprint_sql(),
         "docs_ngram_dedup": dd.ngram_jaccard_pairs_sql(k=3, threshold=0.5),
         # MinHash-LSH + exact verification reproduces the exact pair set
-        "docs_minhash_dedup": dd.ngram_jaccard_pairs_sql(k=3, threshold=0.5),
+        "docs_minhash_dedup": dd.ngram_jaccard_pairs_sql(k=3, threshold=0.5, max_df=None),
         "docs_simhash": dd.simhash_sql(),
         "docs_simhash_pairs": (
             "WITH sigs AS (" + dd.simhash_sql() + ") " + dd.simhash_near_pairs_sql(max_hamming=3)

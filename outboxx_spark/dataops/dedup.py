@@ -69,27 +69,46 @@ FROM documents GROUP BY md5(text)
 # ---------------------------------------------------------------------------
 
 
+# Default document-frequency cap for the exact n-gram join. Join traffic
+# per shingle is df^2, so one stopword-run shingle with df=10^6 is a
+# 10^12-row key; capping df bounds every key at max_df^2 (the standard
+# prefix-filtering trick). Jaccard over the *capped* shingle set is what
+# both engines compute, so the oracle stays exact by construction.
+NGRAM_MAX_DF = 100
+
+
 def shingle_index(df: DataFrame, k: int = 3, text_col: str = "text", max_df: int | None = None) -> DataFrame:
     """(doc_id, shingle) inverted index over distinct shingles. ``max_df``
     drops shingles appearing in more than that many documents — the
     skew/volume cap for the production path (changes candidate recall
-    only for pairs connected solely through ubiquitous shingles)."""
+    only for pairs connected solely through ubiquitous shingles).
+
+    The cap is applied as a broadcast ANTI join against the *drop list*:
+    shingles with df > max_df are few by construction (total corpus
+    volume / max_df bounds their count), so the blocklist broadcasts
+    even at 100 TB — broadcasting the keep side would not."""
     idx = _parallelized(df).select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("s"))
     if max_df is not None:
-        keep = idx.groupBy("s").agg(F.count("*").alias("df_")).filter(F.col("df_") <= max_df)
-        idx = idx.join(F.broadcast(keep.select("s")), "s", "inner")
+        hot = idx.groupBy("s").agg(F.count("*").alias("df_")).filter(F.col("df_") > max_df)
+        idx = idx.join(F.broadcast(hot.select("s")), "s", "left_anti")
     return idx
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, k: int = 3, threshold: float = 0.5, text_col: str = "text"
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_df: int | None = NGRAM_MAX_DF,
 ) -> DataFrame:
-    """All (a < b) document pairs with shingle-set Jaccard >= threshold.
+    """All (a < b) document pairs with shingle-set Jaccard >= threshold,
+    computed over the df-capped shingle sets (``max_df``, on by default —
+    pass None for the uncapped oracle formulation).
     Output columns are integers only (intersection/set sizes) so the
     correctness compare is float-free; jaccard >= t is applied as
     inter * 1 >= t * (|A|+|B|-inter) in exact integer/decimal arithmetic.
     """
-    idx = shingle_index(df, k, text_col)
+    idx = shingle_index(df, k, text_col, max_df=max_df)
     sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = idx.alias("a")
     b = idx.alias("b")
@@ -111,10 +130,19 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_pairs_sql(k: int = 3, threshold: float = 0.5) -> str:
+def ngram_jaccard_pairs_sql(
+    k: int = 3, threshold: float = 0.5, max_df: int | None = NGRAM_MAX_DF
+) -> str:
     sh = shingles_sql("text", k)
+    cap = (
+        f", hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > {max_df})"
+        ", sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot))"
+        if max_df is not None
+        else ", sh AS (SELECT * FROM sh0)"
+    )
     return f"""
-    WITH sh AS (SELECT doc_id, unnest({sh}) AS s FROM documents),
+    WITH sh0 AS (SELECT doc_id, unnest({sh}) AS s FROM documents)
+    {cap},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -142,7 +170,9 @@ def dedup_survivors(
 
 
 def dedup_survivors_sql(k: int = 3, threshold: float = 0.5) -> str:
-    pairs = ngram_jaccard_pairs_sql(k, threshold)
+    # survivors mirror minhash_dedup_pairs (full-set verification), so
+    # the pair oracle here stays uncapped
+    pairs = ngram_jaccard_pairs_sql(k, threshold, max_df=None)
     return f"""
     WITH pairs AS ({pairs})
     SELECT doc_id FROM documents

@@ -46,7 +46,8 @@ def test_ngram_pairs_symmetric_threshold(spark):
 def test_minhash_matches_exact_on_testdata(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     exact = {
-        (r["doc_a"], r["doc_b"]) for r in dd.ngram_jaccard_pairs(docs, 3, 0.5).collect()
+        (r["doc_a"], r["doc_b"])
+        for r in dd.ngram_jaccard_pairs(docs, 3, 0.5, max_df=None).collect()
     }
     lsh = {
         (r["doc_a"], r["doc_b"]) for r in dd.minhash_dedup_pairs(docs, 3, 0.5).collect()
@@ -160,3 +161,40 @@ def test_embedding_near_dup_lsh_matches_exact(spark, sf_dir):
     # candidates are exact-verified, so no false positives; seeded planes
     # give recall 1.0 on this corpus
     assert lsh == exact and exact
+
+
+def test_ngram_max_df_drops_hot_shingle_pairs(spark):
+    # Two docs that overlap ONLY through one ubiquitous shingle; with the
+    # hot shingle present in every doc, df-capping removes it and the
+    # spurious pair disappears while the genuine near-dup pair survives.
+    hot = "the quick fox"
+    docs = [
+        (1, "alpha beta gamma delta " + hot),
+        (2, "alpha beta gamma delta epsilon " + hot),  # true near-dup of 1
+        (3, "zeta eta theta iota " + hot),             # overlaps 1/2 only via hot
+        (4, "kappa lambda mu nu " + hot),
+    ]
+    df = _docs(spark, docs)
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.ngram_jaccard_pairs(df, 3, 0.1, max_df=None).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.ngram_jaccard_pairs(df, 3, 0.1, max_df=3).collect()
+    }
+    # the hot-shingle-only connections are gone, the real pair remains
+    assert (1, 2) in capped
+    assert capped < uncapped
+
+
+def test_ngram_max_df_cap_is_broadcast_anti_join(spark, sf_dir):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dd.ngram_jaccard_pairs(read_table(spark, sf_dir, "documents")).explain("formatted")
+    plan = buf.getvalue()
+    # the drop-list side broadcasts; the capped index never shuffles on it
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
