@@ -126,6 +126,7 @@ def start_stream(
     registry: MetricsRegistry | None = None,
     max_files_per_trigger: int = 1,
     exactly_once: bool = False,
+    sink_fn=None,
 ):
     """The streaming query. foreachBatch body = the reference's hot path;
     checkpoint commit after the body = the at-least-once core (O2).
@@ -164,12 +165,20 @@ def start_stream(
         try:
             # Single partitioned append per micro-batch: one job regardless
             # of destination count (no per-stream driver loop).
-            (
-                out.select("destination", "key", "value", "resource", "op", "lsn")
-                .write.mode("append")
-                .partitionBy("destination")
-                .parquet(out_dir)
-            )
+            # ``sink_fn`` is the producer-injection seam (the reference
+            # tests its producer against a mock cluster the same way,
+            # producer.zig:431-502); a raise here fails the micro-batch
+            # BEFORE the checkpoint commit -> fail-fast + replay (K6/O2).
+            delivery = out.select("destination", "key", "value", "resource", "op", "lsn")
+            if sink_fn is not None:
+                sink_fn(delivery, epoch_id)
+            else:
+                (
+                    delivery
+                    .write.mode("append")
+                    .partitionBy("destination")
+                    .parquet(out_dir)
+                )
             # A1 tally + M4 lag: tiny aggregates, computed after the sink
             # write like the reference (metrics reflect *delivered* events).
             if registry is not None:
