@@ -118,3 +118,22 @@ def test_materialize_semantics(spark):
         ("public.t0", 7): ("UPDATE", 5),  # latest wins
         ("public.t1", 7): ("READ", 3),  # READ upserts
     }  # user 8 deleted
+
+
+def test_secret_from_env_matrix(monkeypatch):
+    # V4 (config.zig:37-94): secrets are env indirections, never inline
+    from outboxx_spark.config import ConfigError, secret_from_env
+
+    monkeypatch.setenv("OUTBOXX_PG_PASSWORD", "s3cr3t")
+    assert secret_from_env("OUTBOXX_PG_PASSWORD") == "s3cr3t"
+    assert secret_from_env("OUTBOXX_PG_PASSWORD", required=True) == "s3cr3t"
+
+    monkeypatch.delenv("OUTBOXX_PG_PASSWORD", raising=False)
+    assert secret_from_env("OUTBOXX_PG_PASSWORD") is None
+    with pytest.raises(ConfigError, match="OUTBOXX_PG_PASSWORD"):
+        secret_from_env("OUTBOXX_PG_PASSWORD", required=True)
+
+    # empty string counts as unset for a required secret
+    monkeypatch.setenv("OUTBOXX_PG_PASSWORD", "")
+    with pytest.raises(ConfigError, match="not set"):
+        secret_from_env("OUTBOXX_PG_PASSWORD", required=True)
