@@ -61,6 +61,39 @@ def sessionize(feed: DataFrame, gap_s: int = 1800, key: str = "user_id") -> Data
     )
 
 
+def streaming_sessionize(
+    feed_stream: DataFrame,
+    gap_s: int = 1800,
+    key: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming form of :func:`sessionize` via ``session_window`` — the
+    native stateful operator: state is one in-flight session per entity,
+    merged incrementally, evicted once the watermark passes the session
+    close (late events inside the watermark still merge).
+
+    Gap alignment with the batch formulation: batch starts a new session
+    when the inter-event gap is *strictly greater* than ``gap_s``;
+    Spark's session window is half-open ([start, last + gap)), which
+    would split at exactly ``gap_s`` — so the window gap is ``gap_s + 1``
+    seconds (event times here are whole seconds).
+
+    Output: (key, session_start, session_end, n_events) — same shape as
+    batch minus the per-entity sequential session_id, which has no
+    incremental meaning."""
+    withts = feed_stream.withColumn("event_ts", F.timestamp_seconds(F.col("commit_ts")))
+    return (
+        withts.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", f"{gap_s + 1} seconds"), F.col(key))
+        .agg(
+            F.min("commit_ts").alias("session_start"),
+            F.max("commit_ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(key, "session_start", "session_end", "n_events")
+    )
+
+
 def sessionize_sql(gap_s: int = 1800, key: str = "user_id") -> str:
     # continues the caller's WITH chain (prepend the feed CTE)
     return f"""

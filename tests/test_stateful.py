@@ -125,3 +125,35 @@ def test_streaming_materialize_converges_to_batch(spark, multi_file_feed, tmp_pa
     assert got_live == want_live
     # incremental: multiple micro-batches -> more emissions than final keys
     assert len(emitted) >= len(got)
+
+
+def test_streaming_session_window_converges_to_batch(spark, multi_file_feed):
+    from outboxx_spark.operators.windows import sessionize, streaming_sessionize
+    from outboxx_spark.sources.feed import read_feed, read_feed_stream
+
+    stream = read_feed_stream(spark, multi_file_feed)
+    # the fixture's files are not time-ordered, so a realistic watermark
+    # would (correctly) treat whole files as late; a watermark longer
+    # than the feed's time span takes lateness out of the equation while
+    # still exercising cross-micro-batch session merging
+    q = (
+        streaming_sessionize(stream, gap_s=1800, watermark="9999 days")
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    expect = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(read_feed(spark, multi_file_feed), gap_s=1800).collect()
+    }
+    # identical session boundaries and sizes (ids aside, which are
+    # batch-only sequence numbers)
+    assert got == expect and got
