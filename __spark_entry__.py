@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from outboxx_spark.config import TOAST_PLACEHOLDER
+from outboxx_spark.dataops import curation as cu
 from outboxx_spark.dataops import dedup as dd
 from outboxx_spark.dataops import similarity as sim
 from outboxx_spark.dataops import text as tx
@@ -258,6 +259,61 @@ def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup_groups(read_table(spark, sf_dir, "documents"))
 
 
+# deterministic PII decoration shared by the Spark query and the DuckDB
+# oracle: the synthetic corpus carries no real PII, so both engines
+# append the same email/IP/phone shapes before redacting — testing the
+# regex chain end-to-end on every row
+PII_SUFFIX_SPARK = lambda: F.concat(  # noqa: E731
+    F.col("text"),
+    F.lit(" contact user"),
+    F.col("doc_id").cast("string"),
+    F.lit("@mail.example.org ip 10.0."),
+    (F.col("doc_id") % 256).cast("string"),
+    F.lit(".5 call 555-012-"),
+    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+)
+PII_SUFFIX_SQL = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+    "'@mail.example.org ip 10.0.', CAST(doc_id % 256 AS VARCHAR), "
+    "'.5 call 555-012-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+)
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 1.0}
+MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 1.0}
+
+
+def q_docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: email/IP/phone -> placeholder tokens, pure
+    codegen'd regexp_replace chain (no shuffle, no Python)."""
+    docs = read_table(spark, sf_dir, "documents").withColumn("text", PII_SUFFIX_SPARK())
+    return cu.pii_redact(docs)
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling: keep decision is a pure
+    hash of (salt, doc_id) — reproducible across engines and re-runs."""
+    return cu.stratified_sample(read_table(spark, sf_dir, "documents"), SAMPLE_RATES)
+
+
+def q_docs_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: src0 x2.5 (upsample), src1 x0.25
+    (downsample), src2 x1.0; deterministic fractional copies."""
+    return cu.weighted_mix(read_table(spark, sf_dir, "documents"), MIX_WEIGHTS)
+
+
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition counters per document (bigram total /
+    distinct / top frequency)."""
+    return cu.repetition_features(read_table(spark, sf_dir, "documents"))
+
+
+def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: min-label
+    propagation (Spark) vs recursive-CTE transitive closure (oracle)."""
+    pairs = dd.minhash_dedup_pairs(read_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
+    return cu.dup_clusters(pairs)
+
+
 def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token/stopword/uniqueness features."""
     return tx.quality_features(read_table(spark, sf_dir, "documents"))
@@ -405,6 +461,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_dedup_survivors": q_docs_dedup_survivors,
         "docs_curate": q_docs_curate,
+        "docs_pii_redact": q_docs_pii_redact,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_weighted_mix": q_docs_weighted_mix,
+        "docs_repetition": q_docs_repetition,
+        "docs_dup_clusters": q_docs_dup_clusters,
         "cdc_props_extract": q_props_extract,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -515,6 +576,15 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_id": tx.lang_id_sql(),
         "docs_fingerprint": tx.fingerprint_sql(),
         "docs_ngram_dedup": dd.ngram_jaccard_pairs_sql(k=3, threshold=0.5),
+        "docs_pii_redact": "SELECT doc_id, "
+        + cu.redact_pii_sql(PII_SUFFIX_SQL)
+        + " AS clean_text FROM documents",
+        "docs_stratified_sample": cu.stratified_sample_sql(SAMPLE_RATES),
+        "docs_weighted_mix": cu.weighted_mix_sql(MIX_WEIGHTS),
+        "docs_repetition": cu.repetition_features_sql(),
+        "docs_dup_clusters": cu.dup_clusters_sql(
+            dd.ngram_jaccard_pairs_sql(k=3, threshold=0.5, max_df=None)
+        ),
         # MinHash-LSH + exact verification reproduces the exact pair set
         "docs_minhash_dedup": dd.ngram_jaccard_pairs_sql(k=3, threshold=0.5, max_df=None),
         "docs_simhash": dd.simhash_sql(),

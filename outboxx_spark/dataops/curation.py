@@ -1,0 +1,300 @@
+"""Corpus-curation operators for training-data pipelines, over
+``documents``: PII redaction, deterministic stratified sampling,
+weighted corpus mixing (up/down-sampling), Gopher-style repetition
+features, and connected-components duplicate clustering.
+
+Scale posture (the 100 TB contract):
+
+* PII redaction is a chain of codegen'd ``regexp_replace`` — narrow
+  map, no shuffle, no Python.
+* Sampling/mixing decisions are pure functions of md5(doc_id): no RNG
+  state, no sampleBy() (whose Bernoulli draws differ per engine/run),
+  reproducible across engines AND across re-runs on different cluster
+  sizes — the property a 100 TB curation run actually needs (re-running
+  a failed stage must pick the same rows).
+* Repetition features: one explode + groupBy per document key — the
+  shuffle is bounded by total n-gram volume, map-side combinable.
+* Duplicate clustering is iterative min-label propagation over the
+  near-dup pair set: each round is one shuffle-on-key join; rounds =
+  graph diameter (dup clusters are shallow — pairs all share a common
+  near-identical core, so a handful of rounds closes them). The
+  classic large-star/small-star refinement halves the round count at
+  extreme diameters; plain min-propagation is the right default.
+
+Every operator has an exact DuckDB mirror (the clustering one via a
+recursive CTE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from outboxx_spark.dataops.hashing import md5_hash60, md5_hash60_sql
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) treat
+# identically: character classes, bounded repetition, \b — no
+# lookaround, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{3,4}-\d{4}\b"
+
+# order matters: emails first (they contain dots and digits), then IPs
+# (dotted digits), then phone shapes
+_PII_CHAIN = [
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_IP_RE, "<IP>"),
+    (PII_PHONE_RE, "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    out = text
+    for pattern, token in _PII_CHAIN:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def redact_pii_sql(text_expr: str) -> str:
+    out = text_expr
+    for pattern, token in _PII_CHAIN:
+        # DuckDB '...' literals are escape-free: backslashes pass through
+        # to RE2 verbatim, so the pattern embeds as-is
+        out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
+    return out
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select("doc_id", redact_pii(F.col(text_col)).alias("clean_text"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / mixing
+# ---------------------------------------------------------------------------
+
+_SAMPLE_MOD = 10_000  # rate resolution 0.01%
+
+
+def _keep_hash(key: Column, salt: str) -> Column:
+    """Uniform [0, _SAMPLE_MOD) draw as a pure function of (salt, key)."""
+    return md5_hash60(F.concat(F.lit(salt), key.cast("string"))) % _SAMPLE_MOD
+
+
+def _keep_hash_sql(key_expr: str, salt: str) -> str:
+    h = md5_hash60_sql(f"concat('{salt}', CAST({key_expr} AS VARCHAR))")
+    return f"({h}) % {_SAMPLE_MOD}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each row of stratum s with probability rates[s], decided by
+    a salted hash of the key — deterministic, engine-independent, and
+    stable under re-runs/repartitioning (unlike ``df.sampleBy``). Strata
+    without a configured rate are dropped (rate 0)."""
+    rate_expr = F.lit(-1)
+    for stratum, rate in rates.items():
+        rate_expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * _SAMPLE_MOD))
+        ).otherwise(rate_expr)
+    return df.filter(_keep_hash(F.col(key_col), salt) < rate_expr)
+
+
+def stratified_sample_sql(
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "sample",
+    table: str = "documents",
+) -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(r * _SAMPLE_MOD)}" for s, r in rates.items()
+    )
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE {_keep_hash_sql(key_col, salt)} < (CASE {strata_col} {whens} ELSE -1 END)"
+    )
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Corpus mixing with real-valued weights: weight 2.5 repeats a row
+    2 times plus once more for a deterministic 50% of keys; weight 0.25
+    keeps a 25% slice. Output adds ``copy`` (1..n) so downstream
+    shuffling/packing can tell repeats apart. The decision is again a
+    pure hash of the key — the mix is reproducible row-for-row."""
+    whole = F.lit(-1)
+    frac = F.lit(0)
+    for source, w in weights.items():
+        is_src = F.col(source_col) == source
+        whole = F.when(is_src, F.lit(int(w))).otherwise(whole)
+        frac = F.when(is_src, F.lit(int(round((w - int(w)) * _SAMPLE_MOD)))).otherwise(frac)
+    n_copies = whole + (_keep_hash(F.col(key_col), salt) < frac).cast("int")
+    return (
+        df.withColumn("n_copies_", n_copies)
+        .filter(F.col("n_copies_") >= 1)
+        .withColumn(
+            "copy",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies_").cast("long"))),
+        )
+        .drop("n_copies_")
+    )
+
+
+def weighted_mix_sql(
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    table: str = "documents",
+    cols: str = "doc_id, text, lang, source, n_chars",
+) -> str:
+    whole = " ".join(f"WHEN '{s}' THEN {int(w)}" for s, w in weights.items())
+    frac = " ".join(
+        f"WHEN '{s}' THEN {int(round((w - int(w)) * _SAMPLE_MOD))}" for s, w in weights.items()
+    )
+    n = (
+        f"(CASE {source_col} {whole} ELSE -1 END) + "
+        f"(CASE WHEN {_keep_hash_sql(key_col, salt)} < (CASE {source_col} {frac} ELSE 0 END) "
+        "THEN 1 ELSE 0 END)"
+    )
+    return (
+        f"SELECT {cols}, u.copy FROM (SELECT *, {n} AS n_copies_ FROM {table}) t "
+        "CROSS JOIN unnest(generate_series(1, t.n_copies_)) AS u(copy) "
+        "WHERE t.n_copies_ >= 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition features (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_features(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Per-document n-gram repetition counters: total n-grams, distinct
+    n-grams, and the top n-gram's frequency. Downstream filters derive
+    the Gopher fractions (dup fraction = 1 - distinct/total; top-gram
+    fraction = top/total) — integer outputs keep the compare exact.
+    Documents shorter than n tokens report (0, 0, 0)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select("doc_id", F.explode_outer(grams).alias("g"))
+    per_gram = exploded.groupBy("doc_id", "g").agg(F.count("g").alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0)).alias("n_distinct"),
+        F.max(F.coalesce(F.col("c"), F.lit(0))).alias("top_count"),
+    )
+
+
+def repetition_features_sql(n: int = 2, table: str = "documents") -> str:
+    toks = "string_split(text, ' ')"
+    grams = (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')) "
+        "ELSE [] END"
+    )
+    return f"""
+    WITH exploded AS (
+      SELECT doc_id, unnest(list_concat({grams}, [NULL])) AS g FROM {table}
+    ),
+    -- the NULL sentinel keeps empty documents present (explode_outer)
+    per_gram AS (
+      SELECT doc_id, g, count(g) AS c FROM exploded GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct,
+           CAST(max(coalesce(c, 0)) AS BIGINT) AS top_count
+    FROM per_gram GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# connected-components duplicate clustering
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-dup pairs -> (doc_id, cluster_id = min doc_id in component).
+
+    Iterative min-label propagation: each round, every node adopts the
+    minimum label among itself and its neighbors; convergence in
+    O(component diameter) rounds — near-dup components are shallow
+    (every member pairs with a shared core), so this closes in a few
+    rounds. Each round is one shuffle-on-node join; ``localCheckpoint``
+    cuts the lineage so plan size stays constant across rounds."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dup_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB mirror: transitive closure by recursive CTE, then min
+    reachable id per node."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, rid) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.rid FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(rid) AS cluster_id FROM reach GROUP BY node
+    """

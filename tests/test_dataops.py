@@ -198,3 +198,79 @@ def test_ngram_max_df_cap_is_broadcast_anti_join(spark, sf_dir):
     plan = buf.getvalue()
     # the drop-list side broadcasts; the capped index never shuffles on it
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# curation operators
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redaction_patterns(spark):
+    from outboxx_spark.dataops import curation as cu
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c_9@sub.domain.io and 10.255.0.1 and 555-867-5309 ok 1.2 v2.5.1")],
+        "doc_id long, text string",
+    )
+    out = cu.pii_redact(df).collect()[0]["clean_text"]
+    assert "<EMAIL>" in out and "<IP>" in out and "<PHONE>" in out
+    # version-ish number and a bare decimal survive (no over-redaction)
+    assert "1.2" in out and "v2.5.1" in out
+
+
+def test_stratified_sample_deterministic_and_stratified(spark, sf_dir):
+    from outboxx_spark.dataops import curation as cu
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in cu.stratified_sample(docs, {"en": 0.5}).collect()}
+    b = {r["doc_id"] for r in cu.stratified_sample(docs, {"en": 0.5}).collect()}
+    assert a == b and a  # same rows every run
+    # zero-rate strata vanish entirely
+    langs = {r["lang"] for r in cu.stratified_sample(docs, {"en": 0.5}).select("lang").collect()}
+    assert langs == {"en"}
+    # rate 1.0 keeps the whole stratum
+    n_en = docs.filter("lang = 'en'").count()
+    assert cu.stratified_sample(docs, {"en": 1.0}).count() == n_en
+
+
+def test_weighted_mix_copy_semantics(spark, sf_dir):
+    from outboxx_spark.dataops import curation as cu
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = cu.weighted_mix(docs, {"src0": 3.0, "src1": 1.0})
+    per_doc = {
+        (r["doc_id"]): r["n"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    for doc_id, n in per_doc.items():
+        assert n == (3 if src[doc_id] == "src0" else 1)
+    # fractional weight keeps a deterministic strict subset
+    part = cu.weighted_mix(docs, {"src0": 0.5}).count()
+    full = docs.filter("source = 'src0'").count()
+    assert 0 < part < full
+
+
+def test_dup_clusters_transitive(spark):
+    from outboxx_spark.dataops import curation as cu
+
+    # chain 1-2-3 plus isolated pair (7,9): min-label must propagate
+    # across the chain even though (1,3) is not a pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in cu.dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_repetition_counts_hand_checked(spark):
+    from outboxx_spark.dataops import curation as cu
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: (r["n_grams"], r["n_distinct"], r["top_count"])
+            for r in cu.repetition_features(df, n=2).collect()}
+    # bigrams of doc 1: "a b","b a","a b","b c" -> 4 total, 3 distinct, top=2
+    assert rows[1] == (4, 3, 2)
+    assert rows[2] == (0, 0, 0)  # shorter than n
