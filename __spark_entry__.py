@@ -408,6 +408,23 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_ann_topk(read_table(spark, sf_dir, "embeddings"), n_queries=10, k=10)
 
 
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing as a checked query: binary blobs split
+    into 64-byte frames by the mapInPandas sampler, projected to
+    hashable scalars (index, length, md5). The oracle mirrors frames as
+    text substrings — the corpus is pure ASCII, so byte slicing and
+    char slicing coincide (verified: max octet-char diff is 0)."""
+    from outboxx_spark.dataops.multimodal import attach_blobs, frame_sample
+
+    frames = frame_sample(attach_blobs(read_table(spark, sf_dir, "documents")))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").cast("long").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary blob column + typed metadata."""
     blobs = attach_blobs(read_table(spark, sf_dir, "documents"))
@@ -473,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
         "mm_metadata": q_mm_metadata,
+        "mm_frame_sample": q_mm_frame_sample,
         "mm_features": q_mm_features,
     }
 
@@ -605,6 +623,14 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_lsh": sim.lsh_ann_topk_sql(n_queries=10, k=10),
         "emb_ann_ivf": sim.ivf_ann_topk_sql(n_queries=10, k=10),
         "mm_features": MM_FEATURES_SQL,
+        "mm_frame_sample": """
+        WITH frames AS (
+          SELECT doc_id, unnest(range((length(text) + 63) // 64)) AS fi, text
+          FROM documents)
+        SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+               CAST(length(substring(text, CAST(fi * 64 + 1 AS BIGINT), 64)) AS BIGINT) AS frame_len,
+               md5(substring(text, CAST(fi * 64 + 1 AS BIGINT), 64)) AS frame_md5
+        FROM frames""",
         "mm_metadata": """
         SELECT doc_id, 'text/plain' AS media_type,
                octet_length(encode(text)) AS n_bytes,

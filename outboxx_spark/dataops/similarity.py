@@ -167,6 +167,16 @@ def embedding_near_dup_pairs_lsh(
     (1-0.159)^64 ~ 1.6e-5 — and the seeded planes make the result
     deterministic: recall 1.0 on this corpus is asserted in tests and
     the oracle compares against the exact pair set.
+
+    Regime honesty: hyperplane LSH pays off at HIGH similarity
+    thresholds. At c=0.9 (p_bit=0.86), 16-bit signatures keep per-table
+    collisions ~n^2/2^16 while ~100 tables already give miss < 1e-5 — a
+    ~600x candidate reduction. At c=0.4 (p_bit=0.63) the table count
+    needed for near-exact recall makes nearly every pair collide
+    somewhere, so candidate volume approaches n^2 and only the
+    *verification* is saved, not the pairing. For low-threshold dedup
+    at 100 TB, compose blocking (IVF/k-means buckets) with this exact
+    verify instead; this operator is the provable-recall formulation.
     """
     sigs = lsh_signatures(emb, id_col, vec_col, n_planes=n_planes, n_tables=n_tables)
     tables = F.array(

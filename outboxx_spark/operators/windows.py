@@ -38,6 +38,25 @@ def windowed_tally_sql(window_s: int = 3600) -> str:
     """
 
 
+def streaming_windowed_tally(
+    feed_stream: DataFrame, window_s: int = 3600, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming form of :func:`windowed_tally`: tumbling event-time
+    window + watermark. State per (window, resource, op) is evicted once
+    the watermark passes window end; late events inside the watermark
+    still land in their window. Output schema matches the batch form
+    (window start as epoch seconds)."""
+    withts = feed_stream.withColumn("event_ts", F.timestamp_seconds(F.col("commit_ts")))
+    return (
+        withts.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", f"{window_s} seconds"), "resource", "op")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp("window.start").alias("window_start"), "resource", "op", "n"
+        )
+    )
+
+
 def sessionize(feed: DataFrame, gap_s: int = 1800, key: str = "user_id") -> DataFrame:
     """Gap-based sessions per entity: a new session starts when the gap
     from the previous event exceeds ``gap_s``. Output: one row per

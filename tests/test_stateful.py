@@ -157,3 +157,28 @@ def test_streaming_session_window_converges_to_batch(spark, multi_file_feed):
     # identical session boundaries and sizes (ids aside, which are
     # batch-only sequence numbers)
     assert got == expect and got
+
+
+def test_streaming_windowed_tally_converges_to_batch(spark, multi_file_feed):
+    from outboxx_spark.operators.windows import streaming_windowed_tally, windowed_tally
+    from outboxx_spark.sources.feed import read_feed, read_feed_stream
+
+    stream = read_feed_stream(spark, multi_file_feed)
+    q = (
+        streaming_windowed_tally(stream, window_s=3600, watermark="9999 days")
+        .writeStream.format("memory")
+        .queryName("wt_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["resource"], r["op"], r["n"])
+        for r in spark.sql("SELECT * FROM wt_stream").collect()
+    }
+    expect = {
+        (r["window_start"], r["resource"], r["op"], r["n"])
+        for r in windowed_tally(read_feed(spark, multi_file_feed), window_s=3600).collect()
+    }
+    assert got == expect and got
