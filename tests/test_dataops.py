@@ -163,6 +163,34 @@ def test_embedding_near_dup_lsh_matches_exact(spark, sf_dir):
     assert lsh == exact and exact
 
 
+def test_embedding_near_dup_ivf_prunes_with_bounded_recall(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    ivf = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_near_dup_pairs_ivf(emb, threshold=0.4).collect()
+    }
+    # exact verification of candidates -> no false positives ever
+    assert ivf <= exact
+    # blocking recall is corpus-dependent; pin the measured floor so a
+    # regression in centroid training or assignment ties shows up
+    assert len(ivf) >= 0.9 * len(exact) and exact
+
+
+def test_embedding_near_dup_ivf_never_crossjoins(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = (
+        sim.embedding_near_dup_pairs_ivf(emb, threshold=0.4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_ngram_max_df_drops_hot_shingle_pairs(spark):
     # Two docs that overlap ONLY through one ubiquitous shingle; with the
     # hot shingle present in every doc, df-capping removes it and the
