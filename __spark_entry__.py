@@ -396,6 +396,19 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs_lsh(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall of the LSH ANN path vs exact brute force — the
+    quality-drift metric a production ANN index monitors. Deterministic
+    both sides, so fully oracle-checked."""
+    return sim.ann_recall(read_table(spark, sf_dir, "embeddings"), n_queries=10, k=10)
+
+
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 5-gram with
+    the eval slice (doc_id < 20), with overlap evidence counts."""
+    return cu.contamination(read_table(spark, sf_dir, "documents"), eval_max_id=20, k=5)
+
+
 def q_emb_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-blocked embedding near-dup: k-means blocks (multi-assign 4)
     + exact cosine verify — the low-threshold scale path where
@@ -476,6 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_top_customers": olap.top_revenue_customers,
         "olap_nation_volume": olap.nation_order_volume,
         "olap_topk_per_priority": olap.top_orders_per_priority,
+        "olap_rollup": olap.nation_revenue_rollup,
+        "olap_trailing_spend": olap.customer_trailing_spend,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
@@ -492,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_weighted_mix": q_docs_weighted_mix,
         "docs_repetition": q_docs_repetition,
         "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_contamination": q_docs_contamination,
         "cdc_props_extract": q_props_extract,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -499,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_ivf": q_emb_near_dup_ivf,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
+        "emb_ann_recall": q_emb_ann_recall,
         "mm_metadata": q_mm_metadata,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_features": q_mm_features,
@@ -599,6 +616,9 @@ def oracle_sql() -> dict[str, str]:
         "olap_top_customers": olap.top_revenue_customers_sql(10),
         "olap_nation_volume": olap.NATION_ORDER_VOLUME_SQL,
         "olap_topk_per_priority": olap.top_orders_per_priority_sql(5),
+        "olap_rollup": olap.NATION_REVENUE_ROLLUP_SQL,
+        "olap_trailing_spend": olap.CUSTOMER_TRAILING_SPEND_SQL,
+        "docs_contamination": cu.contamination_sql(eval_max_id=20, k=5),
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
         "docs_quality": tx.QUALITY_SQL,
         "docs_lang_id": tx.lang_id_sql(),
@@ -633,6 +653,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_ivf": sim.embedding_near_dup_pairs_ivf_sql(threshold=0.4),
         "emb_ann_lsh": sim.lsh_ann_topk_sql(n_queries=10, k=10),
         "emb_ann_ivf": sim.ivf_ann_topk_sql(n_queries=10, k=10),
+        "emb_ann_recall": sim.ann_recall_sql(n_queries=10, k=10),
         "mm_features": MM_FEATURES_SQL,
         "mm_frame_sample": """
         WITH frames AS (

@@ -298,3 +298,60 @@ def dup_clusters_sql(pairs_sql: str) -> str:
     )
     SELECT node AS doc_id, min(rid) AS cluster_id FROM reach GROUP BY node
     """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination(
+    df: DataFrame,
+    eval_max_id: int = 20,
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval overlap detection (benchmark decontamination): flag
+    training documents sharing any k-word shingle with the eval set.
+    Here the eval set is the documents with ``doc_id < eval_max_id``;
+    in production it is the benchmark suite loaded as its own table —
+    the plan is identical.
+
+    Scale shape: the eval side's distinct shingle set is tiny relative
+    to the corpus (benchmarks are ~10^5 documents, corpora ~10^10), so
+    it BROADCASTS and the corpus-side explode never shuffles — one
+    narrow pass over the training set, count per doc map-side
+    combinable. Output: contaminated docs only, with the evidence count
+    (number of distinct overlapping shingles).
+    """
+    from outboxx_spark.dataops.text import shingles
+    from outboxx_spark.dataops.util import parallelized as _parallelized
+
+    ev = (
+        df.filter(F.col("doc_id") < eval_max_id)
+        .select(F.explode(shingles(F.col(text_col), k)).alias("s"))
+        .distinct()
+    )
+    corpus = _parallelized(df.filter(F.col("doc_id") >= eval_max_id)).select(
+        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+    return (
+        corpus.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap_shingles"))
+    )
+
+
+def contamination_sql(eval_max_id: int = 20, k: int = 5) -> str:
+    from outboxx_spark.dataops.text import shingles_sql
+
+    sh = shingles_sql("text", k)
+    return f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest({sh}) AS s FROM documents WHERE doc_id < {eval_max_id}),
+    corpus AS (
+      SELECT doc_id, unnest({sh}) AS s FROM documents WHERE doc_id >= {eval_max_id})
+    SELECT c.doc_id, count(*) AS n_overlap_shingles
+    FROM corpus c JOIN ev ON c.s = ev.s
+    GROUP BY c.doc_id
+    """

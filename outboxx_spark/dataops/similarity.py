@@ -537,6 +537,52 @@ def lsh_ann_topk(
     )
 
 
+def ann_recall(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured quality of the approximate ANN path: per-query hit count
+    of :func:`lsh_ann_topk`'s top-k against the exact
+    :func:`ann_bruteforce_topk` top-k. Both sides are deterministic, so
+    this is an oracle-checkable *quality metric as a query* — the
+    pattern a production pipeline uses to monitor ANN recall drift
+    after reindexing (ground truth on a sampled query set, approximate
+    result from the serving index).
+
+    Queries with zero overlap still emit a row (hits_at_k = 0)."""
+    bf = ann_bruteforce_topk(emb, n_queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    ap = lsh_ann_topk(emb, n_queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    hits = bf.join(ap, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("hits")
+    )
+    qs = bf.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id", F.coalesce("hits", F.lit(0)).cast("long").alias("hits_at_k")
+    )
+
+
+def ann_recall_sql(n_queries: int = 10, k: int = 10, dim: int = 64) -> str:
+    bf = ann_bruteforce_topk_sql(n_queries, k)
+    ap = lsh_ann_topk_sql(n_queries, k, dim)
+    return f"""
+    WITH bf AS ({bf}), ap AS ({ap}),
+    hits AS (
+      SELECT bf.query_id, count(*) AS hits
+      FROM bf JOIN ap ON bf.query_id = ap.query_id AND bf.neighbor_id = ap.neighbor_id
+      GROUP BY bf.query_id)
+    SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits_at_k
+    FROM (SELECT DISTINCT query_id FROM bf) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # SQL oracles for the approximate ANN paths. Both algorithms are fully
 # deterministic (seeded planes; deterministic k-means on a deterministic

@@ -145,3 +145,83 @@ def top_orders_per_priority_sql(k: int = 5) -> str:
     FROM orders
     QUALIFY rank <= {k}
     """
+
+
+def nation_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (nation, order-year): per-year, per-nation subtotals
+    and a grand total in one pass — Spark's rollup lowers to a single
+    Expand + hash aggregate, so the 100 TB cost is one shuffle (same as
+    the plain groupBy) with 3x the map-side rows, not three jobs.
+
+    Money is summed in integer cents (exact, order-independent) so the
+    subtotal rows hash-match the DuckDB mirror; NULL grouping slots are
+    projected to the sentinel 'ALL' (the corpus has no null nations or
+    dates, so the sentinel is unambiguous)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    nation = read_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("string").alias("yr"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        base.rollup("nation", "yr")
+        .agg(F.sum("cents").alias("revenue_cents"), F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("nation", F.lit("ALL")).alias("nation"),
+            F.coalesce("yr", F.lit("ALL")).alias("yr"),
+            "revenue_cents",
+            "n_orders",
+        )
+    )
+
+
+NATION_REVENUE_ROLLUP_SQL = """
+WITH base AS (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS VARCHAR) AS yr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey)
+SELECT COALESCE(nation, 'ALL') AS nation, COALESCE(yr, 'ALL') AS yr,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents, count(*) AS n_orders
+FROM base GROUP BY ROLLUP (nation, yr)
+"""
+
+
+def customer_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window-frame aggregate: per customer, the trailing-3-order
+    spend (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ordered by
+    (o_orderdate, o_orderkey). Exercises Spark's bounded-frame window
+    path (running buffers, no re-sort per row); one shuffle on the
+    partition key. Integer cents keep the frame sums exact so the hash
+    matches DuckDB's segment-tree evaluation, which sums the same frame
+    in a different order."""
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents).over(w).alias("trailing3_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_frame"),
+    )
+
+
+CUSTOMER_TRAILING_SPEND_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS trailing3_cents,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_frame
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""

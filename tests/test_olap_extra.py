@@ -1,0 +1,70 @@
+"""Rollup, window-frame, decontamination, and ANN-recall operators —
+internal-consistency tests (the cross-engine exactness is the driver
+oracle's job; these pin the semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_rollup_grand_total_consistent(spark, sf_dir):
+    from outboxx_spark.olap import nation_revenue_rollup
+
+    rows = nation_revenue_rollup(spark, sf_dir).collect()
+    grand = [r for r in rows if r.nation == "ALL" and r.yr == "ALL"]
+    nations = [r for r in rows if r.nation != "ALL" and r.yr == "ALL"]
+    leaves = [r for r in rows if r.nation != "ALL" and r.yr != "ALL"]
+    assert len(grand) == 1
+    # subtotal algebra: nation subtotals and leaves both sum to the grand total
+    assert sum(r.revenue_cents for r in nations) == grand[0].revenue_cents
+    assert sum(r.revenue_cents for r in leaves) == grand[0].revenue_cents
+    assert sum(r.n_orders for r in leaves) == grand[0].n_orders
+
+
+def test_trailing_spend_frame_semantics(spark, sf_dir):
+    from outboxx_spark.olap import customer_trailing_spend
+
+    df = customer_trailing_spend(spark, sf_dir)
+    assert df.filter((F.col("n_in_frame") < 1) | (F.col("n_in_frame") > 3)).count() == 0
+    # each customer's first order (by date, key) has a single-row frame
+    first = df.withColumn(
+        "rn",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                "o_custkey"
+            ).orderBy("o_orderkey")
+        ),
+    )
+    # frame of the earliest order contains only itself
+    one_row_frames = df.groupBy("o_custkey").agg(F.min("n_in_frame").alias("mn"))
+    assert one_row_frames.filter(F.col("mn") != 1).count() == 0
+
+
+def test_contamination_flags_shared_shingles(spark):
+    from outboxx_spark.dataops.curation import contamination
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),  # eval
+            (100, "the quick brown fox jumps over the lazy dog tonight ok"),  # contaminated
+            (101, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_overlap_shingles for r in contamination(docs, eval_max_id=20, k=5).collect()}
+    assert 100 in got and got[100] >= 5
+    assert 101 not in got
+
+
+def test_ann_recall_bounds_and_quality(spark, sf_dir):
+    from outboxx_spark.dataops.similarity import ann_recall
+
+    from outboxx_spark.sources.tables import read_table
+
+    rows = ann_recall(read_table(spark, sf_dir, "embeddings"), n_queries=10, k=10).collect()
+    assert len(rows) == 10
+    assert all(0 <= r.hits_at_k <= 10 for r in rows)
+    # the LSH index is tuned for ~12% corpus scan, so recall tracks
+    # candidate coverage (measured 0.32 here) — assert it stays an order
+    # of magnitude above random chance (10-of-500 overlap ~ 0.02)
+    assert sum(r.hits_at_k for r in rows) / 100 >= 0.2
