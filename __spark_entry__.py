@@ -44,6 +44,7 @@ from outboxx_spark.operators.windows import (
     windowed_tally_sql,
 )
 from outboxx_spark.sources.feed import ORACLE_FEED_CTE, read_feed
+from outboxx_spark.streaming.joins import UPDATE_INSERT_PAIRS_SQL
 from outboxx_spark.sources.json_feed import parse_envelopes, typed_projection
 from outboxx_spark.sources.pgoutput import decode_stream, encode_feed_as_pgoutput
 from outboxx_spark.sources.snapshot import snapshot_table
@@ -396,6 +397,18 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs_lsh(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_cdc_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the watermarked stream-stream join: (insert,
+    update) pairs on the same (resource, user_id) within 1 hour, with
+    integer pairing lag. The streaming form
+    (streaming/joins.pair_updates_with_inserts_stream) is pinned equal
+    to this by the convergence test."""
+    from outboxx_spark.sources.feed import read_feed
+    from outboxx_spark.streaming.joins import pair_updates_with_inserts
+
+    return pair_updates_with_inserts(read_feed(spark, sf_dir))
+
+
 def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall of the LSH ANN path vs exact brute force — the
     quality-drift metric a production ANN index monitors. Deterministic
@@ -509,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_contamination": q_docs_contamination,
         "cdc_props_extract": q_props_extract,
+        "cdc_update_pairs": q_cdc_update_pairs,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
@@ -647,6 +661,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_curate": tx.curate_sql(),
         "cdc_props_extract": ORACLE_FEED_CTE
         + " SELECT lsn, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM feed",
+        "cdc_update_pairs": UPDATE_INSERT_PAIRS_SQL,
         "emb_ann_topk": sim.ann_bruteforce_topk_sql(n_queries=10, k=10),
         "emb_near_dup": sim.embedding_near_dup_pairs_sql(threshold=0.4),
         "emb_near_dup_lsh": sim.embedding_near_dup_pairs_sql(threshold=0.4),

@@ -182,3 +182,33 @@ def test_streaming_windowed_tally_converges_to_batch(spark, multi_file_feed):
         for r in windowed_tally(read_feed(spark, multi_file_feed), window_s=3600).collect()
     }
     assert got == expect and got
+
+
+def test_stream_stream_join_converges_to_batch(spark, multi_file_feed):
+    """Watermarked stream-stream inner join (update<->insert pairing)
+    must emit exactly the batch self-join's pairs once the feed drains
+    (watermark wide open so nothing is dropped as late)."""
+    from outboxx_spark.streaming.joins import (
+        pair_updates_with_inserts,
+        pair_updates_with_inserts_stream,
+    )
+
+    stream = read_feed_stream(spark, multi_file_feed)
+    q = (
+        pair_updates_with_inserts_stream(stream, watermark="9999 days")
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["resource"], r["user_id"], r["ins_lsn"], r["upd_lsn"], r["lag_s"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    expect = {
+        (r["resource"], r["user_id"], r["ins_lsn"], r["upd_lsn"], r["lag_s"])
+        for r in pair_updates_with_inserts(read_feed(spark, multi_file_feed)).collect()
+    }
+    assert got == expect and got
