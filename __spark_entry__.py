@@ -44,6 +44,8 @@ from outboxx_spark.operators.windows import (
     windowed_tally_sql,
 )
 from outboxx_spark.sources.feed import ORACLE_FEED_CTE, read_feed
+from outboxx_spark.operators.materialize import SCD2_INTERVALS_SQL_BODY
+from outboxx_spark.operators.tally import OP_PIVOT_SQL_BODY
 from outboxx_spark.streaming.joins import UPDATE_INSERT_PAIRS_SQL
 from outboxx_spark.sources.json_feed import parse_envelopes, typed_projection
 from outboxx_spark.sources.pgoutput import decode_stream, encode_feed_as_pgoutput
@@ -397,6 +399,23 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs_lsh(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_cdc_op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: operation-mix matrix per resource (explicit value list ->
+    single conditional-count hash aggregate, no discovery pass)."""
+    from outboxx_spark.operators.tally import op_pivot
+
+    return op_pivot(read_feed(spark, sf_dir))
+
+
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals per (resource, user_id): one
+    window pass (lead over lsn) turns the changelog into as-of
+    queryable history."""
+    from outboxx_spark.operators.materialize import scd2_intervals
+
+    return scd2_intervals(read_feed(spark, sf_dir))
+
+
 def q_cdc_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form of the watermarked stream-stream join: (insert,
     update) pairs on the same (resource, user_id) within 1 hour, with
@@ -523,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": q_docs_contamination,
         "cdc_props_extract": q_props_extract,
         "cdc_update_pairs": q_cdc_update_pairs,
+        "cdc_op_pivot": q_cdc_op_pivot,
+        "cdc_scd2": q_cdc_scd2,
+        "olap_value_quantiles": olap.event_value_quantiles,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
@@ -662,6 +684,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_props_extract": ORACLE_FEED_CTE
         + " SELECT lsn, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM feed",
         "cdc_update_pairs": UPDATE_INSERT_PAIRS_SQL,
+        "cdc_op_pivot": ORACLE_FEED_CTE + OP_PIVOT_SQL_BODY,
+        "cdc_scd2": ORACLE_FEED_CTE + SCD2_INTERVALS_SQL_BODY,
+        "olap_value_quantiles": olap.EVENT_VALUE_QUANTILES_SQL,
         "emb_ann_topk": sim.ann_bruteforce_topk_sql(n_queries=10, k=10),
         "emb_near_dup": sim.embedding_near_dup_pairs_sql(threshold=0.4),
         "emb_near_dup_lsh": sim.embedding_near_dup_pairs_sql(threshold=0.4),

@@ -225,3 +225,50 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
+
+
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles (p50/p95/p99) of event value per event
+    type, computed as ranked-row picks so the result is integer-exact
+    and engine-independent (no interpolation arithmetic to disagree
+    on). One shuffle on the group key; the per-key sort is the window
+    sort. At 100 TB swap the exact rank pick for approx_percentile
+    (t-digest) — same output contract, sublinear state; the exact form
+    is the oracle-checkable reference semantics."""
+    from outboxx_spark.sources.tables import read_table as _rt
+
+    ev = _rt(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_type", cents.alias("cents")).filter(F.col("cents").isNotNull())
+    wk = W.partitionBy("event_type")
+    ranked = base.withColumn("rn", F.row_number().over(wk.orderBy("cents"))).withColumn(
+        "n", F.count("*").over(wk)
+    )
+    picks = {
+        "p50_cents": 0.50,
+        "p95_cents": 0.95,
+        "p99_cents": 0.99,
+    }
+    aggs = [
+        F.max(F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("cents"))).alias(name)
+        for name, p in picks.items()
+    ]
+    return ranked.groupBy("event_type").agg(*aggs)
+
+
+EVENT_VALUE_QUANTILES_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base)
+SELECT event_type,
+       max(cents) FILTER (rn = CAST(ceil(0.50 * n) AS BIGINT)) AS p50_cents,
+       max(cents) FILTER (rn = CAST(ceil(0.95 * n) AS BIGINT)) AS p95_cents,
+       max(cents) FILTER (rn = CAST(ceil(0.99 * n) AS BIGINT)) AS p99_cents
+FROM ranked
+GROUP BY event_type
+"""

@@ -70,3 +70,42 @@ def materialize_sql(key: str = "user_id") -> str:
     SELECT op, resource, lsn, commit_ts, user_id, event_type, value, props
     FROM latest WHERE rn = 1 AND op != 'DELETE'
     """
+
+
+def scd2_intervals(feed: DataFrame) -> DataFrame:
+    """SCD Type-2 materialization of the change stream: every change
+    event becomes a validity interval per (resource, user_id) —
+    ``valid_from`` = its commit time, ``valid_to`` = the next change's
+    commit time (null while current). The standard shape for an
+    analytics consumer that needs "state as of T" instead of
+    latest-wins (:func:`materialize`).
+
+    One window over the entity key ordered by LSN — a single shuffle on
+    (resource, user_id), identical cost profile to materialize(); at
+    100 TB the lead() is computed inside each key partition with no
+    extra pass. READ (snapshot) rows open the first interval; DELETE
+    closes one without opening (emitted with is_deleted so downstream
+    can drop it from as-of joins).
+    """
+    w = W.partitionBy("resource", "user_id").orderBy("lsn")
+    return feed.select(
+        "resource",
+        "user_id",
+        "lsn",
+        "op",
+        F.col("commit_ts").alias("valid_from"),
+        F.lead("commit_ts").over(w).alias("valid_to"),
+        (F.lead("commit_ts").over(w).isNull()).alias("is_current"),
+        (F.col("op") == "DELETE").alias("is_deleted"),
+    )
+
+
+SCD2_INTERVALS_SQL_BODY = """
+SELECT resource, user_id, lsn, op,
+       commit_ts AS valid_from,
+       lead(commit_ts) OVER w AS valid_to,
+       lead(commit_ts) OVER w IS NULL AS is_current,
+       op = 'DELETE' AS is_deleted
+FROM feed
+WINDOW w AS (PARTITION BY resource, user_id ORDER BY lsn)
+"""

@@ -68,3 +68,46 @@ def test_ann_recall_bounds_and_quality(spark, sf_dir):
     # candidate coverage (measured 0.32 here) — assert it stays an order
     # of magnitude above random chance (10-of-500 overlap ~ 0.02)
     assert sum(r.hits_at_k for r in rows) / 100 >= 0.2
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    from outboxx_spark.operators.materialize import scd2_intervals
+    from outboxx_spark.sources.feed import read_feed
+
+    rows = scd2_intervals(read_feed(spark, sf_dir)).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault((r.resource, r.user_id), []).append(r)
+    assert rows
+    for history in by_key.values():
+        history.sort(key=lambda r: r.lsn)
+        # intervals chain: each valid_to equals the next valid_from
+        for a, b in zip(history, history[1:]):
+            assert a.valid_to == b.valid_from
+        # exactly the last interval is current/open
+        assert [r.is_current for r in history] == [False] * (len(history) - 1) + [True]
+
+
+def test_op_pivot_matches_tally(spark, sf_dir):
+    from outboxx_spark.operators.tally import op_pivot
+    from outboxx_spark.sources.feed import read_feed
+
+    feed = read_feed(spark, sf_dir)
+    piv = {r.resource: r for r in op_pivot(feed).collect()}
+    totals = {
+        (r.resource, r.op): r.n
+        for r in feed.groupBy("resource", "op").agg(F.count("*").alias("n")).collect()
+    }
+    assert piv
+    for resource, r in piv.items():
+        for op in ("INSERT", "UPDATE", "DELETE", "READ"):
+            assert getattr(r, f"n_{op.lower()}") == totals.get((resource, op), 0)
+
+
+def test_value_quantiles_ordered(spark, sf_dir):
+    from outboxx_spark.olap import event_value_quantiles
+
+    rows = event_value_quantiles(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_cents <= r.p95_cents <= r.p99_cents
