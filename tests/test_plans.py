@@ -67,3 +67,24 @@ def test_embedding_near_dup_lsh_never_cross_joins(spark, sf_dir):
     plan = _plan(embedding_near_dup_pairs_lsh(read_table(spark, sf_dir, "embeddings")))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set must broadcast; the corpus explode must not
+    hash-exchange for the contamination join."""
+    from outboxx_spark.dataops.curation import contamination
+    from outboxx_spark.sources.tables import read_table
+
+    plan = _plan(contamination(read_table(spark, sf_dir, "documents")))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_is_single_aggregate_pass(spark, sf_dir):
+    """ROLLUP must lower to Expand + one hash-aggregate chain, not a
+    union of three scans."""
+    from outboxx_spark.olap import nation_revenue_rollup
+
+    plan = _plan(nation_revenue_rollup(spark, sf_dir))
+    assert "Expand" in plan
+    assert "Union" not in plan  # one Expand pass, not 3 unioned aggs
