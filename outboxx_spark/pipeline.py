@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from outboxx_spark.config import PipelineConfig
+from outboxx_spark.dataops.util import parallelized
 from outboxx_spark.functions.envelope import serialize_feed
 from outboxx_spark.operators.keys import partition_key
 from outboxx_spark.operators.routing import route, streams_dim
@@ -37,7 +38,11 @@ def routed_envelopes(
     """The full routed, serialized, keyed output: one row per
     (event, matched stream) with columns (stream, destination, key, value,
     resource, op, lsn)."""
-    feed = read_feed(spark, sf_dir)
+    # The testbed feed can arrive as one file/row-group -> one
+    # partition, which would serialize the (CPU-heavy) envelope build on
+    # a single core. Spread it when under-partitioned; a real deployment
+    # feed (Kafka / many files) skips this — inputFiles >= cores.
+    feed = parallelized(read_feed(spark, sf_dir))
     serialized = serialize_feed(feed, FEED_DATA_COLS)  # once per event
     routed = route(serialized, streams_dim(spark, config.streams))
     return routed.withColumn(

@@ -88,3 +88,38 @@ def test_rollup_is_single_aggregate_pass(spark, sf_dir):
     plan = _plan(nation_revenue_rollup(spark, sf_dir))
     assert "Expand" in plan
     assert "Union" not in plan  # one Expand pass, not 3 unioned aggs
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
+    """SCALING.md's bucketing claim, demonstrated: two tables bucketed
+    on the join key co-locate, so the join runs with NO shuffle on
+    either side (and the aggregation on the bucket key also skips its
+    exchange)."""
+    from pyspark.sql import functions as F
+
+    feed = read_feed(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in ("bkt_a", "bkt_b"):
+            (
+                feed.write.mode("overwrite")
+                .option("path", str(tmp_path / name))
+                .bucketBy(8, "user_id")
+                .sortBy("user_id")
+                .saveAsTable(name)
+            )
+        joined = spark.table("bkt_a").alias("a").join(
+            spark.table("bkt_b").alias("b"), "user_id"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        agg_plan = _plan(
+            spark.table("bkt_a").groupBy("user_id").agg(F.count("*").alias("n"))
+        )
+        assert "Exchange" not in agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bkt_a", "bkt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
