@@ -90,7 +90,11 @@ def q_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1: serialize the envelope, parse it back, compare parsed values
     (op/meta/data) against the oracle's direct computation."""
-    feed = read_feed(spark, sf_dir)
+    from outboxx_spark.dataops.util import parallelized
+
+    # to_json+from_json are the CPU of this query; spread the
+    # single-file testbed scan (no-op when the feed is well-partitioned)
+    feed = parallelized(read_feed(spark, sf_dir))
     env = serialize_feed(feed, FEED_DATA_COLS)
     # Parse the envelope back ONCE (from_json with a declared schema is a
     # single codegen'd parse; get_json_object xN would re-parse per field).
@@ -204,7 +208,9 @@ def q_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deployment ingestion path: serialized envelopes -> from_json with
     schema-on-read map payload -> typed per-table projection. Proves the
     full serialize/parse/type cycle incl. the X/X LSN inverse."""
-    feed = read_feed(spark, sf_dir)
+    from outboxx_spark.dataops.util import parallelized
+
+    feed = parallelized(read_feed(spark, sf_dir))
     env = serialize_feed(feed, FEED_DATA_COLS).select("value")
     parsed = parse_envelopes(env)
     return typed_projection(
