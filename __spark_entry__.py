@@ -529,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_topk_per_priority": olap.top_orders_per_priority,
         "olap_rollup": olap.nation_revenue_rollup,
         "olap_trailing_spend": olap.customer_trailing_spend,
+        "olap_semi_join": olap.active_high_value_customers,
+        "olap_anti_join": olap.customers_without_orders,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
@@ -660,6 +662,8 @@ def oracle_sql() -> dict[str, str]:
         "olap_topk_per_priority": olap.top_orders_per_priority_sql(5),
         "olap_rollup": olap.NATION_REVENUE_ROLLUP_SQL,
         "olap_trailing_spend": olap.CUSTOMER_TRAILING_SPEND_SQL,
+        "olap_semi_join": olap.ACTIVE_HIGH_VALUE_CUSTOMERS_SQL(),
+        "olap_anti_join": olap.CUSTOMERS_WITHOUT_ORDERS_SQL(),
         "docs_contamination": cu.contamination_sql(eval_max_id=20, k=5),
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
         "docs_quality": tx.QUALITY_SQL,

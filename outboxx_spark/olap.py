@@ -272,3 +272,48 @@ SELECT event_type,
 FROM ranked
 GROUP BY event_type
 """
+
+
+def active_high_value_customers(spark: SparkSession, sf_dir: str, min_total: float = 450000.0) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with at least one order above
+    ``min_total``. The semi join shuffles only the distinct keys of the
+    probe side and short-circuits on first match — at 100 TB this beats
+    inner-join+distinct (no fan-out materialization). The filter pushes
+    into the orders scan."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > min_total)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+def ACTIVE_HIGH_VALUE_CUSTOMERS_SQL(min_total: float = 450000.0) -> str:
+    return f"""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {min_total})
+    """
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str, min_total: float = 450000.0) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — the TPC-H Q22 shape: customers with
+    no order above ``min_total`` (the complement of the semi join, so
+    both branches are exercised on nonzero row sets at every SF). Same
+    single-shuffle profile as the semi join."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > min_total)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def CUSTOMERS_WITHOUT_ORDERS_SQL(min_total: float = 450000.0) -> str:
+    return f"""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {min_total})
+    """
