@@ -123,3 +123,13 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("bkt_a", "bkt_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_semi_join_pushes_filter_into_scan(spark, sf_dir):
+    """The o_totalprice predicate must reach the orders parquet scan
+    (PushedFilters), and the join must be a semi join, not inner+distinct."""
+    from outboxx_spark.olap import active_high_value_customers
+
+    plan = _plan(active_high_value_customers(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
