@@ -87,17 +87,18 @@ def main() -> None:
         for _ in range(5)
     )
 
-    # min of 2 runs per query: single-shot times on a shared host vary
-    # ~2x with background load; the min is the stable "capability" number
-    for name in bench_names:
-        df = qs[name](spark, sf_dir)
-        best = None
-        for _ in range(2):
+    # min of 2 runs per query, as two interleaved passes over the whole
+    # list: single-shot times on a shared host vary ~2x with background
+    # load, and a load spike lasts seconds — back-to-back repeats would
+    # poison both samples of one query, while interleaving decorrelates
+    # them. The min is the stable "capability" number.
+    dfs = {name: qs[name](spark, sf_dir) for name in bench_names}
+    for _pass in range(2):
+        for name in bench_names:
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            dfs[name].write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            timings[name] = round(min(timings.get(name, dt), dt), 4)
 
     timings["cdc_pipeline_full"] = round(pipeline_sec, 4)
 
