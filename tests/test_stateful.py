@@ -281,3 +281,52 @@ def test_tws_gate_raises_cleanly_when_unavailable(spark, multi_file_feed):
         pytest.skip("runtime supports transformWithState; gate not exercised")
     with pytest.raises(NotImplementedError):
         streaming_materialize_tws(read_feed_stream(spark, multi_file_feed))
+
+
+def test_stream_stream_join_survives_restart(spark, multi_file_feed, tmp_path):
+    """Kill the watermarked stream-stream join mid-feed; the restart
+    must resume from checkpointed join state and still emit exactly the
+    batch pair set (no loss, no duplicates)."""
+    import time as _t
+
+    from outboxx_spark.streaming.joins import (
+        pair_updates_with_inserts,
+        pair_updates_with_inserts_stream,
+    )
+
+    ckpt = str(tmp_path / "ssj_ckpt")
+    out_dir = str(tmp_path / "ssj_out")
+
+    def start():
+        stream = read_feed_stream(spark, multi_file_feed, max_files_per_trigger=1)
+        return (
+            pair_updates_with_inserts_stream(stream, watermark="9999 days")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q1 = start()
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        if any(p and p["numInputRows"] > 0 for p in (q1.recentProgress or [])):
+            break
+        _t.sleep(0.3)
+    q1.stop()
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = [
+        (r["resource"], r["user_id"], r["ins_lsn"], r["upd_lsn"])
+        for r in spark.read.parquet(out_dir).collect()
+    ]
+    expect = {
+        (r["resource"], r["user_id"], r["ins_lsn"], r["upd_lsn"])
+        for r in pair_updates_with_inserts(read_feed(spark, multi_file_feed)).collect()
+    }
+    assert set(got) == expect
+    assert len(got) == len(expect)  # exactly-once emission (no dup pairs)
