@@ -448,11 +448,12 @@ def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-blocked embedding near-dup: k-means blocks (multi-assign 4)
-    + exact cosine verify — the low-threshold scale path where
+    """IVF-blocked embedding near-dup: 64 k-means blocks, multi-assign
+    6, + exact cosine verify — the low-threshold scale path where
     hyperplane LSH can't prune. Oracle mirrors the blocked computation
     exactly (deterministic centroids inlined); recall vs the exact pair
-    set is measured in tests (~95% on this corpus)."""
+    set is measured in tests (~92% at 0.56x candidate factor on this
+    corpus)."""
     return sim.embedding_near_dup_pairs_ivf(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 

@@ -177,8 +177,8 @@ def _verify_pairs(
 def embedding_near_dup_pairs_ivf(
     emb: DataFrame,
     threshold: float = 0.4,
-    n_clusters: int = 16,
-    n_assign: int = 4,
+    n_clusters: int = 64,
+    n_assign: int = 6,
     sample_size: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -197,10 +197,12 @@ def embedding_near_dup_pairs_ivf(
     n^2 * n_assign^2 / n_clusters for balanced blocks. Recall is
     empirical (corpus-dependent): a pair is missed iff the two vectors
     share none of their n_assign nearest centroids, which happens for
-    pairs near the threshold that straddle cluster boundaries (measured
-    here: 873/920 = 95% of exact pairs at sf0.1 with the defaults —
-    this corpus's cos>=0.4 pairs are ~66 degrees apart, inherently hard
-    to block). The operator's *contract* is therefore the blocked set
+    pairs near the threshold that straddle cluster boundaries. Measured
+    grid on this corpus at sf0.1 (this corpus's cos>=0.4 pairs are ~66
+    degrees apart, inherently hard to block): (16 clusters, 4 assigns)
+    = 95% recall but candidate factor 1.0 (no pruning); the defaults
+    (64, 6) = 92% recall at factor 0.56 — actual pruning, which is the
+    point of blocking. The operator's *contract* is the blocked set
     itself: :func:`embedding_near_dup_pairs_ivf_sql` mirrors the exact
     computation (deterministic centroids inlined as literals) so the
     driver hash-checks it, and tests measure recall against the exact
@@ -296,8 +298,8 @@ def embedding_near_dup_pairs_lsh(
 
 def embedding_near_dup_pairs_ivf_sql(
     threshold: float = 0.4,
-    n_clusters: int = 16,
-    n_assign: int = 4,
+    n_clusters: int = 64,
+    n_assign: int = 6,
     sample_size: int = 1024,
     sf_dir: str | None = None,
 ) -> str:
