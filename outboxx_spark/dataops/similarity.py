@@ -113,10 +113,6 @@ def ann_bruteforce_topk_sql(n_queries: int = 10, k: int = 10) -> str:
     """
 
 
-def _norm(vec: Column) -> Column:
-    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-
-
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.4, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
