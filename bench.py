@@ -102,6 +102,46 @@ def main() -> None:
 
     timings["cdc_pipeline_full"] = round(pipeline_sec, 4)
 
+    # Scale-up artifact (tracked per round, not just asserted in
+    # SCALING.md): the identical pipeline plan over a 10x feed split
+    # across 32 files. Throughput must GROW as partitions engage —
+    # this is the local-mode proxy for the 1000-executor claim.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    scaleup_events = scaleup_sec = None
+    scale_root = tempfile.mkdtemp(prefix="bench_scaleup_")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        n_copies = 10
+        shift = ev.agg(F.max("event_id")).collect()[0][0] + 1
+        big = ev.withColumn(
+            "r", F.explode(F.array(*[F.lit(i) for i in range(n_copies)]))
+        ).select(
+            (F.col("event_id") + F.col("r") * shift).alias("event_id"),
+            "ts", "user_id", "event_type", "value", "props",
+        )
+        big.repartition(32).write.mode("overwrite").parquet(f"{scale_root}/events.parquet")
+        scaleup_events = n_events * n_copies
+        routed_envelopes(spark, scale_root, default_config()).write.format(
+            "noop"
+        ).mode("overwrite").save()  # warm the 32-file listing
+        scaleup_sec = min(
+            _timed(
+                lambda: routed_envelopes(spark, scale_root, default_config())
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            for _ in range(3)
+        )
+    except Exception:
+        pass  # the scale-up probe must never sink the bench
+    finally:
+        shutil.rmtree(scale_root, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "total_query_time",
@@ -112,6 +152,10 @@ def main() -> None:
         "extra": {
             "pipeline_events": n_events,
             "pipeline_events_per_sec": round(n_events / pipeline_sec) if pipeline_sec else None,
+            "scaleup_events": scaleup_events,
+            "scaleup_events_per_sec": (
+                round(scaleup_events / scaleup_sec) if scaleup_sec else None
+            ),
         },
     }
     spark.stop()

@@ -243,7 +243,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     O(component diameter) rounds — near-dup components are shallow
     (every member pairs with a shared core), so this closes in a few
     rounds. Each round is one shuffle-on-node join; ``localCheckpoint``
-    cuts the lineage so plan size stays constant across rounds."""
+    cuts the lineage so plan size stays constant across rounds.
+
+    Raises ``RuntimeError`` if propagation has not converged within
+    ``max_iter`` rounds (a component whose min-node eccentricity
+    exceeds the budget) — returning partial labels would silently
+    diverge from the transitive-closure oracle. For extreme-diameter
+    graphs raise ``max_iter`` or use large-star/small-star contraction."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -278,6 +284,11 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -292,6 +292,64 @@ def embedding_near_dup_pairs_lsh(
     return _verify_pairs(emb, cand, threshold, id_col, vec_col)
 
 
+def with_planted_near_dups(
+    emb: DataFrame,
+    n_plant: int = 50,
+    id_offset: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append deterministic near-identical copies of the first
+    ``n_plant`` vectors: component j is scaled by 1.02 (j even) or
+    0.98 (j odd). The planted copy's cosine to its source is
+    >= 0.9996 for ANY vector (worst case is an even/odd energy
+    split; a lopsided split degenerates toward a pure scaling,
+    cosine 1), so a high-threshold near-dup query has a non-empty,
+    analytically-known answer on a corpus whose natural pairs top
+    out near 0.6. The scaling is plain double arithmetic, so the
+    DuckDB oracle reproduces it bit-for-bit
+    (:func:`embedding_near_dup_planted_sql`)."""
+    planted = emb.filter(F.col(id_col) < n_plant).select(
+        (F.col(id_col) + id_offset).alias(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x, i: x.cast("double")
+            * F.when(i % 2 == 0, F.lit(1.02)).otherwise(F.lit(0.98)),
+        ).alias(vec_col),
+    )
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+    return base.unionByName(planted)
+
+
+PLANTED_AUG_SQL = """
+aug AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CAST(embedding[i] AS DOUBLE)
+                * (CASE WHEN i % 2 = 1 THEN 1.02 ELSE 0.98 END)) AS embedding
+  FROM embeddings WHERE vec_id < {n_plant}
+)
+"""
+
+
+def embedding_near_dup_planted_sql(threshold: float = 0.8, n_plant: int = 50) -> str:
+    """Exact O(n^2) pair set over the planted-augmented corpus — the
+    oracle for the high-threshold LSH near-dup query."""
+    cos = COSINE_SQL.format(a="a.embedding", b="b.embedding")
+    return (
+        "WITH "
+        + PLANTED_AUG_SQL.format(n_plant=n_plant)
+        + f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    """
+    )
+
+
 def embedding_near_dup_pairs_ivf_sql(
     threshold: float = 0.4,
     n_clusters: int = 64,
@@ -665,9 +723,21 @@ def ivf_ann_topk_sql(
 ) -> str:
     """Mirror of :func:`ivf_ann_topk`: centroids retrained at SQL-build
     time from the same parquet (driver's correctness gate runs at
-    sf0.01), then assignment (argmax dot, first-wins ties), probes
+    sf0.01; local replicas pin ``SPARK_GRAFT_ORACLE_SF_DIR`` to their
+    sf_dir), then assignment (argmax dot, first-wins ties), probes
     (top n_probe centroids, stable-argsort-reversed ties = higher cid
-    first), candidate lists, exact cosine re-rank."""
+    first), candidate lists, exact cosine re-rank.
+
+    Float caveat (documented assumption): the Spark side ranks centroid
+    dots computed by numpy/BLAS while DuckDB folds ``list_sum``
+    sequentially — different summation orders. The mirror is exact so
+    long as no centroid-RANKING decision (argmax / probe cutoff /
+    multi-assign cutoff) lands within one ulp of a tie; with random
+    float data the probability of a rank-relevant sub-ulp tie is
+    negligible, and the exact cosine re-rank downstream is
+    order-identical (sequential fold on both engines), so a flipped
+    far-from-tie centroid choice cannot silently corrupt values — it
+    would change the candidate SET and fail the gate loudly."""
     import os
 
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")

@@ -53,7 +53,15 @@ GROUP BY l_returnflag, l_linestatus
 def top_revenue_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Q3/Q10 shape: 3-way join + per-customer revenue + deterministic
     top-k. The customer/orders sides broadcast at small SF; at scale
-    Catalyst/AQE picks sort-merge with the same code."""
+    Catalyst/AQE picks sort-merge with the same code.
+
+    Top-k is ``orderBy(...).limit(k)``, which compiles to
+    ``TakeOrderedAndProject`` — per-partition bounded heaps merged at
+    the driver (k rows cross the wire). A global
+    ``row_number().over(orderBy)`` window would instead funnel every
+    per-customer aggregate through one partition; rank is re-derived
+    *after* the limit, where the window sorts only k rows
+    (plan-pinned in tests/test_plans.py)."""
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
@@ -66,11 +74,10 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> Data
         .groupBy("c_custkey", "c_name")
         .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
     )
+    topk = joined.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(k)
     w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "c_custkey", "c_name", "revenue", "n_items")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "c_custkey", "c_name", "revenue", "n_items"
     )
 
 
@@ -254,6 +261,30 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, p in picks.items()
     ]
     return ranked.groupBy("event_type").agg(*aggs)
+
+
+def event_value_quantiles_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10000
+) -> DataFrame:
+    """Production form of :func:`event_value_quantiles`: one pass of
+    ``approx_percentile`` (Greenwald-Khanna sketch, JVM-side) per event
+    type — same output contract (p50/p95/p99 in integer cents).
+
+    Scale profile: a partial sketch per map task merged at the
+    reducer, so state is O(accuracy) per group regardless of group
+    size — no per-key sort, no skew-by-construction. The exact-rank
+    form above stays as the oracle-checkable reference semantics; the
+    tolerance between the two is pinned in tests/test_olap_extra.py.
+    At accuracy=10000 the rank error bound is n/10000 per group, i.e.
+    the sketch pick sits within 0.01% of the requested rank."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_type", cents.alias("cents")).filter(F.col("cents").isNotNull())
+    return base.groupBy("event_type").agg(
+        F.percentile_approx("cents", 0.50, accuracy).alias("p50_cents"),
+        F.percentile_approx("cents", 0.95, accuracy).alias("p95_cents"),
+        F.percentile_approx("cents", 0.99, accuracy).alias("p99_cents"),
+    )
 
 
 EVENT_VALUE_QUANTILES_SQL = """

@@ -41,10 +41,14 @@ def _op_rank_sql(col: str = "op") -> str:
     return f"CASE {col} {whens} ELSE 0 END"
 
 
-def materialize(feed: DataFrame, key: str = "user_id") -> DataFrame:
+def materialize(feed: DataFrame, key: str = "user_id", drop_deleted: bool = True) -> DataFrame:
     """Latest state per (resource, key): last writer by LSN wins,
     DELETE drops the row. Deterministic even under (lsn) ties: the
-    window also orders by op precedence, then commit_ts."""
+    window also orders by op precedence, then commit_ts.
+
+    ``drop_deleted=False`` keeps winning DELETE rows as tombstones —
+    the form stateful streaming materializers (which emit tombstone
+    winners) are compared against."""
     w = W.partitionBy("resource", key).orderBy(
         F.col("lsn").desc(),
         _op_rank(F.col("op")).desc(),
@@ -55,7 +59,7 @@ def materialize(feed: DataFrame, key: str = "user_id") -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    return latest.filter(F.col("op") != "DELETE")
+    return latest.filter(F.col("op") != "DELETE") if drop_deleted else latest
 
 
 def materialize_sql(key: str = "user_id") -> str:

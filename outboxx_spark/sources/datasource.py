@@ -7,7 +7,10 @@ as the one place custom source code is justified.
 
 - Batch reader: partition-parallel pyarrow scan of the events parquet
   (row-group per partition), emitting the same flat feed rows as
-  ``sources.feed.read_feed``.
+  ``sources.feed.read_feed``. Yields ``pyarrow.RecordBatch`` (the
+  Spark 4 DataSource API's Arrow fast path) built with vectorized
+  ``pyarrow.compute`` kernels — no per-row Python, no pickling; the
+  batch crosses to the JVM as Arrow buffers.
 - Stream reader: ``SimpleDataSourceStreamReader`` replaying events in
   LSN order, ``batch_size`` events per micro-batch — offsets are
   ``{"lsn": N}``, making the LSN-as-offset contract literal. (The
@@ -83,15 +86,48 @@ class OutboxxCdcBatchReader(DataSourceReader):
         n = pq.ParquetFile(self.path).num_row_groups
         return [_RowGroupPartition(i) for i in range(n)]
 
-    def read(self, partition: _RowGroupPartition) -> Iterator[tuple]:
+    def read(self, partition: _RowGroupPartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        table = pq.ParquetFile(self.path).read_row_group(partition.index)
-        cols = [table.column(c).to_pylist() for c in (
-            "event_id", "ts", "user_id", "event_type", "value", "props")]
-        for event_id, ts, user_id, event_type, value, props in zip(*cols):
-            ts_ns = ts if isinstance(ts, int) else int(ts.timestamp() * 1e9)
-            yield _to_feed_row(event_id, ts_ns, user_id, event_type, value, props)
+        table = pq.ParquetFile(self.path).read_row_group(
+            partition.index,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        event_type = table.column("event_type").combine_chunks()
+        # op: dictionary lookup event_type -> op, unknowns -> DELETE
+        keys = pa.array(list(_OP_BY_EVENT_TYPE), type=pa.string())
+        vals = pa.array(list(_OP_BY_EVENT_TYPE.values()), type=pa.string())
+        idx = pc.index_in(event_type, value_set=keys)
+        op = pc.fill_null(pc.take(vals, idx), "DELETE")
+        user_id = pc.cast(table.column("user_id"), pa.int64())
+        resource = pc.binary_join_element_wise(
+            pa.array(["public.t"] * len(table), type=pa.string()),
+            # user_id % 4 (this pyarrow has no modulo kernel; 4 is a power of 2)
+            pc.cast(pc.bit_wise_and(user_id, 3), pa.string()),
+            "",
+        )
+        ts = table.column("ts")
+        ts_ns = (
+            pc.cast(ts, pa.int64())
+            if pa.types.is_integer(ts.type)
+            else pc.cast(pc.cast(ts, pa.timestamp("ns")), pa.int64())
+        )
+        commit_ts = pc.divide(ts_ns, 1_000_000_000)
+        out = pa.table(
+            {
+                "op": pc.cast(op, pa.string()),
+                "resource": resource,
+                "lsn": pc.cast(table.column("event_id"), pa.int64()),
+                "commit_ts": pc.cast(commit_ts, pa.int64()),
+                "user_id": user_id,
+                "event_type": pc.cast(event_type, pa.string()),
+                "value": pc.cast(table.column("value"), pa.float64()),
+                "props": pc.cast(table.column("props"), pa.string()),
+            }
+        )
+        yield from out.combine_chunks().to_batches()
 
 
 class OutboxxCdcStreamReader(SimpleDataSourceStreamReader):

@@ -22,6 +22,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from outboxx_spark.sources.tables import read_table
 
@@ -115,8 +116,12 @@ def read_feed_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: in
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    # nanos long -> timestamp, then the same feed projection as read_feed
-    ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # Feeds written as TIMESTAMP(NANOS) read as a nanos long (legacy conf
+    # above) and need an explicit conversion; micros feeds read natively as
+    # timestamp_ntz and pass through — same conditional as read_table.
+    ts_field = static.schema["ts"]
+    if isinstance(ts_field.dataType, T.LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     return ev.select(
         F.expr(OP_CASE_SQL).alias("op"),
         F.concat(

