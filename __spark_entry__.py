@@ -21,6 +21,7 @@ from pyspark.sql import Window as W
 from outboxx_spark.config import TOAST_PLACEHOLDER
 from outboxx_spark.dataops import curation as cu
 from outboxx_spark.dataops import dedup as dd
+from outboxx_spark.dataops import editdist as ed
 from outboxx_spark.dataops import similarity as sim
 from outboxx_spark.dataops import text as tx
 from outboxx_spark.dataops.multimodal import (
@@ -343,6 +344,13 @@ def q_docs_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
 
 
+def q_docs_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs (typo-level duplication, d=4) via the
+    provably-complete q-gram prefix filter; oracle is an independent
+    char-bag-prefiltered brute force."""
+    return ed.edit_distance_pairs(read_table(spark, sf_dir, "documents"), d=4)
+
+
 def q_docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates + exact verification; oracle = the exact
     Jaccard pair set (128 perms / 32 bands -> recall ~1-5e-8 at j>=0.8)."""
@@ -512,6 +520,18 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features_long(blobs)
 
 
+def q_docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100 by occurrence (tokenizer-training
+    candidate pass); deterministic (count desc, token) order."""
+    return tx.vocab_top_tokens(read_table(spark, sf_dir, "documents"), k=100)
+
+
+def q_emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's coarse-quantizer cluster + cluster population;
+    oracle retrains bit-identical centroids in SQL."""
+    return sim.kmeans_assignments(read_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order note: rounds 1-2 the driver's correctness pass recorded only a
     # prefix of this dict (the tail 8 emb_*/mm_* rows were absent from
@@ -556,11 +576,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_trailing_spend": olap.customer_trailing_spend,
         "olap_semi_join": olap.active_high_value_customers,
         "olap_anti_join": olap.customers_without_orders,
+        "olap_order_count_dist": olap.order_count_distribution,
+        "olap_spend_deciles": olap.customer_spend_deciles,
+        "olap_cardinality": olap.event_type_cardinality,
+        "docs_vocab_topk": q_docs_vocab_topk,
+        "emb_kmeans_assign": q_emb_kmeans_assign,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_ngram_dedup": q_docs_ngram_dedup,
+        "docs_edit_dedup": q_docs_edit_dedup,
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_pairs": q_docs_simhash_pairs,
@@ -679,12 +705,18 @@ def oracle_sql() -> dict[str, str]:
         "olap_trailing_spend": olap.CUSTOMER_TRAILING_SPEND_SQL,
         "olap_semi_join": olap.ACTIVE_HIGH_VALUE_CUSTOMERS_SQL(),
         "olap_anti_join": olap.CUSTOMERS_WITHOUT_ORDERS_SQL(),
+        "olap_order_count_dist": olap.ORDER_COUNT_DISTRIBUTION_SQL,
+        "olap_spend_deciles": olap.CUSTOMER_SPEND_DECILES_SQL,
+        "olap_cardinality": olap.EVENT_TYPE_CARDINALITY_SQL,
+        "docs_vocab_topk": tx.vocab_top_tokens_sql(k=100),
+        "emb_kmeans_assign": sim.kmeans_assignments_sql(),
         "docs_contamination": cu.contamination_sql(eval_max_id=20, k=5),
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
         "docs_quality": tx.QUALITY_SQL,
         "docs_lang_id": tx.lang_id_sql(),
         "docs_fingerprint": tx.fingerprint_sql(),
         "docs_ngram_dedup": dd.ngram_jaccard_pairs_sql(k=3, threshold=0.5),
+        "docs_edit_dedup": ed.edit_distance_pairs_sql(d=4),
         "docs_pii_redact": "SELECT doc_id, "
         + cu.redact_pii_sql(PII_SUFFIX_SQL)
         + " AS clean_text FROM documents",

@@ -1,0 +1,158 @@
+"""Edit-distance (Levenshtein) near-dup pairs with provably-complete
+q-gram prefix blocking.
+
+The fuzzy-dedup family member the shingle/Jaccard operators can't
+express: pairs within an absolute number of character EDITS (typo-level
+duplication, OCR noise, template drift), reference test-data semantics
+alongside `docs_ngram_dedup`/`docs_minhash_dedup` (SURVEY §2.10 family).
+
+Blocking is the classic q-gram count + prefix filter (Gravano et al.,
+VLDB'01; the All-Pairs/PPJoin prefix lemma):
+
+- count filter: one edit destroys at most ``q`` positional q-grams, so
+  ``ed(A,B) <= d`` implies multiset overlap
+  ``|G(A) ∩ G(B)| >= max(|G(A)|,|G(B)|) - d*q``.
+- prefix filter: order every gram occurrence by a canonical global
+  rarity key (document frequency asc, gram, position). If the overlap
+  bound holds, the first ``d*q + 1`` gram occurrences of A and of B
+  must intersect. Candidates are therefore pairs sharing a gram in
+  their rarity prefixes — join traffic is Σ df(prefix gram)², tiny
+  because the prefix keeps the RAREST grams.
+
+100 TB shape: one groupBy for global gram frequencies (map-side
+partial agg), one window per doc for the prefix (partitioned by doc),
+a bucket join on prefix grams, then JVM `levenshtein` with an early
+exit threshold on the candidate tail. No Python anywhere. The count
+bound is vacuous when ``max(|G|) <= d*q`` (both docs shorter than
+``d*q + q - 1`` chars), so docs at or below that length go through a
+short-bucket cross join — a negligible sliver of any length-filtered
+corpus, and bounded by construction (the bucket only ever holds
+sub-``d*q+q-1``-char docs).
+
+Oracle (``edit_distance_pairs_sql``) is an INDEPENDENT formulation:
+brute force over a length-difference + character-bag prefilter
+(one edit shifts the char histogram by at most 2, so
+``Σ_c |cnt_A(c) - cnt_B(c)| <= 2d``) with DuckDB ``levenshtein`` —
+no shared blocking logic with the Spark path, so the gate genuinely
+cross-checks the prefix-filter math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+DEFAULT_D = 8
+DEFAULT_Q = 3
+
+
+def _positional_grams(docs: DataFrame, q: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, len, pos, g): every positional q-gram occurrence."""
+    gram_expr = (
+        f"transform(sequence(1, greatest(length({text_col}) - {q - 1}, 0)),"
+        f" i -> substring({text_col}, i, {q}))"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col("len"),
+        F.posexplode(F.expr(gram_expr)).alias("pos", "g"),
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    d: int = DEFAULT_D,
+    q: int = DEFAULT_Q,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All (a < b) pairs with ``levenshtein(text_a, text_b) <= d``.
+
+    Output: (doc_a, doc_b, dist) — integers only, exact (the blocking
+    is complete by the count/prefix lemmas; the short bucket covers the
+    regime where the count bound is vacuous).
+    """
+    docs = df.select(F.col(id_col), F.col(text_col), F.length(text_col).alias("len"))
+    # |G(doc)| = len - q + 1; the count bound needs max(|G|) > d*q.
+    short_len = d * q + q - 1  # both docs <= this => bound vacuous
+
+    grams = _positional_grams(docs, q, id_col, text_col)
+    # gram vocabulary is bounded by charset^q regardless of corpus size,
+    # so the frequency dim broadcasts at any scale
+    gram_df = grams.groupBy("g").agg(F.count("*").alias("df_"))
+    ranked = grams.join(F.broadcast(gram_df), "g")
+    w = W.partitionBy(id_col).orderBy("df_", "g", "pos")
+    prefix = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= d * q + 1)
+        .select(F.col(id_col), F.col("len"), F.col("g"))
+        # sharing >=1 gram is a set-level test: dropping duplicate
+        # (doc, gram) prefix occurrences shrinks the join fan-out
+        # without affecting completeness
+        .distinct()
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand_prefix = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= d),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+    )
+
+    shorts = docs.filter(F.col("len") <= short_len)
+    sa = shorts.select(F.col(id_col).alias("doc_a"), F.col("len").alias("len_a"))
+    sb = shorts.select(F.col(id_col).alias("doc_b"), F.col("len").alias("len_b"))
+    cand_short = sa.join(
+        sb,
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= d),
+    ).select("doc_a", "doc_b")
+
+    cand = cand_prefix.unionByName(cand_short).distinct()
+
+    ta = df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("text_a"))
+    tb = df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("text_b"))
+    # levenshtein's threshold form short-circuits (returns -1 above d)
+    dist = F.levenshtein("text_a", "text_b", d)
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
+def edit_distance_pairs_sql(d: int = DEFAULT_D) -> str:
+    """Independent DuckDB oracle: length-diff + char-bag complete
+    prefilters (each edit moves the histogram by <= 2), then exact
+    levenshtein. Bag covers a-z, space; any other character still only
+    TIGHTENS nothing — unlisted chars are simply not counted, which
+    WEAKENS the filter (safe direction: more candidates, never fewer).
+    """
+    return f"""
+WITH chars(c) AS (
+  SELECT unnest(string_split('a b c d e f g h i j k l m n o p q r s t u v w x y z _SP', ' '))
+),
+bags AS (
+  SELECT doc_id, text, length(text) AS len,
+         list(length(text) - length(replace(text, CASE WHEN c = '_SP' THEN ' ' ELSE c END, ''))
+              ORDER BY c) AS bag
+  FROM documents, chars GROUP BY doc_id, text
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.text AS ta, b.text AS tb
+  FROM bags a JOIN bags b ON a.doc_id < b.doc_id
+  AND abs(a.len - b.len) <= {d}
+  AND list_sum(list_transform(range(1, 28), i -> abs(a.bag[i] - b.bag[i]))) <= {2 * d}
+)
+SELECT doc_a, doc_b, levenshtein(ta, tb) AS dist FROM cand
+WHERE levenshtein(ta, tb) <= {d}
+"""

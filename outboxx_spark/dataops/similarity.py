@@ -780,3 +780,68 @@ def ivf_ann_topk_sql(
            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
     FROM scored QUALIFY rank <= {k}
     """
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    sample_size: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus clustering as a first-class query: every vector's
+    coarse-quantizer cluster id plus the cluster population — the
+    partitioning step of IVF indexing, diversity-balanced sampling, or
+    per-cluster corpus curation.
+
+    100 TB shape: centroids train on a bounded driver-side sample and
+    ride to executors as a broadcast constant inside one Arrow-batched
+    matmul; the only shuffle is the final population count on a
+    ``n_clusters``-value domain (map-side combinable)."""
+    sample_rows = (
+        emb.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()[vec_col]
+    )
+    sample = np.vstack(sample_rows.to_numpy()).astype(np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    centroids = _kmeans_centroids(sample, n_clusters)
+    assigned = ivf_assignments(emb, centroids, id_col, vec_col)
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return (
+        assigned.join(F.broadcast(sizes), "cluster")
+        .select(F.col("vid").alias("vec_id"), "cluster", "cluster_size")
+    )
+
+
+def kmeans_assignments_sql(
+    n_clusters: int = 16, sample_size: int = 1024, sf_dir: str | None = None
+) -> str:
+    """Mirror of :func:`kmeans_assignments`: identical centroid
+    retraining (see ivf_ann_topk_sql for the determinism and ulp-tie
+    notes), argmax assignment with first-wins ties, then the
+    population join."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    centroids = _train_centroids_from_parquet(sf_dir, n_clusters, sample_size)
+    dim = centroids.shape[1]
+    return f"""
+    WITH centroids(cid, c) AS (VALUES
+    {_matrix_values(centroids)}),
+    dots AS (
+      SELECT e.vec_id, ct.cid,
+             list_sum(list_transform(range(1, {dim + 1}),
+               i -> CAST(e.embedding[i] AS DOUBLE) * (ct.c)[i])) AS d
+      FROM embeddings e, centroids ct
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM dots) WHERE rn = 1
+    ),
+    sizes AS (
+      SELECT cluster, count(*) AS cluster_size FROM assign GROUP BY cluster
+    )
+    SELECT a.vec_id, a.cluster, s.cluster_size
+    FROM assign a JOIN sizes s USING (cluster)
+    """

@@ -238,3 +238,32 @@ def shingles_sql(text_expr: str, k: int = 3) -> str:
         f"i -> array_to_string(({toks})[i:i+{k - 1}], ' '))) "
         f"ELSE [{text_expr}] END"
     )
+
+
+def vocab_top_tokens(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: top-k tokens by total occurrence count with a
+    deterministic (count desc, token asc) order — the candidate-vocab
+    pass of tokenizer training, run corpus-wide.
+
+    100 TB shape: explode + one groupBy(token) with map-side partial
+    counts (shuffle carries one row per distinct token per mapper, not
+    per occurrence), then ``orderBy().limit(k)`` which compiles to
+    TakeOrderedAndProject — per-partition top-k heaps, k rows to the
+    driver, no global sort."""
+    occ = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    return (
+        occ.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def vocab_top_tokens_sql(k: int = 100) -> str:
+    return f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token != ''
+GROUP BY token ORDER BY n DESC, token LIMIT {k}
+"""

@@ -348,3 +348,107 @@ def CUSTOMERS_WITHOUT_ORDERS_SQL(min_total: float = 450000.0) -> str:
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {min_total})
     """
+
+
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly N orders
+    (including N=0 via a left join). Two cascaded aggregations — both
+    map-side combinable; the second groups on a tiny domain (order
+    counts), so the final shuffle is a few hundred rows regardless of
+    corpus size."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .select("c_count", "custdist")
+    )
+
+
+ORDER_COUNT_DISTRIBUTION_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile spend summary: ntile(10) over total customer spend,
+    then per-decile aggregates. The ntile window is global by
+    construction (a rank cut needs the total order); the scale-safe
+    form keeps only (c_custkey, spend) — two longs — in that sort,
+    never the wide rows, and the decile aggregate after it is
+    map-side combinable on a 10-value domain."""
+    orders = read_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = W.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+            F.round(F.min("spend"), 2).alias("min_spend"),
+            F.round(F.max("spend"), 2).alias("max_spend"),
+        )
+    )
+
+
+CUSTOMER_SPEND_DECILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, spend,
+         ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile, count(*) AS n_customers,
+       round(sum(spend), 2) AS total_spend,
+       round(min(spend), 2) AS min_spend,
+       round(max(spend), 2) AS max_spend
+FROM tiled GROUP BY decile
+"""
+
+
+def event_type_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user cardinality per event type. Spark expands
+    count(DISTINCT) into a two-phase aggregate (partial distinct
+    map-side, merge on the group key) — the shuffle carries distinct
+    (type, user) pairs, not raw events."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def event_type_cardinality_approx(
+    spark: SparkSession, sf_dir: str, rsd: float = 0.01
+) -> DataFrame:
+    """Production cardinality variant: HyperLogLog++ sketches
+    (approx_count_distinct). State per group is O(1/rsd^2) registers
+    regardless of user count — the 100 TB form when distinct counts
+    per group no longer fit the shuffle. Tolerance vs the exact form
+    is pinned in tests/test_olap_extra.py."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+EVENT_TYPE_CARDINALITY_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""

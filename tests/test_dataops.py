@@ -302,3 +302,58 @@ def test_repetition_counts_hand_checked(spark):
     # bigrams of doc 1: "a b","b a","a b","b c" -> 4 total, 3 distinct, top=2
     assert rows[1] == (4, 3, 2)
     assert rows[2] == (0, 0, 0)  # shorter than n
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    """Prefix-filter completeness: a synthetic corpus with typo'd
+    copies, padded variants, and unrelated docs must yield exactly the
+    brute-force levenshtein pair set."""
+    from outboxx_spark.dataops.editdist import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog while counting stars"
+    docs = [
+        (0, base),
+        (1, base.replace("quick", "quack")),          # dist 2
+        (2, base.replace("brown fox", "brwn fx") + "!!"),  # few edits
+        (3, "completely different content about spark shuffles and joins here"),
+        (4, base + " again and again"),               # dist > 8 via suffix
+        (5, "a" * 40),
+        (6, "a" * 36 + "bbbb"),                        # dist 4 vs doc 5
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in edit_distance_pairs(df, d=8).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(docs, 2)
+        if lev(a, b) <= 8
+    }
+    assert got == want and len(want) >= 2
+
+
+def test_edit_distance_short_doc_bucket(spark):
+    """Docs below the count-filter bound (len <= d*q + q - 1) can be
+    within distance d WITHOUT sharing any q-gram — the short bucket
+    must still pair them."""
+    from outboxx_spark.dataops.editdist import edit_distance_pairs
+
+    # len 8 each, ed = 8 (all substitutions), zero shared 3-grams
+    df = spark.createDataFrame(
+        [(0, "abcdefgh"), (1, "ijklmnop"), (2, "x" * 200)],
+        ["doc_id", "text"],
+    )
+    got = {(r.doc_a, r.doc_b, r.dist) for r in edit_distance_pairs(df, d=8).collect()}
+    assert got == {(0, 1, 8)}

@@ -132,3 +132,19 @@ def test_approx_quantiles_within_tolerance_of_exact(spark, sf_dir):
         for col in ("p50_cents", "p95_cents", "p99_cents"):
             tol = abs(ex[col]) * 0.005 + 2
             assert abs(ap[col] - ex[col]) <= tol, (et, col, ex[col], ap[col])
+
+
+def test_approx_cardinality_within_hll_tolerance(spark, sf_dir):
+    """HyperLogLog++ production variant vs the exact distinct count:
+    relative error must stay within ~5x the configured rsd (generous
+    slack over the 1.04/sqrt(m) standard error)."""
+    from outboxx_spark.olap import event_type_cardinality, event_type_cardinality_approx
+
+    exact = {r["event_type"]: r["n_users"] for r in event_type_cardinality(spark, sf_dir).collect()}
+    approx = {
+        r["event_type"]: r["n_users"]
+        for r in event_type_cardinality_approx(spark, sf_dir, rsd=0.01).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) <= max(5, ex * 0.05), (et, ex, approx[et])
