@@ -526,6 +526,12 @@ def q_docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.vocab_top_tokens(read_table(spark, sf_dir, "documents"), k=100)
 
 
+def q_docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (keyword extraction); scores
+    rounded to 6dp before ranking for cross-engine determinism."""
+    return tx.tfidf_top_terms(read_table(spark, sf_dir, "documents"), top=5)
+
+
 def q_emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every vector's coarse-quantizer cluster + cluster population;
     oracle retrains bit-identical centroids in SQL."""
@@ -580,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_spend_deciles": olap.customer_spend_deciles,
         "olap_cardinality": olap.event_type_cardinality,
         "docs_vocab_topk": q_docs_vocab_topk,
+        "docs_tfidf": q_docs_tfidf,
+        "olap_value_bands": olap.value_band_totals,
         "emb_kmeans_assign": q_emb_kmeans_assign,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_quality": q_docs_quality,
@@ -709,6 +717,8 @@ def oracle_sql() -> dict[str, str]:
         "olap_spend_deciles": olap.CUSTOMER_SPEND_DECILES_SQL,
         "olap_cardinality": olap.EVENT_TYPE_CARDINALITY_SQL,
         "docs_vocab_topk": tx.vocab_top_tokens_sql(k=100),
+        "docs_tfidf": tx.tfidf_top_terms_sql(top=5),
+        "olap_value_bands": olap.VALUE_BAND_TOTALS_SQL,
         "emb_kmeans_assign": sim.kmeans_assignments_sql(),
         "docs_contamination": cu.contamination_sql(eval_max_id=20, k=5),
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,

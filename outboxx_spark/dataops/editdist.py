@@ -41,7 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
+
+from outboxx_spark.dataops.util import parallelized
 
 DEFAULT_D = 8
 DEFAULT_Q = 3
@@ -73,6 +74,10 @@ def edit_distance_pairs(
     is complete by the count/prefix lemmas; the short bucket covers the
     regime where the count bound is vacuous).
     """
+    # single-file corpora arrive as one partition — spread the
+    # explode/levenshtein work across cores (no-op on real multi-file
+    # tables)
+    df = parallelized(df)
     docs = df.select(F.col(id_col), F.col(text_col), F.length(text_col).alias("len"))
     # |G(doc)| = len - q + 1; the count bound needs max(|G|) > d*q.
     short_len = d * q + q - 1  # both docs <= this => bound vacuous
@@ -82,21 +87,44 @@ def edit_distance_pairs(
     # so the frequency dim broadcasts at any scale
     gram_df = grams.groupBy("g").agg(F.count("*").alias("df_"))
     ranked = grams.join(F.broadcast(gram_df), "g")
-    w = W.partitionBy(id_col).orderBy("df_", "g", "pos")
+    # per-doc prefix in ONE shuffle: collect this doc's occurrences,
+    # sort by the canonical rarity key (df, gram, pos) in-array, keep
+    # the d*q+1 rarest, then dedupe grams (sharing >=1 gram is a
+    # set-level test — duplicate grams only inflate join fan-out).
+    # A row_number window + a distinct would spend two extra shuffles
+    # on the same result.
     prefix = (
-        ranked.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= d * q + 1)
-        .select(F.col(id_col), F.col("len"), F.col("g"))
-        # sharing >=1 gram is a set-level test: dropping duplicate
-        # (doc, gram) prefix occurrences shrinks the join fan-out
-        # without affecting completeness
-        .distinct()
+        ranked.groupBy(id_col, "len")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("df_", "g", "pos"))),
+                1,
+                d * q + 1,
+            ).alias("pfx")
+        )
+        .select(
+            F.col(id_col),
+            F.col("len"),
+            F.explode(F.array_distinct(F.transform("pfx", lambda s: s["g"]))).alias("g"),
+        )
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # Salted self-join: a natural-text gram vocabulary is Zipfian, but a
+    # small/skewed one (this corpus: ~400 3-grams) concentrates a hot
+    # gram's whole doc-pair grid in one task. Salt side A by doc hash and
+    # replicate side B across the S salts — same pair set exactly once,
+    # per-gram work spread over S tasks. (AQE's skew-join split does this
+    # automatically once partitions cross its size thresholds at real
+    # scale; the explicit salt also covers the tiny-partition regime.)
+    n_salt = 8
+    a = prefix.withColumn("salt", F.pmod(F.xxhash64(id_col), F.lit(n_salt))).alias("a")
+    b = prefix.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).alias("b")
     cand_prefix = (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (F.abs(F.col("a.len") - F.col("b.len")) <= d),
         )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from outboxx_spark.dataops.hashing import HASH_P, md5_hash60, md5_hash60_sql
 from outboxx_spark.dataops.util import parallelized
@@ -266,4 +267,60 @@ SELECT token, count(*) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
 WHERE token != ''
 GROUP BY token ORDER BY n DESC, token LIMIT {k}
+"""
+
+
+def tfidf_top_terms(
+    df: DataFrame, top: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``top`` TF-IDF terms per document — the classic relevance /
+    keyword-extraction projection, corpus-wide.
+
+    tf = occurrences in doc; idf = ln((N + 1) / (df + 1)) + 1 (smoothed,
+    sklearn-style); scores rounded to 6 decimals BEFORE ranking so the
+    (score desc, token) order — and therefore the emitted row set — is
+    reproducible across engines regardless of last-ulp libm drift.
+
+    100 TB shape: term frequencies are one map-side-combinable groupBy;
+    the doc-frequency table is vocabulary-sized (bounded, broadcastable);
+    ranking is one window partitioned BY DOCUMENT — embarrassingly
+    parallel, no global sort anywhere."""
+    occ = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    tf = occ.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    docfreq = occ.groupBy("token").agg(F.count_distinct(id_col).alias("df_"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df_") + 1)) + 1.0
+    scored = tf.join(F.broadcast(docfreq), "token").select(
+        F.col(id_col),
+        F.col("token"),
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top)
+        .select(id_col, "token", "tfidf", "rnk")
+    )
+
+
+def tfidf_top_terms_sql(top: int = 5) -> str:
+    return f"""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+occf AS (SELECT doc_id, token FROM occ WHERE token != ''),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM occf GROUP BY doc_id, token),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+docfreq AS (SELECT token, count(DISTINCT doc_id) AS df_ FROM occf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (docfreq.df_ + 1)) + 1.0), 6) AS tfidf
+  FROM tf, n JOIN docfreq ON tf.token = docfreq.token
+)
+SELECT doc_id, token, tfidf,
+       row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+FROM scored
+QUALIFY rnk <= {top}
 """

@@ -452,3 +452,38 @@ EVENT_TYPE_CARDINALITY_SQL = """
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
 FROM events GROUP BY event_type
 """
+
+
+def value_band_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi RANGE join: events joined to a banded value dimension
+    on ``lo <= value < hi`` (the band table is declared inline so both
+    engines build the identical dim). Spark plans this as a broadcast
+    nested-loop join with the range predicate — the correct shape for a
+    small band dim: the fact side never shuffles, each row probes the
+    broadcast bands. At 100 TB the alternative (binning via a codegen'd
+    CASE/width_bucket when bands are uniform) is a zero-join projection;
+    this query keeps the general-dim form."""
+    bands = spark.createDataFrame(
+        [(i, float(i * 100), float((i + 1) * 100)) for i in range(10)],
+        "band_id int, lo double, hi double",
+    )
+    ev = read_table(spark, sf_dir, "events")
+    joined = ev.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+VALUE_BAND_TOTALS_SQL = """
+WITH bands AS (
+  SELECT i AS band_id, i * 100.0 AS lo, (i + 1) * 100.0 AS hi
+  FROM range(0, 10) t(i)
+)
+SELECT band_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band_id
+"""

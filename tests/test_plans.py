@@ -167,3 +167,38 @@ def test_session_enables_aqe_and_skew_join(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """When a selective dim side can't broadcast, Spark must inject a
+    runtime bloom filter (built from the dim's join keys) into the
+    fact-side scan — the row-level pruning that keeps shuffle volume
+    proportional to the MATCHING rows at 100 TB, not the raw fact rows."""
+    from outboxx_spark.sources.tables import read_table
+    from pyspark.sql import functions as F
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # local testdata is far below the default 10GB application-side
+        # threshold; drop it so the optimizer treats the fact side as big
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = read_table(spark, sf_dir, "lineitem")
+        orders = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan  # probe-side membership test applied
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_scan,
+        )
