@@ -1,0 +1,112 @@
+"""Keyed-upsert table sink: continuous MERGE INTO semantics from plain
+parquet + dynamic partition overwrite (streaming/table_sink.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from outboxx_spark.operators.materialize import materialize
+from outboxx_spark.sources.feed import read_feed, read_feed_stream
+from outboxx_spark.streaming.table_sink import (
+    read_table_state,
+    start_table_upsert_stream,
+    upsert_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def multi_file_feed(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("feed_sink")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.repartition(4).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def _state_set(df):
+    return {
+        (r["resource"], r["user_id"], r["lsn"], r["op"]) for r in df.collect()
+    }
+
+
+def test_streamed_upserts_converge_to_batch_materialize(spark, multi_file_feed, tmp_path):
+    """Feeding the table micro-batch by micro-batch must land on exactly
+    the state of materializing the whole feed in one shot."""
+    table = str(tmp_path / "tbl")
+    q = start_table_upsert_stream(
+        read_feed_stream(spark, multi_file_feed, max_files_per_trigger=2),
+        table,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    want = _state_set(materialize(read_feed(spark, multi_file_feed)))
+    got = _state_set(read_table_state(spark, table))
+    assert got == want
+
+
+def test_upsert_batch_is_idempotent(spark, multi_file_feed, tmp_path):
+    """Re-applying an already-applied batch (the crash-replay path) must
+    leave the table bit-identical."""
+    table = str(tmp_path / "tbl")
+    feed = read_feed(spark, multi_file_feed)
+    first = feed.filter(F.col("lsn") % 2 == 0)
+    second = feed.filter(F.col("lsn") % 2 == 1)
+    upsert_batch(first, table)
+    upsert_batch(second, table)
+    after_once = _state_set(spark.read.parquet(table))
+    upsert_batch(second, table)  # replay
+    after_twice = _state_set(spark.read.parquet(table))
+    assert after_once == after_twice
+
+
+def test_upsert_applies_delete_tombstones(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    cols = "op string, resource string, lsn long, commit_ts long, user_id long"
+    b1 = spark.createDataFrame(
+        [("INSERT", "public.t0", 1, 10, 7), ("INSERT", "public.t0", 2, 10, 8)], cols
+    )
+    b2 = spark.createDataFrame([("DELETE", "public.t0", 3, 11, 7)], cols)
+    upsert_batch(b1, table)
+    upsert_batch(b2, table)
+    rows = {r["user_id"] for r in read_table_state(spark, table).collect()}
+    assert rows == {8}
+    # late (lower-lsn) replay of the dead key must NOT resurrect it:
+    # the retained tombstone (lsn 3) outranks the stale UPDATE (lsn 2)
+    upsert_batch(
+        spark.createDataFrame([("UPDATE", "public.t0", 2, 10, 7)], cols), table
+    )
+    rows = {r["user_id"] for r in read_table_state(spark, table).collect()}
+    assert rows == {8}
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """Dynamic partition overwrite must leave untouched bucket
+    directories' files byte-identical (same names, same mtimes)."""
+    table = str(tmp_path / "tbl")
+    cols = "op string, resource string, lsn long, commit_ts long, user_id long"
+    base = spark.createDataFrame(
+        [("INSERT", "public.t0", i, 10, i) for i in range(1, 50)], cols
+    )
+    upsert_batch(base, table)
+    before = {}
+    for d in os.listdir(table):
+        if d.startswith("bucket="):
+            p = os.path.join(table, d)
+            before[d] = {f: os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)}
+    # touch exactly one key
+    upsert_batch(
+        spark.createDataFrame([("UPDATE", "public.t0", 100, 11, 1)], cols), table
+    )
+    changed = unchanged = 0
+    for d, files in before.items():
+        p = os.path.join(table, d)
+        now = {f: os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)}
+        if now == files:
+            unchanged += 1
+        else:
+            changed += 1
+    assert changed == 1  # exactly the key's bucket
+    assert unchanged >= 1  # everything else untouched
