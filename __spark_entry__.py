@@ -46,6 +46,7 @@ from outboxx_spark.operators.windows import (
 )
 from outboxx_spark.sources.feed import ORACLE_FEED_CTE, read_feed
 from outboxx_spark.operators.materialize import SCD2_INTERVALS_SQL_BODY
+from outboxx_spark.operators.materialize import _op_rank_sql, snapshot_diff_sql
 from outboxx_spark.operators.tally import OP_PIVOT_SQL_BODY
 from outboxx_spark.streaming.joins import UPDATE_INSERT_PAIRS_SQL
 from outboxx_spark.sources.json_feed import parse_envelopes, typed_projection
@@ -520,6 +521,20 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features_long(blobs)
 
 
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-based CDC: diff the materialized table state at the
+    feed's half-LSN point against the final state — emits the
+    INSERT/UPDATE/DELETE set between the two snapshots (the WAL-less
+    capture mode, and the standard replication-validation tool)."""
+    from outboxx_spark.operators.materialize import snapshot_diff
+
+    feed = read_feed(spark, sf_dir)
+    half = feed.agg(F.max("lsn")).first()[0] // 2
+    old = materialize(feed.filter(F.col("lsn") <= half))
+    new = materialize(feed)
+    return snapshot_diff(old, new, compare_cols=("event_type", "value"))
+
+
 def q_docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-100 by occurrence (tokenizer-training
     candidate pass); deterministic (count desc, token) order."""
@@ -611,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_update_pairs": q_cdc_update_pairs,
         "cdc_op_pivot": q_cdc_op_pivot,
         "cdc_scd2": q_cdc_scd2,
+        "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "olap_value_quantiles": olap.event_value_quantiles,
     }
 
@@ -753,6 +769,30 @@ def oracle_sql() -> dict[str, str]:
         "cdc_update_pairs": UPDATE_INSERT_PAIRS_SQL,
         "cdc_op_pivot": ORACLE_FEED_CTE + OP_PIVOT_SQL_BODY,
         "cdc_scd2": ORACLE_FEED_CTE + SCD2_INTERVALS_SQL_BODY,
+        "cdc_snapshot_diff": ORACLE_FEED_CTE
+        + f"""
+        , old_latest AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY resource, user_id
+            ORDER BY lsn DESC, {_op_rank_sql("op")} DESC, commit_ts DESC) AS rn
+          FROM feed WHERE lsn <= (SELECT CAST(floor(max(lsn) / 2) AS BIGINT) FROM feed)
+        ),
+        old_state AS (
+          SELECT resource, user_id, event_type, value
+          FROM old_latest WHERE rn = 1 AND op != 'DELETE'
+        ),
+        new_latest AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY resource, user_id
+            ORDER BY lsn DESC, {_op_rank_sql("op")} DESC, commit_ts DESC) AS rn
+          FROM feed
+        ),
+        new_state AS (
+          SELECT resource, user_id, event_type, value
+          FROM new_latest WHERE rn = 1 AND op != 'DELETE'
+        )
+        """
+        + snapshot_diff_sql(),
         "olap_value_quantiles": olap.EVENT_VALUE_QUANTILES_SQL,
         "emb_ann_topk": sim.ann_bruteforce_topk_sql(n_queries=10, k=10),
         "emb_near_dup": sim.embedding_near_dup_pairs_sql(threshold=0.4),

@@ -113,3 +113,78 @@ SELECT resource, user_id, lsn, op,
 FROM feed
 WINDOW w AS (PARTITION BY resource, user_id ORDER BY lsn)
 """
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...] = ("resource", "user_id"),
+    compare_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Changelog from two table snapshots — the INVERSE of
+    :func:`materialize`: given state-at-T1 and state-at-T2, emit the
+    INSERT / UPDATE / DELETE set that transforms one into the other
+    (snapshot-based CDC for sources with no WAL access, and the
+    validation tool for any replication pipeline).
+
+    One full outer join on the key — a single co-partitioned shuffle;
+    with both snapshots bucketed on the key it runs shuffle-free.
+    ``compare_cols`` limits change detection to named columns (default:
+    every non-key column present in both sides); comparison is
+    null-safe (``<=>``).
+    """
+    if compare_cols is None:
+        compare_cols = tuple(
+            c for c in old.columns if c in set(new.columns) and c not in key_cols
+        )
+    o = old.select(*key_cols, *compare_cols).alias("o")
+    n = new.select(*key_cols, *compare_cols).alias("n")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    old_exists = F.col(f"o.{key_cols[0]}").isNotNull()
+    new_exists = F.col(f"n.{key_cols[0]}").isNotNull()
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        changed = ne if changed is None else (changed | ne)
+    change_op = (
+        F.when(~old_exists, F.lit("INSERT"))
+        .when(~new_exists, F.lit("DELETE"))
+        .when(changed if changed is not None else F.lit(False), F.lit("UPDATE"))
+    )
+    keys_out = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in key_cols
+    ]
+    return (
+        joined.withColumn("change_op", change_op)
+        .filter(F.col("change_op").isNotNull())
+        .select(*keys_out, "change_op")
+    )
+
+
+def snapshot_diff_sql(
+    old_cte: str = "old_state",
+    new_cte: str = "new_state",
+    key_cols: tuple[str, ...] = ("resource", "user_id"),
+    compare_cols: tuple[str, ...] = ("event_type", "value"),
+) -> str:
+    """DuckDB mirror: same full-outer-join + null-safe compare."""
+    on = " AND ".join(f"o.{k} IS NOT DISTINCT FROM n.{k}" for k in key_cols)
+    changed = " OR ".join(
+        f"o.{c} IS DISTINCT FROM n.{c}" for c in compare_cols
+    )
+    keys_out = ", ".join(f"COALESCE(n.{k}, o.{k}) AS {k}" for k in key_cols)
+    k0 = key_cols[0]
+    return f"""
+    SELECT {keys_out},
+           CASE WHEN o.{k0} IS NULL THEN 'INSERT'
+                WHEN n.{k0} IS NULL THEN 'DELETE'
+                WHEN {changed} THEN 'UPDATE' END AS change_op
+    FROM {old_cte} o FULL OUTER JOIN {new_cte} n ON {on}
+    WHERE CASE WHEN o.{k0} IS NULL THEN 'INSERT'
+               WHEN n.{k0} IS NULL THEN 'DELETE'
+               WHEN {changed} THEN 'UPDATE' END IS NOT NULL
+    """

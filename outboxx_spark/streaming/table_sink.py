@@ -146,3 +146,31 @@ def start_table_upsert_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    tombstone_horizon_lsn: int,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> None:
+    """GC tombstones the source can no longer contradict: a DELETE row
+    with ``lsn <= tombstone_horizon_lsn`` (the source's maximum replay
+    horizon — e.g. the committed checkpoint LSN minus retention) can
+    never be outranked by a late arrival, so it is safe to drop.
+
+    Full-table rewrite by design — run it as the periodic maintenance
+    job, not per batch; each bucket compacts independently
+    (partition-parallel)."""
+    kept = spark.read.parquet(table_dir).filter(
+        (F.col("op") != "DELETE") | (F.col("lsn") > tombstone_horizon_lsn)
+    )
+    kept = kept.localCheckpoint(eager=True)  # cut lineage before overwrite
+    data_cols = [c for c in kept.columns if c != "bucket"]
+    (
+        kept.select(*data_cols, "bucket")
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(table_dir)
+    )

@@ -110,3 +110,45 @@ def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
             changed += 1
     assert changed == 1  # exactly the key's bucket
     assert unchanged >= 1  # everything else untouched
+
+
+def test_compaction_drops_only_expired_tombstones(spark, tmp_path):
+    from outboxx_spark.streaming.table_sink import compact_table
+
+    table = str(tmp_path / "tbl")
+    cols = "op string, resource string, lsn long, commit_ts long, user_id long"
+    upsert_batch(
+        spark.createDataFrame(
+            [
+                ("INSERT", "public.t0", 1, 10, 1),
+                ("DELETE", "public.t0", 2, 10, 2),   # expired tombstone
+                ("DELETE", "public.t0", 100, 10, 3),  # still in replay horizon
+            ],
+            cols,
+        ),
+        table,
+    )
+    compact_table(spark, table, tombstone_horizon_lsn=50)
+    raw = {(r["user_id"], r["op"]) for r in spark.read.parquet(table).collect()}
+    assert raw == {(1, "INSERT"), (3, "DELETE")}
+
+
+def test_snapshot_diff_roundtrip(spark, multi_file_feed):
+    """snapshot_diff(old, new) must emit exactly the key-level changes:
+    applying it to old's key-set reproduces new's key-set, and UPDATE
+    keys differ in at least one compared column."""
+    from outboxx_spark.operators.materialize import snapshot_diff
+
+    feed = read_feed(spark, multi_file_feed)
+    half = feed.agg(F.max("lsn")).first()[0] // 2
+    old = materialize(feed.filter(F.col("lsn") <= half))
+    new = materialize(feed)
+    diff = snapshot_diff(old, new, compare_cols=("event_type", "value")).collect()
+    ops = {(r["resource"], r["user_id"]): r["change_op"] for r in diff}
+    o = {(r["resource"], r["user_id"]): (r["event_type"], r["value"]) for r in old.collect()}
+    n = {(r["resource"], r["user_id"]): (r["event_type"], r["value"]) for r in new.collect()}
+    assert {k for k, v in ops.items() if v == "INSERT"} == set(n) - set(o)
+    assert {k for k, v in ops.items() if v == "DELETE"} == set(o) - set(n)
+    assert {k for k, v in ops.items() if v == "UPDATE"} == {
+        k for k in set(o) & set(n) if o[k] != n[k]
+    }
