@@ -600,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_order_count_dist": olap.order_count_distribution,
         "olap_spend_deciles": olap.customer_spend_deciles,
         "olap_cardinality": olap.event_type_cardinality,
+        "olap_table_profile": olap.table_profile,
         "docs_vocab_topk": q_docs_vocab_topk,
         "docs_tfidf": q_docs_tfidf,
         "olap_value_bands": olap.value_band_totals,
@@ -732,6 +733,7 @@ def oracle_sql() -> dict[str, str]:
         "olap_order_count_dist": olap.ORDER_COUNT_DISTRIBUTION_SQL,
         "olap_spend_deciles": olap.CUSTOMER_SPEND_DECILES_SQL,
         "olap_cardinality": olap.EVENT_TYPE_CARDINALITY_SQL,
+        "olap_table_profile": olap.table_profile_sql(),
         "docs_vocab_topk": tx.vocab_top_tokens_sql(k=100),
         "docs_tfidf": tx.tfidf_top_terms_sql(top=5),
         "olap_value_bands": olap.VALUE_BAND_TOTALS_SQL,

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from outboxx_spark.dataops.hashing import md5_hash60, md5_hash60_sql
+from outboxx_spark.dataops.util import parallelized as _parallelized
 
 # ---------------------------------------------------------------------------
 # PII redaction
@@ -197,7 +198,8 @@ def repetition_features(df: DataFrame, text_col: str = "text", n: int = 2) -> Da
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select("doc_id", F.explode_outer(grams).alias("g"))
+    # spread the single-file scan before the ~len(text) x n explode
+    exploded = _parallelized(df).select("doc_id", F.explode_outer(grams).alias("g"))
     per_gram = exploded.groupBy("doc_id", "g").agg(F.count("g").alias("c"))
     return per_gram.groupBy("doc_id").agg(
         F.sum("c").alias("n_grams"),

@@ -251,7 +251,7 @@ def vocab_top_tokens(df: DataFrame, k: int = 100, text_col: str = "text") -> Dat
     per occurrence), then ``orderBy().limit(k)`` which compiles to
     TakeOrderedAndProject — per-partition top-k heaps, k rows to the
     driver, no global sort."""
-    occ = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    occ = parallelized(df).select(F.explode(tokens(F.col(text_col))).alias("token"))
     return (
         occ.filter(F.col("token") != "")
         .groupBy("token")
@@ -285,9 +285,9 @@ def tfidf_top_terms(
     the doc-frequency table is vocabulary-sized (bounded, broadcastable);
     ranking is one window partitioned BY DOCUMENT — embarrassingly
     parallel, no global sort anywhere."""
-    occ = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")).filter(
-        F.col("token") != ""
-    )
+    occ = parallelized(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
     tf = occ.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     n_docs = df.select(id_col).distinct().count()
     docfreq = occ.groupBy("token").agg(F.count_distinct(id_col).alias("df_"))

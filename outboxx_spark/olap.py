@@ -487,3 +487,53 @@ SELECT band_id, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY band_id
 """
+
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of lineitem's numeric columns in ONE
+    scan: null count, exact distinct count, min, max per column, long
+    form (column, n_nulls, n_distinct, min_v, max_v).
+
+    100 TB shape: a single pass computing all per-column aggregates at
+    once — Spark expands the multi-distinct into one Expand + partial
+    aggregation (shuffle carries (col-tag, value) pairs, map-side
+    combined), instead of one scan per column. The production swap for
+    approximate profiling is approx_count_distinct (HLL) — same plan
+    minus the Expand."""
+    li = read_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args})"
+            " AS (column_name, n_nulls, n_distinct, min_v, max_v)"
+        )
+    )
+
+
+def table_profile_sql() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS column_name,
+               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS DOUBLE) AS min_v,
+               CAST(max({c}) AS DOUBLE) AS max_v
+        FROM lineitem
+        """
+        for c in PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
