@@ -535,6 +535,18 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, compare_cols=("event_type", "value"))
 
 
+def q_cdc_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: table state as of the feed's midpoint commit time —
+    materialize over events with commit_ts <= T (latest-by-LSN among
+    them). The event-time counterpart of cdc_snapshot_diff's LSN cut;
+    at scale the commit_ts filter prunes partitions of a time-
+    partitioned changelog before the one keyed shuffle."""
+    feed = read_feed(spark, sf_dir)
+    lo, hi = feed.agg(F.min("commit_ts"), F.max("commit_ts")).first()
+    t = (int(lo) + int(hi)) // 2
+    return materialize(feed.filter(F.col("commit_ts") <= t))
+
+
 def q_docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-100 by occurrence (tokenizer-training
     candidate pass); deterministic (count desc, token) order."""
@@ -628,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_pivot": q_cdc_op_pivot,
         "cdc_scd2": q_cdc_scd2,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
+        "cdc_state_as_of": q_cdc_state_as_of,
         "olap_value_quantiles": olap.event_value_quantiles,
     }
 
@@ -771,6 +784,24 @@ def oracle_sql() -> dict[str, str]:
         "cdc_update_pairs": UPDATE_INSERT_PAIRS_SQL,
         "cdc_op_pivot": ORACLE_FEED_CTE + OP_PIVOT_SQL_BODY,
         "cdc_scd2": ORACLE_FEED_CTE + SCD2_INTERVALS_SQL_BODY,
+        "cdc_state_as_of": ORACLE_FEED_CTE
+        + """
+        , cut AS (
+          SELECT CAST(floor((min(commit_ts) + max(commit_ts)) / 2) AS BIGINT) AS t
+          FROM feed
+        ),
+        feed_asof AS (SELECT f.* FROM feed f, cut WHERE f.commit_ts <= cut.t)
+        , latest AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY resource, user_id
+            ORDER BY lsn DESC, """
+        + _op_rank_sql("op")
+        + """ DESC, commit_ts DESC) AS rn
+          FROM feed_asof
+        )
+        SELECT op, resource, lsn, commit_ts, user_id, event_type, value, props
+        FROM latest WHERE rn = 1 AND op != 'DELETE'
+        """,
         "cdc_snapshot_diff": ORACLE_FEED_CTE
         + f"""
         , old_latest AS (
