@@ -124,7 +124,6 @@ def main() -> None:
             "ts", "user_id", "event_type", "value", "props",
         )
         big.repartition(32).write.mode("overwrite").parquet(f"{scale_root}/events.parquet")
-        scaleup_events = n_events * n_copies
         routed_envelopes(spark, scale_root, default_config()).write.format(
             "noop"
         ).mode("overwrite").save()  # warm the 32-file listing
@@ -137,8 +136,12 @@ def main() -> None:
             )
             for _ in range(3)
         )
-    except Exception:
-        pass  # the scale-up probe must never sink the bench
+        # only publish the event count once timing actually succeeded —
+        # a half-populated artifact would mask a probe regression
+        scaleup_events = n_events * n_copies
+    except Exception as e:  # the probe must never sink the bench
+        print(f"# scaleup probe failed: {type(e).__name__}: {e}", file=sys.stderr)
+        scaleup_events = scaleup_sec = None
     finally:
         shutil.rmtree(scale_root, ignore_errors=True)
 

@@ -263,6 +263,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = None  # max_iter <= 0 must hit the unconverged raise, not NameError
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
@@ -287,9 +288,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if changed == 0:
             break
     else:
+        # Conservative: labels that changed on the FINAL round may in
+        # fact have reached the fixpoint, but certifying that costs the
+        # same join as another round — so treat it as unconverged.
         raise RuntimeError(
-            f"dup_clusters: min-label propagation did not converge in {max_iter} "
-            f"rounds ({changed} labels still changing); raise max_iter"
+            f"dup_clusters: min-label propagation not certified converged in "
+            f"{max_iter} rounds ({changed} labels changed on the last round); "
+            f"raise max_iter"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 

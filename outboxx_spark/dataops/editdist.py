@@ -49,10 +49,15 @@ DEFAULT_Q = 3
 
 
 def _positional_grams(docs: DataFrame, q: int, id_col: str, text_col: str) -> DataFrame:
-    """(id, len, pos, g): every positional q-gram occurrence."""
+    """(id, len, pos, g): every positional q-gram occurrence. Docs
+    shorter than ``q`` emit no grams — the CASE guard matters because
+    Spark's sequence(start, stop) counts DOWN when stop < start, so an
+    unguarded sequence(1, len-q+1) would emit phantom grams for them."""
     gram_expr = (
-        f"transform(sequence(1, greatest(length({text_col}) - {q - 1}, 0)),"
-        f" i -> substring({text_col}, i, {q}))"
+        f"CASE WHEN length({text_col}) >= {q} THEN "
+        f"transform(sequence(1, length({text_col}) - {q - 1}),"
+        f" i -> substring({text_col}, i, {q})) "
+        f"ELSE array() END"
     )
     return docs.select(
         F.col(id_col),

@@ -808,7 +808,7 @@ def kmeans_assignments(
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
     return (
         assigned.join(F.broadcast(sizes), "cluster")
-        .select(F.col("vid").alias("vec_id"), "cluster", "cluster_size")
+        .select(F.col("vid").alias(id_col), "cluster", "cluster_size")
     )
 
 

@@ -10,7 +10,10 @@ as the one place custom source code is justified.
   ``sources.feed.read_feed``. Yields ``pyarrow.RecordBatch`` (the
   Spark 4 DataSource API's Arrow fast path) built with vectorized
   ``pyarrow.compute`` kernels — no per-row Python, no pickling; the
-  batch crosses to the JVM as Arrow buffers.
+  batch crosses to the JVM as Arrow buffers. Domain assumption (holds
+  for this testbed and the reference's semantics): ``ts`` >= epoch and
+  ``user_id`` >= 0 — the vectorized ``divide``/``bit_wise_and`` match
+  floor-division/modulo only for non-negative inputs.
 - Stream reader: ``SimpleDataSourceStreamReader`` replaying events in
   LSN order, ``batch_size`` events per micro-batch — offsets are
   ``{"lsn": N}``, making the LSN-as-offset contract literal. (The

@@ -62,6 +62,9 @@ def upsert_batch(
     winners = materialize(batch, key=key, drop_deleted=False).withColumn(
         "bucket", _bucket(F.col("resource"), F.col(key), n_buckets)
     )
+    # winners feeds the touched-bucket collect AND the merge/write;
+    # materialize once instead of re-running the batch window per use
+    winners = winners.localCheckpoint(eager=True)
     touched = [r["bucket"] for r in winners.select("bucket").distinct().collect()]
     if not touched:
         return
@@ -102,16 +105,11 @@ def upsert_batch(
             .partitionBy("bucket")
             .parquet(table_dir)
         )
-        # Dynamic overwrite only replaces partitions PRESENT in the
-        # written data: a touched bucket whose rows were all deleted
-        # writes nothing and its stale directory would survive. Clear
-        # those explicitly. (Local fs here; on HDFS/S3 the same two
-        # lines go through the Hadoop FileSystem API.)
-        import shutil
-
-        alive = {r["bucket"] for r in merged.select("bucket").distinct().collect()}
-        for bkt in set(touched) - alive:
-            shutil.rmtree(os.path.join(table_dir, f"bucket={bkt}"), ignore_errors=True)
+        # No emptied-bucket cleanup is needed here: the merge retains
+        # tombstones (drop_deleted=False), so every touched bucket
+        # writes at least its winner rows and dynamic overwrite always
+        # replaces it. Only compact_table can empty a bucket — it pins
+        # static overwrite for exactly that reason.
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -167,10 +165,19 @@ def compact_table(
     )
     kept = kept.localCheckpoint(eager=True)  # cut lineage before overwrite
     data_cols = [c for c in kept.columns if c != "bucket"]
-    (
-        kept.select(*data_cols, "bucket")
-        .repartition(n_buckets, "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(table_dir)
-    )
+    # Pin STATIC overwrite: compaction can empty a bucket entirely (all
+    # its rows were expired tombstones), and under dynamic mode an
+    # empty bucket's directory — and its expired tombstones — would
+    # survive the rewrite.
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        (
+            kept.select(*data_cols, "bucket")
+            .repartition(n_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(table_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

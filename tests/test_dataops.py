@@ -357,3 +357,17 @@ def test_edit_distance_short_doc_bucket(spark):
     )
     got = {(r.doc_a, r.doc_b, r.dist) for r in edit_distance_pairs(df, d=8).collect()}
     assert got == {(0, 1, 8)}
+
+
+def test_positional_grams_empty_for_subgram_docs(spark):
+    """Docs shorter than q must emit ZERO grams — Spark's sequence()
+    counts DOWN when stop < start, so the unguarded form emitted
+    phantom grams that poisoned the global frequency table."""
+    from pyspark.sql import functions as F
+
+    from outboxx_spark.dataops.editdist import _positional_grams
+
+    df = spark.createDataFrame([(0, "ab"), (1, ""), (2, "abc")], ["doc_id", "text"])
+    docs = df.select("doc_id", "text", F.length("text").alias("len"))
+    rows = _positional_grams(docs, 3, "doc_id", "text").collect()
+    assert [(r.doc_id, r.g) for r in rows] == [(2, "abc")]

@@ -41,7 +41,7 @@ def test_streamed_upserts_converge_to_batch_materialize(spark, multi_file_feed, 
         table,
         str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "upsert stream did not finish in 180s"
     want = _state_set(materialize(read_feed(spark, multi_file_feed)))
     got = _state_set(read_table_state(spark, table))
     assert got == want
@@ -152,3 +152,29 @@ def test_snapshot_diff_roundtrip(spark, multi_file_feed):
     assert {k for k, v in ops.items() if v == "UPDATE"} == {
         k for k in set(o) & set(n) if o[k] != n[k]
     }
+
+
+def test_compaction_clears_emptied_bucket_under_dynamic_mode(spark, tmp_path):
+    """compact_table must pin STATIC overwrite: a bucket whose rows were
+    all expired tombstones writes no partition, and under a session-wide
+    dynamic mode its stale directory (and tombstones) would survive."""
+    from outboxx_spark.streaming.table_sink import compact_table
+
+    table = str(tmp_path / "tbl")
+    cols = "op string, resource string, lsn long, commit_ts long, user_id long"
+    # two keys in different buckets; one bucket will empty entirely
+    upsert_batch(
+        spark.createDataFrame(
+            [("INSERT", "public.t0", 1, 10, 1), ("DELETE", "public.t0", 2, 10, 2)],
+            cols,
+        ),
+        table,
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        compact_table(spark, table, tombstone_horizon_lsn=50)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    rows = {(r["user_id"], r["op"]) for r in spark.read.parquet(table).collect()}
+    assert rows == {(1, "INSERT")}
