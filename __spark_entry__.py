@@ -613,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_spend_deciles": olap.customer_spend_deciles,
         "olap_cardinality": olap.event_type_cardinality,
         "olap_table_profile": olap.table_profile,
+        "olap_funnel": olap.signup_purchase_funnel,
         "docs_vocab_topk": q_docs_vocab_topk,
         "docs_tfidf": q_docs_tfidf,
         "olap_value_bands": olap.value_band_totals,
@@ -747,6 +748,7 @@ def oracle_sql() -> dict[str, str]:
         "olap_spend_deciles": olap.CUSTOMER_SPEND_DECILES_SQL,
         "olap_cardinality": olap.EVENT_TYPE_CARDINALITY_SQL,
         "olap_table_profile": olap.table_profile_sql(),
+        "olap_funnel": olap.SIGNUP_PURCHASE_FUNNEL_SQL,
         "docs_vocab_topk": tx.vocab_top_tokens_sql(k=100),
         "docs_tfidf": tx.tfidf_top_terms_sql(top=5),
         "olap_value_bands": olap.VALUE_BAND_TOTALS_SQL,

@@ -537,3 +537,47 @@ def table_profile_sql() -> str:
         for c in PROFILE_COLS
     ]
     return " UNION ALL ".join(parts)
+
+
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users whose first purchase happened
+    AFTER their first signup (event-sequence analytics over the
+    changelog). Emits (user_id, signup_lsn, purchase_lsn) per converted
+    user — lsn is the global order, so the match is exact.
+
+    100 TB shape: two map-side-combinable min-aggregates per user in
+    ONE pass (conditional min), no join and no window — the shuffle
+    carries two longs per user. The naive form (self-join signups x
+    purchases, take min-after) shuffles events twice and explodes on
+    power users; the conditional-aggregate form cannot."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("event_id"))).alias(
+            "signup_lsn"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("event_id"))).alias(
+            "first_purchase_lsn"
+        ),
+    )
+    # conversion = first purchase strictly after first signup; users who
+    # purchased before ever signing up (or never did either) drop out
+    return (
+        per_user.filter(
+            F.col("signup_lsn").isNotNull()
+            & F.col("first_purchase_lsn").isNotNull()
+            & (F.col("first_purchase_lsn") > F.col("signup_lsn"))
+        )
+        .select("user_id", "signup_lsn", "first_purchase_lsn")
+    )
+
+
+SIGNUP_PURCHASE_FUNNEL_SQL = """
+SELECT user_id,
+       min(CASE WHEN event_type = 'signup' THEN event_id END) AS signup_lsn,
+       min(CASE WHEN event_type = 'purchase' THEN event_id END) AS first_purchase_lsn
+FROM events
+GROUP BY user_id
+HAVING signup_lsn IS NOT NULL
+   AND first_purchase_lsn IS NOT NULL
+   AND first_purchase_lsn > signup_lsn
+"""
