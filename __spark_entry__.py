@@ -535,6 +535,29 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, compare_cols=("event_type", "value"))
 
 
+def q_cdc_gap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-completeness audit as a query (tools/check_gaps.py's
+    contract, first-class): per resource, every jump in the LSN
+    sequence — (resource, prev_lsn, lsn, gap) for each consecutive pair
+    more than 1 apart. Resources interleave the global LSN sequence, so
+    per-resource gaps are expected and deterministic; a GLOBAL gap
+    would be a delivery bug. One lag() window per resource partition —
+    a single keyed shuffle, no self-join."""
+    feed = read_feed(spark, sf_dir)
+    w = W.partitionBy("resource").orderBy("lsn")
+    return (
+        feed.select("resource", "lsn")
+        .withColumn("prev_lsn", F.lag("lsn").over(w))
+        .filter(F.col("prev_lsn").isNotNull() & (F.col("lsn") - F.col("prev_lsn") > 1))
+        .select(
+            "resource",
+            "prev_lsn",
+            "lsn",
+            (F.col("lsn") - F.col("prev_lsn")).alias("gap"),
+        )
+    )
+
+
 def q_cdc_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel: table state as of the feed's midpoint commit time —
     materialize over events with commit_ts <= T (latest-by-LSN among
@@ -642,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2": q_cdc_scd2,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_state_as_of": q_cdc_state_as_of,
+        "cdc_gap_check": q_cdc_gap_check,
         "olap_value_quantiles": olap.event_value_quantiles,
     }
 
@@ -786,6 +810,14 @@ def oracle_sql() -> dict[str, str]:
         "cdc_update_pairs": UPDATE_INSERT_PAIRS_SQL,
         "cdc_op_pivot": ORACLE_FEED_CTE + OP_PIVOT_SQL_BODY,
         "cdc_scd2": ORACLE_FEED_CTE + SCD2_INTERVALS_SQL_BODY,
+        "cdc_gap_check": ORACLE_FEED_CTE
+        + """
+        SELECT resource, prev_lsn, lsn, lsn - prev_lsn AS gap FROM (
+          SELECT resource, lsn,
+                 lag(lsn) OVER (PARTITION BY resource ORDER BY lsn) AS prev_lsn
+          FROM feed
+        ) WHERE prev_lsn IS NOT NULL AND lsn - prev_lsn > 1
+        """,
         "cdc_state_as_of": ORACLE_FEED_CTE
         + """
         , cut AS (
