@@ -287,6 +287,122 @@ def event_value_quantiles_approx(
     )
 
 
+def event_value_quantiles_approx_check(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10000
+) -> DataFrame:
+    """Hard-signal harness for the production approx variant: computes
+    BOTH the exact ranked picks and the ``approx_percentile`` sketch
+    picks in Spark, and emits the exact values plus a per-group
+    ``approx_ok`` flag asserting each sketch pick lies within the
+    sketch's provable rank band (GK guarantees rank error <= n/accuracy;
+    the band is the exact values at rank ceil(p*n) +/- k,
+    k = max(1, ceil(n/accuracy))). The oracle recomputes the exact side
+    in DuckDB and asserts TRUE — so the driver hash verifies (a) exact
+    quantiles match cross-engine and (b) the sketch landed in-band.
+    Both sides are deterministic (GK is data-order-insensitive here:
+    single-column long input, fixed accuracy).
+
+    Scale note: the harness doubles the work by design (it exists to
+    certify the approx path); production runs only
+    :func:`event_value_quantiles_approx` — one sketch pass, O(accuracy)
+    state per group."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_type", cents.alias("cents")).filter(F.col("cents").isNotNull())
+    wk = W.partitionBy("event_type")
+    ranked = base.withColumn("rn", F.row_number().over(wk.orderBy("cents"))).withColumn(
+        "n", F.count("*").over(wk)
+    )
+    k = F.greatest(F.lit(1).cast("long"), F.ceil(F.col("n") / accuracy))
+    picks = {"p50": 0.50, "p95": 0.95, "p99": 0.99}
+    aggs = []
+    for name, p in picks.items():
+        r = F.ceil(F.lit(p) * F.col("n"))
+        lo_r = F.greatest(F.lit(1).cast("long"), r - k)
+        hi_r = F.least(F.col("n"), r + k)
+        aggs += [
+            F.max(F.when(F.col("rn") == r, F.col("cents"))).alias(f"{name}_cents"),
+            F.max(F.when(F.col("rn") == lo_r, F.col("cents"))).alias(f"{name}_lo"),
+            F.max(F.when(F.col("rn") == hi_r, F.col("cents"))).alias(f"{name}_hi"),
+        ]
+    exact = ranked.groupBy("event_type").agg(*aggs)
+    approx = base.groupBy("event_type").agg(
+        *[
+            F.percentile_approx("cents", p, accuracy).alias(f"a_{name}")
+            for name, p in picks.items()
+        ]
+    )
+    ok = None
+    for name in picks:
+        band = F.col(f"a_{name}").between(F.col(f"{name}_lo"), F.col(f"{name}_hi"))
+        ok = band if ok is None else (ok & band)
+    return (
+        exact.join(F.broadcast(approx), "event_type")
+        .select(
+            "event_type",
+            "p50_cents",
+            "p95_cents",
+            "p99_cents",
+            ok.alias("approx_ok"),
+        )
+    )
+
+
+EVENT_VALUE_QUANTILES_APPROX_CHECK_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base)
+SELECT event_type,
+       max(cents) FILTER (rn = CAST(ceil(0.50 * n) AS BIGINT)) AS p50_cents,
+       max(cents) FILTER (rn = CAST(ceil(0.95 * n) AS BIGINT)) AS p95_cents,
+       max(cents) FILTER (rn = CAST(ceil(0.99 * n) AS BIGINT)) AS p99_cents,
+       TRUE AS approx_ok
+FROM ranked
+GROUP BY event_type
+"""
+
+
+def event_type_cardinality_approx_check(
+    spark: SparkSession, sf_dir: str, rsd: float = 0.01
+) -> DataFrame:
+    """Hard-signal harness for the HLL++ cardinality variant: one
+    groupBy computing exact ``count_distinct``, the
+    ``approx_count_distinct`` sketch, and the row count in a single
+    aggregation pass, emitting the exact values plus ``approx_ok`` =
+    |hll - exact| <= max(1, ceil(5 * rsd * exact)) — a 5-sigma band at
+    rsd=0.01 (HLL++ is deterministic for fixed input, so the flag is
+    stable). The oracle recomputes the exact side in DuckDB and asserts
+    TRUE. Production runs only :func:`event_type_cardinality_approx`;
+    this harness certifies it against the exact plan cross-engine."""
+    ev = read_table(spark, sf_dir, "events")
+    grouped = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", rsd).alias("n_users_hll"),
+        F.count("*").alias("n_events"),
+    )
+    tol = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(5 * rsd) * F.col("n_users")))
+    return grouped.select(
+        "event_type",
+        "n_users",
+        "n_events",
+        (F.abs(F.col("n_users_hll") - F.col("n_users")) <= tol).alias("approx_ok"),
+    )
+
+
+EVENT_TYPE_CARDINALITY_APPROX_CHECK_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
 EVENT_VALUE_QUANTILES_SQL = """
 WITH base AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
@@ -509,8 +625,8 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(F.col(c)).cast("double").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+            F.round(F.min(F.col(c)).cast("double"), 2).alias(f"{c}__min"),
+            F.round(F.max(F.col(c)).cast("double"), 2).alias(f"{c}__max"),
         ]
     wide = li.agg(*aggs)
     stack_args = ", ".join(
@@ -528,10 +644,10 @@ def table_profile_sql() -> str:
     parts = [
         f"""
         SELECT '{c}' AS column_name,
-               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-               count(DISTINCT {c}) AS n_distinct,
-               CAST(min({c}) AS DOUBLE) AS min_v,
-               CAST(max({c}) AS DOUBLE) AS max_v
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               round(CAST(min({c}) AS DOUBLE), 2) AS min_v,
+               round(CAST(max({c}) AS DOUBLE), 2) AS max_v
         FROM lineitem
         """
         for c in PROFILE_COLS
