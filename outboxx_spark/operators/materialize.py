@@ -137,15 +137,27 @@ def snapshot_diff(
         compare_cols = tuple(
             c for c in old.columns if c in set(new.columns) and c not in key_cols
         )
-    o = old.select(*key_cols, *compare_cols).alias("o")
-    n = new.select(*key_cols, *compare_cols).alias("n")
+    # Row presence is detected via a literal flag attached BEFORE the
+    # join, not via key nullability: the join is null-safe (<=>), so a
+    # row whose first key column is legitimately NULL would otherwise be
+    # misclassified as INSERT even when present unchanged in both sides.
+    o = (
+        old.select(*key_cols, *compare_cols)
+        .withColumn("_o_present", F.lit(True))
+        .alias("o")
+    )
+    n = (
+        new.select(*key_cols, *compare_cols)
+        .withColumn("_n_present", F.lit(True))
+        .alias("n")
+    )
     cond = None
     for k in key_cols:
         eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
         cond = eq if cond is None else (cond & eq)
     joined = o.join(n, cond, "full_outer")
-    old_exists = F.col(f"o.{key_cols[0]}").isNotNull()
-    new_exists = F.col(f"n.{key_cols[0]}").isNotNull()
+    old_exists = F.col("o._o_present").isNotNull()
+    new_exists = F.col("n._n_present").isNotNull()
     changed = None
     for c in compare_cols:
         ne = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
@@ -171,20 +183,22 @@ def snapshot_diff_sql(
     key_cols: tuple[str, ...] = ("resource", "user_id"),
     compare_cols: tuple[str, ...] = ("event_type", "value"),
 ) -> str:
-    """DuckDB mirror: same full-outer-join + null-safe compare."""
+    """DuckDB mirror: same full-outer-join + null-safe compare, with
+    the same literal presence flags (not key nullability) so NULL-keyed
+    rows classify identically."""
     on = " AND ".join(f"o.{k} IS NOT DISTINCT FROM n.{k}" for k in key_cols)
     changed = " OR ".join(
         f"o.{c} IS DISTINCT FROM n.{c}" for c in compare_cols
     )
     keys_out = ", ".join(f"COALESCE(n.{k}, o.{k}) AS {k}" for k in key_cols)
-    k0 = key_cols[0]
     return f"""
     SELECT {keys_out},
-           CASE WHEN o.{k0} IS NULL THEN 'INSERT'
-                WHEN n.{k0} IS NULL THEN 'DELETE'
+           CASE WHEN o._p IS NULL THEN 'INSERT'
+                WHEN n._p IS NULL THEN 'DELETE'
                 WHEN {changed} THEN 'UPDATE' END AS change_op
-    FROM {old_cte} o FULL OUTER JOIN {new_cte} n ON {on}
-    WHERE CASE WHEN o.{k0} IS NULL THEN 'INSERT'
-               WHEN n.{k0} IS NULL THEN 'DELETE'
+    FROM (SELECT *, TRUE AS _p FROM {old_cte}) o
+    FULL OUTER JOIN (SELECT *, TRUE AS _p FROM {new_cte}) n ON {on}
+    WHERE CASE WHEN o._p IS NULL THEN 'INSERT'
+               WHEN n._p IS NULL THEN 'DELETE'
                WHEN {changed} THEN 'UPDATE' END IS NOT NULL
     """

@@ -6,7 +6,7 @@ consumer applying the envelope contract to its own store,
 `docs/design/STREAMING_REPLICATION_DESIGN.md` dedup guidance + O4):
 ``materialize()`` compacts a finite changelog, this sink keeps a TABLE
 current while the stream runs — MERGE INTO semantics on engines with no
-Delta/Iceberg, from plain parquet + dynamic partition overwrite.
+Delta/Iceberg, from plain parquet + a per-bucket rename commit.
 
 Mechanics per micro-batch:
 
@@ -18,25 +18,40 @@ Mechanics per micro-batch:
                pruned read) unioned with the winners, re-materialized —
                table rows carry their lsn, so replays and out-of-order
                batches resolve by the same last-writer-wins rule.
-4. write     = ``partitionBy(bucket)`` + ``partitionOverwriteMode=
-               dynamic``: only touched bucket directories are replaced.
+4. commit    = merged buckets are written to a STAGING directory
+               (``.stage``, hidden from parquet readers), then swapped
+               into place bucket-by-bucket with filesystem renames,
+               parking each replaced bucket in ``.undo`` until the swap
+               completes. A crash mid-swap is repaired on the next call:
+               buckets missing from the live table are restored from
+               ``.undo``, then the batch replays into the idempotent
+               merge. All paths go through Hadoop's FileSystem API, so
+               the sink works on any FS Spark can reach (local, HDFS).
 
-Exactly-once: the sink is IDEMPOTENT (re-merging an already-applied
-batch reproduces the same bucket contents bit-for-bit — equal lsn ties
-resolve deterministically), so Structured Streaming's replay-uncommitted-
-batch recovery yields exactly-once table state with no transaction log.
+Exactly-once: the merge is IDEMPOTENT (re-merging an already-applied
+batch reproduces the same bucket contents — equal lsn ties resolve
+deterministically), and the rename commit never leaves a bucket
+half-written: at every instant a live bucket directory is either the
+complete old state, the complete new state, or parked in ``.undo``
+awaiting recovery. Structured Streaming's replay-uncommitted-batch
+recovery therefore yields exactly-once table state with no transaction
+log — ON FILESYSTEMS WITH ATOMIC DIRECTORY RENAME (local, HDFS). Plain
+object stores (S3) rename by copy; there, front the table with a
+rename-capable layer or a real table format (Delta/Iceberg). Single
+writer assumed, as with any no-log table.
 
 100 TB shape: work per batch is proportional to touched buckets, not
 table size — reads are partition-pruned to those buckets, the merge
-window shuffles only (touched rows + batch rows), and the rewrite
-touches only those directories. ``n_buckets`` sizes the rewrite unit:
-more buckets = smaller rewrites, more files; at 100 TB pick bucket
-count so a bucket ≈ one comfortable task (e.g. 1-4 GB).
+window shuffles only (touched rows + batch rows), the staged write
+re-materializes only those buckets, and the swap is O(touched) renames
+on the driver. Nothing is pinned in executor memory (the old
+``localCheckpoint`` lineage cut is gone — staging means the write never
+overwrites the directory it reads). ``n_buckets`` sizes the rewrite
+unit: more buckets = smaller rewrites, more files; at 100 TB pick
+bucket count so a bucket ≈ one comfortable task (e.g. 1-4 GB).
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,9 +60,77 @@ from outboxx_spark.operators.materialize import materialize
 
 DEFAULT_N_BUCKETS = 16
 
+_STAGE = ".stage"
+_UNDO = ".undo"
+
 
 def _bucket(resource_col, key_col, n_buckets: int):
     return F.pmod(F.xxhash64(resource_col, key_col), F.lit(n_buckets)).cast("int")
+
+
+def _fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path, jvm) for ``path_str`` via Spark's Hadoop conf —
+    scheme-aware (file://, hdfs://, …), unlike driver-local os.path."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
+def _bucket_dirs(fs, jvm, dir_path) -> list[str]:
+    """Names of bucket=* children of ``dir_path`` (empty if absent)."""
+    if not fs.exists(dir_path):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(dir_path)
+        if st.isDirectory() and st.getPath().getName().startswith("bucket=")
+    ]
+
+
+def _recover(spark: SparkSession, table_dir: str) -> None:
+    """Repair a crash that interrupted a previous swap: any bucket still
+    parked in ``.undo`` whose live directory is missing was renamed away
+    but never replaced — restore it (the interrupted batch will replay
+    into the idempotent merge). Buckets present in BOTH places completed
+    their swap; their undo copy is stale and is dropped. Leftover
+    staging is always discarded."""
+    fs, root, jvm = _fs(spark, table_dir)
+    undo = jvm.org.apache.hadoop.fs.Path(table_dir, _UNDO)
+    for name in _bucket_dirs(fs, jvm, undo):
+        live = jvm.org.apache.hadoop.fs.Path(table_dir, name)
+        parked = jvm.org.apache.hadoop.fs.Path(undo, name)
+        if not fs.exists(live):
+            fs.rename(parked, live)
+        else:
+            fs.delete(parked, True)
+    if fs.exists(undo):
+        fs.delete(undo, True)
+    stage = jvm.org.apache.hadoop.fs.Path(table_dir, _STAGE)
+    if fs.exists(stage):
+        fs.delete(stage, True)
+
+
+def _commit_staged(spark: SparkSession, table_dir: str, *, prune_unstaged: bool) -> None:
+    """Swap every staged bucket into the live table via renames. With
+    ``prune_unstaged`` (compaction), live buckets with no staged
+    replacement are removed too — the static-overwrite analog, so a
+    bucket emptied by tombstone GC disappears instead of surviving."""
+    fs, root, jvm = _fs(spark, table_dir)
+    stage = jvm.org.apache.hadoop.fs.Path(table_dir, _STAGE)
+    undo = jvm.org.apache.hadoop.fs.Path(table_dir, _UNDO)
+    staged = set(_bucket_dirs(fs, jvm, stage))
+    live = set(_bucket_dirs(fs, jvm, root))
+    doomed = (live - staged) if prune_unstaged else set()
+    fs.mkdirs(undo)
+    for name in sorted(staged | doomed):
+        live_p = jvm.org.apache.hadoop.fs.Path(table_dir, name)
+        if fs.exists(live_p):
+            fs.rename(live_p, jvm.org.apache.hadoop.fs.Path(undo, name))
+        if name in staged:
+            fs.rename(jvm.org.apache.hadoop.fs.Path(stage, name), live_p)
+    fs.delete(undo, True)
+    fs.delete(stage, True)
 
 
 def upsert_batch(
@@ -57,22 +140,25 @@ def upsert_batch(
     n_buckets: int = DEFAULT_N_BUCKETS,
 ) -> None:
     """Merge one micro-batch of change events into the table. Safe to
-    call with the same batch twice (idempotent)."""
+    call with the same batch twice (idempotent), including after a
+    crash anywhere inside a previous call."""
     spark = batch.sparkSession
+    _recover(spark, table_dir)
+
     winners = materialize(batch, key=key, drop_deleted=False).withColumn(
         "bucket", _bucket(F.col("resource"), F.col(key), n_buckets)
     )
-    # winners feeds the touched-bucket collect AND the merge/write;
-    # materialize once instead of re-running the batch window per use
+    # winners feeds the touched-bucket collect AND the merge; cache the
+    # (bounded, micro-batch-sized) result instead of re-running the
+    # batch window per use
     winners = winners.localCheckpoint(eager=True)
     touched = [r["bucket"] for r in winners.select("bucket").distinct().collect()]
     if not touched:
         return
 
     data_cols = [c for c in winners.columns if c != "bucket"]
-    if os.path.isdir(table_dir) and any(
-        e.startswith("bucket=") for e in os.listdir(table_dir)
-    ):
+    fs, root, jvm = _fs(spark, table_dir)
+    if _bucket_dirs(fs, jvm, root):
         current = (
             spark.read.parquet(table_dir)
             .filter(F.col("bucket").isin(touched))  # partition-pruned scan
@@ -82,40 +168,30 @@ def upsert_batch(
         # physically dropping a deleted key would let any late/replayed
         # lower-LSN event resurrect it, since nothing would remain to
         # outrank the stale row in the merge. read_table_state filters
-        # them; a periodic compaction can GC tombstones older than the
-        # source's maximum replay horizon.
+        # them; compact_table GCs tombstones older than the source's
+        # maximum replay horizon.
         merged = materialize(
             current.unionByName(winners), key=key, drop_deleted=False
         )
-        # The merge reads the directory the write below replaces; cut the
-        # file lineage by computing the merged rows eagerly first
-        # (executor-local blocks — bounded by bucket sizing). A
-        # production-hardened variant writes to a staging dir and swaps.
-        merged = merged.localCheckpoint(eager=True)
     else:
         merged = winners
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            merged.select(*data_cols, "bucket")
-            .repartition(max(len(touched), 1), "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(table_dir)
-        )
-        # No emptied-bucket cleanup is needed here: the merge retains
-        # tombstones (drop_deleted=False), so every touched bucket
-        # writes at least its winner rows and dynamic overwrite always
-        # replaces it. Only compact_table can empty a bucket — it pins
-        # static overwrite for exactly that reason.
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Stage, then swap: the staged write READS the live buckets while
+    # WRITING to .stage, so no lineage cut is needed and the live table
+    # stays intact until the rename commit.
+    (
+        merged.select(*data_cols, "bucket")
+        .repartition(max(len(touched), 1), "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{table_dir}/{_STAGE}")
+    )
+    _commit_staged(spark, table_dir, prune_unstaged=False)
 
 
 def read_table_state(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Current table state (all buckets); DELETE tombstones excluded."""
+    """Current table state (all buckets); DELETE tombstones excluded.
+    (.stage/.undo are dot-prefixed, so parquet readers never see them.)"""
     return (
         spark.read.parquet(table_dir)
         .filter(F.col("op") != "DELETE")
@@ -159,25 +235,21 @@ def compact_table(
 
     Full-table rewrite by design — run it as the periodic maintenance
     job, not per batch; each bucket compacts independently
-    (partition-parallel)."""
+    (partition-parallel). Same stage-and-swap commit as the upsert
+    (reads live, writes .stage, renames) — no in-memory lineage cut, so
+    table size is bounded by disk, not executor block-manager memory —
+    with ``prune_unstaged`` so a bucket emptied entirely (all rows were
+    expired tombstones) is deleted rather than left behind."""
+    _recover(spark, table_dir)
     kept = spark.read.parquet(table_dir).filter(
         (F.col("op") != "DELETE") | (F.col("lsn") > tombstone_horizon_lsn)
     )
-    kept = kept.localCheckpoint(eager=True)  # cut lineage before overwrite
     data_cols = [c for c in kept.columns if c != "bucket"]
-    # Pin STATIC overwrite: compaction can empty a bucket entirely (all
-    # its rows were expired tombstones), and under dynamic mode an
-    # empty bucket's directory — and its expired tombstones — would
-    # survive the rewrite.
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-        (
-            kept.select(*data_cols, "bucket")
-            .repartition(n_buckets, "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(table_dir)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        kept.select(*data_cols, "bucket")
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{table_dir}/{_STAGE}")
+    )
+    _commit_staged(spark, table_dir, prune_unstaged=True)

@@ -154,10 +154,64 @@ def test_snapshot_diff_roundtrip(spark, multi_file_feed):
     }
 
 
-def test_compaction_clears_emptied_bucket_under_dynamic_mode(spark, tmp_path):
-    """compact_table must pin STATIC overwrite: a bucket whose rows were
-    all expired tombstones writes no partition, and under a session-wide
-    dynamic mode its stale directory (and tombstones) would survive."""
+def test_upsert_recovers_bucket_parked_mid_swap(spark, tmp_path):
+    """Crash between 'rename old away' and 'rename staged in': the
+    bucket sits in .undo with no live directory. The next upsert call
+    must restore it before merging, so no pre-existing row is lost."""
+    import shutil
+
+    table = str(tmp_path / "tbl")
+    cols = "op string, resource string, lsn long, commit_ts long, user_id long"
+    base = spark.createDataFrame(
+        [("INSERT", "public.t0", i, 10, i) for i in range(1, 30)], cols
+    )
+    upsert_batch(base, table)
+    want = _state_set(spark.read.parquet(table))
+    buckets = [d for d in os.listdir(table) if d.startswith("bucket=")]
+    victim = buckets[0]
+    # simulate the torn commit: live dir renamed to .undo, staged dir
+    # lost with the crash (plus a stale half-written .stage left behind)
+    os.makedirs(os.path.join(table, ".undo"), exist_ok=True)
+    shutil.move(os.path.join(table, victim), os.path.join(table, ".undo", victim))
+    os.makedirs(os.path.join(table, ".stage", victim), exist_ok=True)
+    # replaying ANY batch (here: one key) must first restore the victim
+    upsert_batch(
+        spark.createDataFrame([("INSERT", "public.t0", 100, 11, 1)], cols), table
+    )
+    got = _state_set(spark.read.parquet(table))
+    assert got == (want - {("public.t0", 1, 1, "INSERT")}) | {
+        ("public.t0", 1, 100, "INSERT")
+    }
+    assert not os.path.exists(os.path.join(table, ".undo"))
+    assert not os.path.exists(os.path.join(table, ".stage"))
+
+
+def test_upsert_recovers_completed_swap_with_stale_undo(spark, tmp_path):
+    """Crash after 'rename staged in' but before .undo cleanup: live dir
+    holds the NEW state, .undo the old. Recovery must keep the new state
+    and drop the stale parked copy (not resurrect old rows)."""
+    import shutil
+
+    table = str(tmp_path / "tbl")
+    cols = "op string, resource string, lsn long, commit_ts long, user_id long"
+    upsert_batch(
+        spark.createDataFrame([("INSERT", "public.t0", 1, 10, 7)], cols), table
+    )
+    old_bucket = next(d for d in os.listdir(table) if d.startswith("bucket="))
+    parked = os.path.join(table, ".undo", old_bucket)
+    shutil.copytree(os.path.join(table, old_bucket), parked)
+    upsert_batch(
+        spark.createDataFrame([("UPDATE", "public.t0", 2, 11, 7)], cols), table
+    )
+    rows = {(r["user_id"], r["lsn"]) for r in spark.read.parquet(table).collect()}
+    assert rows == {(7, 2)}
+    assert not os.path.exists(os.path.join(table, ".undo"))
+
+
+def test_compaction_clears_emptied_bucket(spark, tmp_path):
+    """A bucket whose rows were all expired tombstones writes no staged
+    partition; the prune_unstaged commit must remove its live directory
+    (and tombstones) rather than let them survive the rewrite."""
     from outboxx_spark.streaming.table_sink import compact_table
 
     table = str(tmp_path / "tbl")
