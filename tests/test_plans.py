@@ -202,3 +202,48 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_scan,
         )
+
+
+def test_edit_dedup_join_is_banded_not_cartesian(spark, sf_dir):
+    """The edit-distance candidate join must stay an equi-join keyed on
+    (gram, band, salt) — the length band carries the |len_a-len_b|<=d
+    filter into the join key — and must never degrade to a cartesian or
+    nested-loop plan."""
+    from outboxx_spark.dataops.editdist import edit_distance_pairs
+    from outboxx_spark.sources.tables import read_table
+
+    import re
+
+    plan = _plan(edit_distance_pairs(read_table(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop join is allowed: the short-doc bucket
+    # (len <= d*q+q-1), which is bounded by construction; the main
+    # candidate path must never degrade to it (formatted plans print
+    # each node twice — tree + detail — so count node headers)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert "band" in plan  # the band key reached the physical join
+
+
+def test_quantiles_approx_check_broadcasts_sketch_side(spark, sf_dir):
+    """The approx-vs-exact certification joins a per-group sketch row
+    set against the exact picks — that side is tiny and must broadcast,
+    never shuffle the exact side a second time."""
+    from outboxx_spark.olap import event_value_quantiles_approx_check
+
+    plan = _plan(event_value_quantiles_approx_check(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cardinality_approx_check_is_single_pass(spark, sf_dir):
+    """Exact count_distinct, the HLL sketch, and count(*) must come out
+    of ONE aggregation chain over one scan — no join and no second
+    scan (a self-join formulation would double the 100 TB read)."""
+    from outboxx_spark.olap import event_type_cardinality_approx_check
+
+    import re
+
+    plan = _plan(event_type_cardinality_approx_check(spark, sf_dir))
+    assert "Join" not in plan
+    # formatted plans print each node in the tree AND the detail list,
+    # so count numbered node headers, not raw substring occurrences
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
