@@ -22,6 +22,34 @@ TABLES = (
 ).split()
 
 
+def canon_type(t: str) -> str:
+    """Canonical type class for driver-hash compatibility checks. The
+    driver's value hash is TYPE-SENSITIVE where this replica's Python
+    normalization is not (r3: DuckDB sum(CASE..) returned HUGEINT,
+    values equal, driver hash red) — so flag any column whose Spark and
+    DuckDB types land in different classes. HUGEINT deliberately maps to
+    its own class: it is the known red-flag type (cast to BIGINT in the
+    oracle)."""
+    t = t.lower().strip()
+    if t.startswith(("array", "list")) or t.endswith("[]"):
+        return "list"
+    if t.startswith("decimal"):
+        return t.replace(" ", "")  # precision-sensitive
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte", "utinyint", "usmallint", "uinteger", "ubigint"):
+        return "int"
+    if t == "hugeint":
+        return "hugeint"
+    if t in ("float", "real", "double"):
+        return "float"
+    if t in ("string", "varchar", "char", "text"):
+        return "str"
+    if t in ("binary", "blob", "bytea"):
+        return "bytes"
+    return t
+
+
 def normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -59,7 +87,7 @@ def main() -> int:
     qs, oracles = E.queries(), E.oracle_sql()
     t_build = time.monotonic() - t_build0
     print(f"# queries()+oracle_sql() build: {t_build:.2f}s")
-    failures = 0
+    failures = typewarns = 0
     total_spark = total_oracle = 0.0
     for name, fn in qs.items():
         if only and name not in only:
@@ -110,11 +138,31 @@ def main() -> int:
                 print(f"  oracle: {oset[i]}")
             failures += 1
         else:
-            print(
-                f"PASS {name}: {len(sset)} rows, {len(scols)} cols "
-                f"[spark {t_spark:.2f}s, oracle {t_oracle:.2f}s]"
-            )
-    print(f"# totals: spark {total_spark:.1f}s, oracle {total_oracle:.1f}s, build {t_build:.1f}s")
+            # values matched — now check TYPE compatibility, which the
+            # driver's hash is sensitive to even when values are equal
+            sp_types = dict(sdf.dtypes)
+            ora_types = {c: str(t) for c, t in zip(ocols_raw, rel.types)}
+            mismatched = [
+                (c, sp_types[c], ora_types[c])
+                for c in scols
+                if canon_type(sp_types[c]) != canon_type(ora_types[c])
+            ]
+            if mismatched:
+                typewarns += 1
+                detail = ", ".join(f"{c}: spark={s} oracle={o}" for c, s, o in mismatched)
+                print(
+                    f"TYPEWARN {name}: values match but column types differ "
+                    f"({detail}) — driver hash may still be red"
+                )
+            else:
+                print(
+                    f"PASS {name}: {len(sset)} rows, {len(scols)} cols "
+                    f"[spark {t_spark:.2f}s, oracle {t_oracle:.2f}s]"
+                )
+    print(
+        f"# totals: spark {total_spark:.1f}s, oracle {total_oracle:.1f}s, "
+        f"build {t_build:.1f}s, typewarns {typewarns}"
+    )
     spark.stop()
     return 1 if failures else 0
 
