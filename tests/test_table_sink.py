@@ -154,6 +154,43 @@ def test_snapshot_diff_roundtrip(spark, multi_file_feed):
     }
 
 
+def test_snapshot_diff_null_key_rows_classify_correctly(spark):
+    """A row whose FIRST key column is legitimately NULL and which is
+    present unchanged in both snapshots must produce NO diff row (the
+    old key-nullability presence test misread it as INSERT); changed /
+    removed NULL-keyed rows must still classify as UPDATE / DELETE."""
+    from outboxx_spark.operators.materialize import snapshot_diff
+
+    cols = "resource string, user_id long, event_type string, value double"
+    old = spark.createDataFrame(
+        [
+            (None, 1, "a", 1.0),   # unchanged -> no row
+            (None, 2, "b", 2.0),   # value changes -> UPDATE
+            (None, 3, "c", 3.0),   # disappears -> DELETE
+            ("r", 4, "d", 4.0),    # unchanged non-null control
+        ],
+        cols,
+    )
+    new = spark.createDataFrame(
+        [
+            (None, 1, "a", 1.0),
+            (None, 2, "b", 9.0),
+            (None, 5, "e", 5.0),   # appears -> INSERT
+            ("r", 4, "d", 4.0),
+        ],
+        cols,
+    )
+    diff = {
+        (r["resource"], r["user_id"]): r["change_op"]
+        for r in snapshot_diff(old, new, compare_cols=("event_type", "value")).collect()
+    }
+    assert diff == {
+        (None, 2): "UPDATE",
+        (None, 3): "DELETE",
+        (None, 5): "INSERT",
+    }
+
+
 def test_upsert_recovers_bucket_parked_mid_swap(spark, tmp_path):
     """Crash between 'rename old away' and 'rename staged in': the
     bucket sits in .undo with no live directory. The next upsert call
