@@ -158,9 +158,10 @@ def main() -> None:
         tablesink_load_sec = round(_timed(lambda: upsert_batch(feed_df, table_dir)), 4)
         one = feed_df.limit(1).localCheckpoint(eager=True)
         tablesink_incr_sec = round(_timed(lambda: upsert_batch(one, table_dir)), 4)
-    except Exception as e:  # the probe must never sink the bench
+    except Exception as e:  # the probe must never sink the bench; keep
+        # whichever measurement already landed — only the failed step
+        # stays None
         print(f"# tablesink probe failed: {type(e).__name__}: {e}", file=sys.stderr)
-        tablesink_load_sec = tablesink_incr_sec = None
     finally:
         shutil.rmtree(sink_root, ignore_errors=True)
 

@@ -77,6 +77,17 @@ def _fs(spark: SparkSession, path_str: str):
     return fs, path, jvm
 
 
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop's FileSystem.rename signals most failures by RETURNING
+    FALSE (dst exists, missing parent, quota/permission on HDFS), not
+    by throwing. The commit protocol deletes the parked copy right
+    after the swap, so a silently-failed rename followed by that delete
+    would destroy the only copy of a bucket — every rename must be
+    checked."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
 def _bucket_dirs(fs, jvm, dir_path) -> list[str]:
     """Names of bucket=* children of ``dir_path`` (empty if absent)."""
     if not fs.exists(dir_path):
@@ -101,7 +112,7 @@ def _recover(spark: SparkSession, table_dir: str) -> None:
         live = jvm.org.apache.hadoop.fs.Path(table_dir, name)
         parked = jvm.org.apache.hadoop.fs.Path(undo, name)
         if not fs.exists(live):
-            fs.rename(parked, live)
+            _rename_or_raise(fs, parked, live)
         else:
             fs.delete(parked, True)
     if fs.exists(undo):
@@ -122,13 +133,14 @@ def _commit_staged(spark: SparkSession, table_dir: str, *, prune_unstaged: bool)
     staged = set(_bucket_dirs(fs, jvm, stage))
     live = set(_bucket_dirs(fs, jvm, root))
     doomed = (live - staged) if prune_unstaged else set()
-    fs.mkdirs(undo)
+    if not fs.mkdirs(undo):
+        raise IOError(f"mkdirs failed: {undo}")
     for name in sorted(staged | doomed):
         live_p = jvm.org.apache.hadoop.fs.Path(table_dir, name)
         if fs.exists(live_p):
-            fs.rename(live_p, jvm.org.apache.hadoop.fs.Path(undo, name))
+            _rename_or_raise(fs, live_p, jvm.org.apache.hadoop.fs.Path(undo, name))
         if name in staged:
-            fs.rename(jvm.org.apache.hadoop.fs.Path(stage, name), live_p)
+            _rename_or_raise(fs, jvm.org.apache.hadoop.fs.Path(stage, name), live_p)
     fs.delete(undo, True)
     fs.delete(stage, True)
 

@@ -31,8 +31,14 @@ def canon_type(t: str) -> str:
     its own class: it is the known red-flag type (cast to BIGINT in the
     oracle)."""
     t = t.lower().strip()
-    if t.startswith(("array", "list")) or t.endswith("[]"):
-        return "list"
+    # recurse into list element types — an array<int> vs BIGINT[] gap is
+    # the scalar HUGEINT failure mode one level down
+    if t.startswith("array<") and t.endswith(">"):
+        return f"list<{canon_type(t[6:-1])}>"
+    if t.endswith("[]"):
+        return f"list<{canon_type(t[:-2])}>"
+    if t.startswith("list"):
+        return "list<?>"
     if t.startswith("decimal"):
         return t.replace(" ", "")  # precision-sensitive
     if t.startswith("timestamp"):
@@ -164,7 +170,9 @@ def main() -> int:
         f"build {t_build:.1f}s, typewarns {typewarns}"
     )
     spark.stop()
-    return 1 if failures else 0
+    # typewarns fail the gate too: the tool itself predicts the driver
+    # hash may go red, so exit-status consumers must not see green
+    return 1 if (failures or typewarns) else 0
 
 
 if __name__ == "__main__":
