@@ -371,3 +371,27 @@ def test_positional_grams_empty_for_subgram_docs(spark):
     docs = df.select("doc_id", "text", F.length("text").alias("len"))
     rows = _positional_grams(docs, 3, "doc_id", "text").collect()
     assert [(r.doc_id, r.g) for r in rows] == [(2, "abc")]
+
+def test_edit_distance_salted_path_equals_default(spark):
+    """n_salt only changes task placement, never the pair set: the
+    salted join must emit exactly the unsalted result (each pair once,
+    no duplicates from the S-fold side-B fan-out)."""
+    from outboxx_spark.dataops.editdist import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog while counting stars"
+    docs = [
+        (0, base),
+        (1, base.replace("quick", "qwick")),
+        (2, base + " tonight"),
+        (3, "completely unrelated content about parquet row groups"),
+        (4, base.replace("lazy", "hazy").replace("fox", "fax")),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    plain = sorted(
+        (r.doc_a, r.doc_b, r.dist) for r in edit_distance_pairs(df, d=8).collect()
+    )
+    salted = sorted(
+        (r.doc_a, r.doc_b, r.dist)
+        for r in edit_distance_pairs(df, d=8, n_salt=8).collect()
+    )
+    assert plain == salted and plain  # identical and non-empty
