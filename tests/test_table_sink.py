@@ -269,3 +269,21 @@ def test_compaction_clears_emptied_bucket(spark, tmp_path):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     rows = {(r["user_id"], r["op"]) for r in spark.read.parquet(table).collect()}
     assert rows == {(1, "INSERT")}
+
+
+def test_upsert_works_on_scheme_qualified_uri(spark, tmp_path):
+    """The sink's existence probe and rename commit must work on a
+    scheme-qualified table URI (file://...), not just bare local paths —
+    the driver-local os.path probe this replaced always returned False
+    for any URI, silently skipping the merge with existing state."""
+    table = f"file://{tmp_path}/tbl"
+    cols = "op string, resource string, lsn long, commit_ts long, user_id long"
+    upsert_batch(
+        spark.createDataFrame([("INSERT", "public.t0", 1, 10, 7)], cols), table
+    )
+    # second batch MUST merge with (not replace) the existing state
+    upsert_batch(
+        spark.createDataFrame([("INSERT", "public.t0", 2, 11, 8)], cols), table
+    )
+    rows = {r["user_id"] for r in read_table_state(spark, table).collect()}
+    assert rows == {7, 8}
