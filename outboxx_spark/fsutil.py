@@ -1,0 +1,27 @@
+"""Scheme-aware filesystem access via Spark's Hadoop configuration.
+
+Driver-local ``os.path`` probes silently misreport on any non-local
+data location (hdfs://, s3a://, file:// URIs): ``isdir``/``exists``
+return False, and callers skip merges or snapshot sources without an
+error. Every existence/listing probe against a DATA path must go
+through Hadoop's FileSystem API instead (local paths resolve through
+RawLocalFileSystem, so behavior is unchanged where os.path worked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path, jvm) for ``path_str``, resolved through the
+    session's Hadoop conf — scheme-aware, unlike driver-local os.path."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
+def fs_exists(spark: SparkSession, path_str: str) -> bool:
+    fs, path, _ = hadoop_fs(spark, path_str)
+    return bool(fs.exists(path))

@@ -90,6 +90,12 @@ def _streamable_dir(path: str) -> str:
     path itself as partition-discovery basePath). When the feed is a
     single parquet file (the raw testdata layout), expose it through a
     stable symlink directory."""
+    if "://" in path:
+        # remote locations (hdfs://, s3a://, file://) are directories or
+        # stream sources in any real layout; the symlink shim below is
+        # strictly the LOCAL single-file testdata accommodation and
+        # os.symlink cannot span schemes
+        return path
     if os.path.isdir(path):
         return path
     key = hashlib.md5(path.encode()).hexdigest()[:12]

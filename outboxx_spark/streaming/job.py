@@ -72,17 +72,30 @@ def _route_and_serialize(batch: DataFrame, streams: DataFrame) -> DataFrame:
     return routed.withColumn("key", _dynamic_key(FEED_DATA_COLS))  # R3
 
 
-def snapshot_tables_preflight(sf_dir: str, config: PipelineConfig) -> list[str]:
+def snapshot_tables_preflight(
+    sf_dir: str, config: PipelineConfig, spark: SparkSession | None = None
+) -> list[str]:
     """V3-analog pre-flight: a read-opted resource must exist as a
     snapshot source (the reference validates table existence against
     pg_catalog before starting, `src/source/postgres/validator.zig:
     76-179`). Resources backed only by the live feed (the testbed's
     virtual ``public.tN`` tables) have no snapshot source and are
-    skipped — their READ events arrive in-band."""
+    skipped — their READ events arrive in-band.
+
+    With a session, existence probes go through Hadoop's FileSystem
+    (scheme-aware — hdfs://, file:// URIs); driver-local os.path is the
+    sessionless fallback and only answers for local bare paths."""
     out = []
     for resource in config.snapshot_resources():
         table = resource.split(".", 1)[1]
-        if os.path.exists(os.path.join(sf_dir, f"{table}.parquet")):
+        path = f"{sf_dir}/{table}.parquet"
+        if spark is not None:
+            from outboxx_spark.fsutil import fs_exists
+
+            present = fs_exists(spark, path)
+        else:
+            present = os.path.exists(path)
+        if present:
             out.append(resource)
     return out
 
@@ -102,7 +115,7 @@ def run_snapshot_phase(
     written."""
     total = 0
     streams = streams_dim(spark, config.streams)
-    for resource in snapshot_tables_preflight(sf_dir, config):
+    for resource in snapshot_tables_preflight(sf_dir, config, spark):
         table = resource.split(".", 1)[1]
         snap = snapshot_table(
             spark, sf_dir, table, start_lsn=start_lsn, snapshot_ts=snapshot_ts

@@ -56,6 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from outboxx_spark.fsutil import hadoop_fs as _fs
 from outboxx_spark.operators.materialize import materialize
 
 DEFAULT_N_BUCKETS = 16
@@ -66,15 +67,6 @@ _UNDO = ".undo"
 
 def _bucket(resource_col, key_col, n_buckets: int):
     return F.pmod(F.xxhash64(resource_col, key_col), F.lit(n_buckets)).cast("int")
-
-
-def _fs(spark: SparkSession, path_str: str):
-    """(FileSystem, Path, jvm) for ``path_str`` via Spark's Hadoop conf —
-    scheme-aware (file://, hdfs://, …), unlike driver-local os.path."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(path_str)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, path, jvm
 
 
 def _rename_or_raise(fs, src, dst) -> None:

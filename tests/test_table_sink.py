@@ -1,5 +1,5 @@
 """Keyed-upsert table sink: continuous MERGE INTO semantics from plain
-parquet + dynamic partition overwrite (streaming/table_sink.py)."""
+parquet + staged per-bucket rename commit (streaming/table_sink.py)."""
 
 from __future__ import annotations
 
