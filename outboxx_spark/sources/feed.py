@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,8 +91,13 @@ def _streamable_dir(path: str) -> str:
     path itself as partition-discovery basePath). When the feed is a
     single parquet file (the raw testdata layout), expose it through a
     stable symlink directory."""
-    if "://" in path:
-        # remote locations (hdfs://, s3a://, file://) are directories or
+    if path.startswith("file://"):
+        # same machine, different spelling: strip the scheme and fall
+        # through to the local shim so a file:// single-file feed works
+        # exactly like its bare-path form
+        path = urlparse(path).path
+    elif "://" in path:
+        # truly remote locations (hdfs://, s3a://) are directories or
         # stream sources in any real layout; the symlink shim below is
         # strictly the LOCAL single-file testdata accommodation and
         # os.symlink cannot span schemes

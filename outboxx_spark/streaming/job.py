@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from outboxx_spark.config import PipelineConfig
+from outboxx_spark.fsutil import fs_exists
 from outboxx_spark.functions.envelope import serialize_feed
 from outboxx_spark.operators.keys import partition_key
 from outboxx_spark.operators.routing import route, streams_dim
@@ -82,19 +83,26 @@ def snapshot_tables_preflight(
     virtual ``public.tN`` tables) have no snapshot source and are
     skipped — their READ events arrive in-band.
 
-    With a session, existence probes go through Hadoop's FileSystem
-    (scheme-aware — hdfs://, file:// URIs); driver-local os.path is the
-    sessionless fallback and only answers for local bare paths."""
+    With a session, existence probes go through Hadoop's FileSystem —
+    the SAME path resolution ``snapshot_table``'s ``spark.read.parquet``
+    will use (bare paths resolve against fs.defaultFS on a cluster), so
+    the probe can never disagree with the read that follows it.
+    Driver-local os.path is the sessionless fallback for local bare
+    paths only; a scheme-qualified sf_dir without a session raises
+    instead of silently misreporting False for every resource."""
+    if spark is None and "://" in sf_dir:
+        raise ValueError(
+            f"snapshot_tables_preflight needs a SparkSession to probe "
+            f"scheme-qualified locations (got {sf_dir!r}): os.path would "
+            f"silently report every resource absent"
+        )
     out = []
     for resource in config.snapshot_resources():
         table = resource.split(".", 1)[1]
         path = f"{sf_dir}/{table}.parquet"
-        if spark is not None:
-            from outboxx_spark.fsutil import fs_exists
-
-            present = fs_exists(spark, path)
-        else:
-            present = os.path.exists(path)
+        present = (
+            fs_exists(spark, path) if spark is not None else os.path.exists(path)
+        )
         if present:
             out.append(resource)
     return out

@@ -134,3 +134,28 @@ def test_listener_counts_termination_errors(spark):
     listener.onQueryTerminated(Ev())
     assert reg.produce_errors == 1
     assert listener.terminated_with_error
+
+
+def test_streamable_dir_handles_file_uri_single_file(spark):
+    """A file:// single-file feed location must route through the local
+    symlink shim (FileStreamSource needs a directory) exactly like its
+    bare-path spelling; truly remote schemes pass through untouched."""
+    from outboxx_spark.sources.feed import _streamable_dir
+
+    bare = _streamable_dir(f"{SF}/events.parquet")
+    uri = _streamable_dir(f"file://{SF}/events.parquet")
+    assert bare == uri  # same shim directory for both spellings
+    import os
+
+    assert os.path.isdir(uri)
+    assert _streamable_dir("hdfs://nn/data/feed") == "hdfs://nn/data/feed"
+
+
+def test_preflight_rejects_scheme_path_without_session():
+    """os.path.exists silently reports every scheme-qualified resource
+    absent — the sessionless fallback must refuse rather than skip."""
+    from outboxx_spark.streaming.job import snapshot_tables_preflight
+    from outboxx_spark.testbed import default_config
+
+    with pytest.raises(ValueError, match="SparkSession"):
+        snapshot_tables_preflight("hdfs://nn/data/sf1", default_config())
