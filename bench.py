@@ -165,6 +165,46 @@ def main() -> None:
     finally:
         shutil.rmtree(sink_root, ignore_errors=True)
 
+    # Dedup scale-exponent probe: minhash dedup at 1x and 4x the corpus.
+    # The banded LSH path claims near-linear candidate generation; a
+    # quadratic pipeline would show ~16x time at 4x docs. Copies get an
+    # alphabet rotation so they are NOT near-dups of their originals
+    # (same shingle statistics, disjoint shingle sets) — the 4x corpus
+    # stresses volume, not artificial clone clusters.
+    dedup_1x_sec = dedup_4x_sec = None
+    try:
+        from pyspark.sql import functions as SF
+
+        from outboxx_spark.dataops.dedup import minhash_dedup_pairs
+
+        docs = read_table(spark, sf_dir, "documents")
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        copies = [docs.select("doc_id", "text")]
+        n_docs = docs.count()
+        for r in (1, 2, 3):
+            rot = alpha[r:] + alpha[:r]
+            copies.append(
+                docs.select(
+                    (SF.col("doc_id") + r * n_docs).alias("doc_id"),
+                    SF.translate("text", alpha, rot).alias("text"),
+                )
+            )
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        big = big.repartition(32).localCheckpoint(eager=True)
+        d1 = minhash_dedup_pairs(copies[0].localCheckpoint(eager=True))
+        d4 = minhash_dedup_pairs(big)
+        d1.write.format("noop").mode("overwrite").save()  # warm plans
+        dedup_1x_sec = round(
+            min(_timed(lambda: d1.write.format("noop").mode("overwrite").save()) for _ in range(2)), 4
+        )
+        dedup_4x_sec = round(
+            min(_timed(lambda: d4.write.format("noop").mode("overwrite").save()) for _ in range(2)), 4
+        )
+    except Exception as e:  # the probe must never sink the bench
+        print(f"# dedup scaleup probe failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     extra = {
         "pipeline_events": n_events,
@@ -177,6 +217,11 @@ def main() -> None:
         "tablesink_incr_sec": tablesink_incr_sec,
         "tablesink_events_per_sec": (
             round(n_events / tablesink_load_sec) if tablesink_load_sec else None
+        ),
+        "dedup_1x_sec": dedup_1x_sec,
+        "dedup_4x_sec": dedup_4x_sec,
+        "dedup_4x_time_ratio": (
+            round(dedup_4x_sec / dedup_1x_sec, 2) if dedup_1x_sec and dedup_4x_sec else None
         ),
         "n_queries": len(timings),
         "detail": "bench_detail.json",
