@@ -192,8 +192,11 @@ def main() -> None:
         big = copies[0]
         for c in copies[1:]:
             big = big.unionByName(c)
+        # both corpora repartitioned identically — otherwise the 1x side
+        # (a single parquet file -> one partition) runs handicapped and
+        # the ratio flatters the pipeline
         big = big.repartition(32).localCheckpoint(eager=True)
-        d1 = minhash_dedup_pairs(copies[0].localCheckpoint(eager=True))
+        d1 = minhash_dedup_pairs(copies[0].repartition(32).localCheckpoint(eager=True))
         d4 = minhash_dedup_pairs(big)
         d1.write.format("noop").mode("overwrite").save()  # warm plans
         dedup_1x_sec = round(
