@@ -20,9 +20,11 @@ VLDB'01; the All-Pairs/PPJoin prefix lemma):
   because the prefix keeps the RAREST grams.
 
 100 TB shape: one groupBy for global gram frequencies (map-side
-partial agg), one window per doc for the prefix (partitioned by doc),
-a bucket join on prefix grams, then JVM `levenshtein` with an early
-exit threshold on the candidate tail. No Python anywhere. The count
+partial agg), one groupBy per doc for the rarity prefix (in-array
+sort + slice — no window, no extra shuffle), a bucket join keyed on
+(prefix gram, length band) so the |len| filter rides the join key,
+then JVM `levenshtein` with an early exit threshold on the candidate
+tail. No Python anywhere. The count
 bound is vacuous when ``max(|G|) <= d*q`` (both docs shorter than
 ``d*q + q - 1`` chars), so docs at or below that length go through a
 short-bucket cross join — a negligible sliver of any length-filtered
