@@ -123,3 +123,58 @@ def test_envelope_escaping_over_generated_corpus(spark):
     for r in out:
         parsed = json.loads(r["value"])  # every envelope is valid RFC 8259
         assert parsed["data"]["name"] == corpus[r["lsn"]]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([None, "r1", "r2"]),   # resource (first key col, nullable)
+            st.integers(0, 15),                     # user_id
+            st.booleans(),                          # present in old
+            st.booleans(),                          # present in new
+            st.integers(0, 2),                      # old value
+            st.integers(0, 2),                      # new value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_snapshot_diff_matches_dict_model(spark, rows):
+    """snapshot_diff must equal the obvious dict-diff model for ANY
+    membership/value pattern, including NULL first-key rows."""
+    from outboxx_spark.operators.materialize import snapshot_diff
+
+    old_map, new_map = {}, {}
+    for res, uid, in_old, in_new, vo, vn in rows:
+        key = (res, uid)
+        if key in old_map or key in new_map:
+            continue  # first writer wins; keys must be unique per side
+        if in_old:
+            old_map[key] = float(vo)
+        if in_new:
+            new_map[key] = float(vn)
+    expected = {}
+    for key in set(old_map) | set(new_map):
+        if key not in old_map:
+            expected[key] = "INSERT"
+        elif key not in new_map:
+            expected[key] = "DELETE"
+        elif old_map[key] != new_map[key]:
+            expected[key] = "UPDATE"
+    cols = "resource string, user_id long, value double"
+    old_df = spark.createDataFrame(
+        [(r, u, v) for (r, u), v in old_map.items()] or [(None, -1, 0.0)], cols
+    )
+    new_df = spark.createDataFrame(
+        [(r, u, v) for (r, u), v in new_map.items()] or [(None, -1, 0.0)], cols
+    )
+    if not old_map:
+        old_df = old_df.filter("user_id >= 0")
+    if not new_map:
+        new_df = new_df.filter("user_id >= 0")
+    got = {
+        (r["resource"], r["user_id"]): r["change_op"]
+        for r in snapshot_diff(old_df, new_df, compare_cols=("value",)).collect()
+    }
+    assert got == expected
