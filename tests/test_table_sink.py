@@ -287,3 +287,34 @@ def test_upsert_works_on_scheme_qualified_uri(spark, tmp_path):
     )
     rows = {r["user_id"] for r in read_table_state(spark, table).collect()}
     assert rows == {7, 8}
+
+
+def test_compaction_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash during compact_table's swap (bucket parked in .undo, live
+    dir missing) must be repaired by the next compact: the parked bucket
+    is restored first, then compacted normally — no rows lost, expired
+    tombstones still dropped."""
+    import shutil
+
+    from outboxx_spark.streaming.table_sink import compact_table
+
+    table = str(tmp_path / "tbl")
+    cols = "op string, resource string, lsn long, commit_ts long, user_id long"
+    upsert_batch(
+        spark.createDataFrame(
+            [
+                ("INSERT", "public.t0", 1, 10, 1),
+                ("DELETE", "public.t0", 2, 10, 2),   # expired tombstone
+                ("INSERT", "public.t0", 3, 10, 3),
+            ],
+            cols,
+        ),
+        table,
+    )
+    victim = next(d for d in os.listdir(table) if d.startswith("bucket="))
+    os.makedirs(os.path.join(table, ".undo"), exist_ok=True)
+    shutil.move(os.path.join(table, victim), os.path.join(table, ".undo", victim))
+    compact_table(spark, table, tombstone_horizon_lsn=50)
+    rows = {(r["user_id"], r["op"]) for r in spark.read.parquet(table).collect()}
+    assert rows == {(1, "INSERT"), (3, "INSERT")}
+    assert not os.path.exists(os.path.join(table, ".undo"))
