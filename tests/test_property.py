@@ -125,6 +125,44 @@ def test_envelope_escaping_over_generated_corpus(spark):
         assert parsed["data"]["name"] == corpus[r["lsn"]]
 
 
+@settings(max_examples=4, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="ab ", max_size=60), min_size=2, max_size=12),
+    d=st.sampled_from([2, 4, 8]),
+)
+def test_edit_distance_blocking_is_complete(spark, texts, d):
+    """The q-gram count/prefix blocking must emit EXACTLY the brute-force
+    pair set for arbitrary corpora — a tiny alphabet forces gram
+    collisions, lengths 0..60 straddle the short-doc boundary
+    (d*q+q-1), and duplicate texts exercise dist=0 pairs. This is the
+    randomized counterpart of the fixed-corpus test in test_dataops."""
+    from outboxx_spark.dataops.editdist import edit_distance_pairs
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (i, j, lev(texts[i], texts[j]))
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if lev(texts[i], texts[j]) <= d
+    }
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in edit_distance_pairs(df, d=d).collect()
+    }
+    assert got == expected
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     rows=st.lists(
