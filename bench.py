@@ -87,13 +87,16 @@ def main() -> None:
         for _ in range(5)
     )
 
-    # min of 2 runs per query, as two interleaved passes over the whole
-    # list: single-shot times on a shared host vary ~2x with background
-    # load, and a load spike lasts seconds — back-to-back repeats would
-    # poison both samples of one query, while interleaving decorrelates
-    # them. The min is the stable "capability" number.
+    # min of 3 runs per query, as three interleaved passes over the
+    # whole list: single-shot times on a shared host vary ~2x with
+    # background load, and a load spike lasts seconds — back-to-back
+    # repeats would poison both samples of one query, while interleaving
+    # decorrelates them. Two passes still recorded one 6x phantom
+    # (cdc_pgoutput_roundtrip 5.56s vs 1.2s standalone) when a spike
+    # spanned a whole pass; the third sample costs ~40s and caps that
+    # tail. The min is the stable "capability" number.
     dfs = {name: qs[name](spark, sf_dir) for name in bench_names}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in bench_names:
             t0 = time.perf_counter()
             dfs[name].write.format("noop").mode("overwrite").save()

@@ -196,10 +196,10 @@ def minhash_signatures(df: DataFrame, k: int = 3, text_col: str = "text") -> Dat
     return idx.groupBy("doc_id").agg(*mins)
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Band the signature (32 bands of 4), bucket-join on (band, band
-    signature), emit distinct candidate (a < b) pairs. Shuffle volume:
-    n_docs x n_bands tiny keyed rows — the scale path."""
+def lsh_band_buckets(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): each signature banded into 32 bands of 4 —
+    the LSH bucket keys. Shared by the batch self-join pair generator
+    and the incremental store (dataops/incremental.py)."""
     n_bands = N_MINHASHES // LSH_BAND_SIZE
     bands = F.array(
         *[
@@ -213,9 +213,16 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    buckets = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
+    return sigs.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig")
     )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signature (32 bands of 4), bucket-join on (band, band
+    signature), emit distinct candidate (a < b) pairs. Shuffle volume:
+    n_docs x n_bands tiny keyed rows — the scale path."""
+    buckets = lsh_band_buckets(sigs)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -1,0 +1,121 @@
+"""Incremental MinHash dedup: batches deduped against the survivor
+store, first-seen-wins across batches, idempotent replay, and the
+streaming wrapper. Jaccard expectations are computed by a plain Python
+set model (k=1 shingles = token sets, so the numbers are exact)."""
+
+from __future__ import annotations
+
+import pytest
+
+from outboxx_spark.dataops.incremental import (
+    incremental_minhash_dedup_batch,
+    read_dedup_pairs,
+    read_survivors,
+    start_incremental_dedup_stream,
+)
+
+C8 = "c1 c2 c3 c4 c5 c6 c7 c8"
+DOC_A = (1, f"{C8} a1 a2")            # keeper
+DOC_B = (2, f"{C8} b1 b2")            # J(A,B) = 8/12 ~ 0.667 -> dropped
+DOC_C = (3, "c1 c2 c3 c4 c5 b1 b2 d1 d2 d3")  # J(B,C)=7/13~0.54, J(A,C)=5/15~0.33
+DOC_D = (4, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10")  # novel
+
+
+def _jac(t1: str, t2: str) -> float:
+    s1, s2 = set(t1.split()), set(t2.split())
+    return len(s1 & s2) / len(s1 | s2)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_first_seen_wins(spark, tmp_path):
+    """B drops against batchmate A; C (a dup of the DROPPED B only)
+    survives batch 2 because the store holds survivors, not casualties;
+    novel D survives. Pair rows carry the exact integer Jaccard parts."""
+    assert _jac(DOC_A[1], DOC_B[1]) >= 0.5
+    assert _jac(DOC_B[1], DOC_C[1]) >= 0.5
+    assert _jac(DOC_A[1], DOC_C[1]) < 0.5
+    store = str(tmp_path / "store")
+    incremental_minhash_dedup_batch(
+        _docs_df(spark, [DOC_A, DOC_B]), store, batch_id=0, k=1
+    )
+    assert {r.doc_id for r in read_survivors(spark, store).collect()} == {1}
+    incremental_minhash_dedup_batch(
+        _docs_df(spark, [DOC_C, DOC_D]), store, batch_id=1, k=1
+    )
+    assert {r.doc_id for r in read_survivors(spark, store).collect()} == {1, 3, 4}
+    pairs = {
+        (r.doc_a, r.doc_b, r.inter, r.n_a, r.n_b)
+        for r in read_dedup_pairs(spark, store).collect()
+    }
+    assert pairs == {(1, 2, 8, 10, 10)}
+
+
+def test_cross_batch_dup_is_dropped(spark, tmp_path):
+    """An exact re-send of a stored survivor in a later batch drops."""
+    store = str(tmp_path / "store")
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_A]), store, batch_id=0, k=1)
+    resend = (99, DOC_A[1])
+    incremental_minhash_dedup_batch(
+        _docs_df(spark, [resend, DOC_D]), store, batch_id=1, k=1
+    )
+    assert {r.doc_id for r in read_survivors(spark, store).collect()} == {1, 4}
+    assert {(r.doc_a, r.doc_b) for r in read_dedup_pairs(spark, store).collect()} == {
+        (1, 99)
+    }
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """Re-running a batch with the same batch_id (Structured Streaming's
+    crash-recovery contract) leaves the store byte-identical in content:
+    same survivors, same pairs, no duplicated rows."""
+    store = str(tmp_path / "store")
+    incremental_minhash_dedup_batch(
+        _docs_df(spark, [DOC_A, DOC_B]), store, batch_id=0, k=1
+    )
+    for _ in range(2):  # replay batch 1 twice
+        incremental_minhash_dedup_batch(
+            _docs_df(spark, [DOC_C, DOC_D]), store, batch_id=1, k=1
+        )
+    surv = [r.doc_id for r in read_survivors(spark, store).collect()]
+    assert sorted(surv) == [1, 3, 4]  # no duplicates from the replay
+    assert read_dedup_pairs(spark, store).count() == 1
+
+
+def test_empty_batch_is_a_noop(spark, tmp_path):
+    """An empty micro-batch writes nothing — the store stays readable
+    (a data-less batch_id partition tree would break schema inference)."""
+    store = str(tmp_path / "store")
+    empty = _docs_df(spark, []).filter("doc_id > 0")
+    incremental_minhash_dedup_batch(empty, store, batch_id=0, k=1)
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_A]), store, batch_id=1, k=1)
+    incremental_minhash_dedup_batch(empty, store, batch_id=2, k=1)
+    assert {r.doc_id for r in read_survivors(spark, store).collect()} == {1}
+
+
+def test_streaming_wrapper_end_to_end(spark, tmp_path):
+    """File-source stream, one file per micro-batch: the final survivor
+    set is the same regardless of which file becomes which batch (the
+    corpus is constructed so both orders converge)."""
+    src = tmp_path / "src"
+    _docs_df(spark, [DOC_A, DOC_B]).coalesce(1).write.parquet(str(src / "f1"))
+    _docs_df(spark, [DOC_C, DOC_D]).coalesce(1).write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/*.parquet")
+    )
+    q = start_incremental_dedup_stream(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        k=1,
+    )
+    q.awaitTermination(120)
+    assert {r.doc_id for r in read_survivors(spark, str(tmp_path / "store")).collect()} == {
+        1,
+        3,
+        4,
+    }
