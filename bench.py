@@ -75,17 +75,20 @@ def main() -> None:
     from outboxx_spark.testbed import default_config
 
     n_events = read_feed(spark, sf_dir).count()
-    # best of 5: the pipeline finishes in ~1s at sf0.1, so single-shot
-    # timings are dominated by scheduler jitter
-    pipeline_sec = min(
-        _timed(
-            lambda: routed_envelopes(spark, sf_dir, default_config())
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        for _ in range(5)
+    # best of 5+3: the pipeline finishes in ~0.5s at sf0.1, so
+    # single-shot timings are dominated by scheduler jitter — and a
+    # host-load spike lasting a few seconds can poison ALL of a
+    # back-to-back batch (r4 observed min-of-5 at 0.90s vs 0.46s
+    # steady-state minutes later). A second batch after the query loop
+    # decorrelates the headline from any single spike; the reported
+    # number is the min across both batches.
+    _pipeline_run = (
+        lambda: routed_envelopes(spark, sf_dir, default_config())
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
     )
+    pipeline_sec = min(_timed(_pipeline_run) for _ in range(5))
 
     # min of 3 runs per query, as three interleaved passes over the
     # whole list: single-shot times on a shared host vary ~2x with
@@ -103,6 +106,8 @@ def main() -> None:
             dt = time.perf_counter() - t0
             timings[name] = round(min(timings.get(name, dt), dt), 4)
 
+    # second, decorrelated pipeline batch (see comment at the first)
+    pipeline_sec = min(pipeline_sec, min(_timed(_pipeline_run) for _ in range(3)))
     timings["cdc_pipeline_full"] = round(pipeline_sec, 4)
 
     # Scale-up artifact (tracked per round, not just asserted in
