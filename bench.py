@@ -270,8 +270,22 @@ def main() -> None:
         "extra": extra,
     }
     spark.stop()
+    # The printed line must stay under the driver's ~2 KB capture
+    # buffer. Degrade gracefully instead of asserting after the
+    # multi-minute run: drop the marquee block, then non-headline
+    # extras, so SOME parseable line with the headline always prints.
     line = json.dumps(out)
-    assert len(line) < 1800, f"bench line {len(line)}B would overflow driver capture"
+    if len(line) >= 1800:
+        print(f"# bench line {len(line)}B; dropping marquee queries", file=sys.stderr)
+        out["queries"] = {}
+        line = json.dumps(out)
+    if len(line) >= 1800:
+        print(f"# bench line still {len(line)}B; dropping extras", file=sys.stderr)
+        out["extra"] = {
+            "pipeline_events_per_sec": extra["pipeline_events_per_sec"],
+            "detail": "bench_detail.json",
+        }
+        line = json.dumps(out)
     print(line)
 
 

@@ -218,11 +218,11 @@ def lsh_band_buckets(sigs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Band the signature (32 bands of 4), bucket-join on (band, band
-    signature), emit distinct candidate (a < b) pairs. Shuffle volume:
-    n_docs x n_bands tiny keyed rows — the scale path."""
-    buckets = lsh_band_buckets(sigs)
+def lsh_bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """Self-join precomputed (doc_id, band, sig) bucket rows on (band,
+    sig), emit distinct candidate (a < b) pairs. Shared by the batch
+    path and the incremental store (which has the buckets checkpointed
+    already)."""
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -237,6 +237,40 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signature (32 bands of 4), bucket-join on (band, band
+    signature), emit distinct candidate (a < b) pairs. Shuffle volume:
+    n_docs x n_bands tiny keyed rows — the scale path."""
+    return lsh_bucket_pairs(lsh_band_buckets(sigs))
+
+
+def verify_jaccard_pairs(
+    cand: DataFrame, sets_a: DataFrame, sets_b: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact set-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against (doc_id, sh) distinct-shingle sets; integer arithmetic only
+    (same output contract as ``ngram_jaccard_pairs``). The single
+    definition of the threshold predicate — the batch minhash path and
+    the incremental store must never diverge on it."""
+    a = sets_a.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets_b.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .filter(
+            F.col("inter").cast("double")
+            >= F.lit(threshold) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame, k: int = 3, threshold: float = 0.5, text_col: str = "text"
 ) -> DataFrame:
@@ -246,23 +280,7 @@ def minhash_dedup_pairs(
     distinct-shingle arrays and computes the exact intersection."""
     cands = lsh_candidate_pairs(minhash_signatures(df, k, text_col))
     sets_ = _parallelized(df).select("doc_id", shingles(F.col(text_col), k).alias("sh"))
-    a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
-            F.size("sh_a").alias("n_a"),
-            F.size("sh_b").alias("n_b"),
-        )
-    )
-    return verified.filter(
-        F.col("inter").cast("double")
-        >= F.lit(threshold) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    )
+    return verify_jaccard_pairs(cands, sets_, sets_, threshold)
 
 
 # ---------------------------------------------------------------------------

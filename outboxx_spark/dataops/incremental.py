@@ -56,38 +56,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from outboxx_spark.dataops.dedup import lsh_band_buckets, minhash_signatures
+from outboxx_spark.dataops.dedup import (
+    lsh_band_buckets,
+    lsh_bucket_pairs,
+    minhash_signatures,
+    verify_jaccard_pairs,
+)
 from outboxx_spark.dataops.text import shingles
 from outboxx_spark.dataops.util import parallelized as _parallelized
-from outboxx_spark.fsutil import fs_exists
+from outboxx_spark.fsutil import fs_exists, fs_read_text, fs_write_text
 
 DEFAULT_STORE_BUCKETS = 64
+
+_META = "_dedup_store_meta.json"
+
+
+def _check_store_meta(
+    spark: SparkSession, store_dir: str, k: int, threshold: float, n_store_buckets: int
+) -> None:
+    """The store's layout parameters are baked into its data: ``bkt``/
+    ``dbk`` partitions are hashes mod ``n_store_buckets``, shingle sets
+    and signatures depend on ``k``, survivor membership on
+    ``threshold``. A later call with different values would prune the
+    WRONG store partitions and silently pass duplicates through, so the
+    parameters are persisted on first write and every call must match
+    them exactly (fail-stop, same rule as the pgoutput decoder)."""
+    import json as _json
+
+    meta_path = f"{store_dir}/{_META}"
+    want = {"k": k, "threshold": threshold, "n_store_buckets": n_store_buckets}
+    raw = fs_read_text(spark, meta_path)
+    if raw is None:
+        fs_write_text(spark, meta_path, _json.dumps(want))
+        return
+    have = _json.loads(raw)
+    if have != want:
+        raise ValueError(
+            f"dedup store {store_dir} was created with {have}; refusing to "
+            f"run with {want} — mismatched parameters silently corrupt "
+            "dedup (wrong partitions pruned, incomparable shingle sets)"
+        )
 
 
 def _bkt(*cols, n: int):
     return F.pmod(F.xxhash64(*cols), F.lit(n)).cast("int")
-
-
-def _verify_jaccard(cand: DataFrame, sets_a: DataFrame, sets_b: DataFrame, threshold: float) -> DataFrame:
-    """Exact set-Jaccard over candidate (doc_a, doc_b) pairs; integer
-    arithmetic only (same output contract as ngram_jaccard_pairs)."""
-    a = sets_a.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sets_b.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
-            F.size("sh_a").alias("n_a"),
-            F.size("sh_b").alias("n_b"),
-        )
-        .filter(
-            F.col("inter").cast("double")
-            >= F.lit(threshold) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
-        )
-    )
 
 
 def incremental_minhash_dedup_batch(
@@ -110,6 +122,7 @@ def incremental_minhash_dedup_batch(
         # an empty batch must write NOTHING: a data-less partition tree
         # under batch_id=N would make later store reads schema-less
         return
+    _check_store_meta(spark, store_dir, k, threshold, n_store_buckets)
 
     sigs = minhash_signatures(batch, k, "text")
     new_buckets = lsh_band_buckets(sigs).localCheckpoint(eager=True)
@@ -118,19 +131,9 @@ def incremental_minhash_dedup_batch(
     )
 
     # new-vs-new (standard banded self-join, batch-sized)
-    nb_a = new_buckets.alias("a")
-    nb_b = new_buckets.alias("b")
-    cand_nn = (
-        nb_a.join(
-            nb_b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    pairs = verify_jaccard_pairs(
+        lsh_bucket_pairs(new_buckets), new_sets, new_sets, threshold
     )
-    pairs = _verify_jaccard(cand_nn, new_sets, new_sets, threshold)
 
     buckets_root = f"{store_dir}/buckets"
     docs_root = f"{store_dir}/docs"
@@ -182,7 +185,7 @@ def incremental_minhash_dedup_batch(
                 .select("doc_id", "sh")
             )
             pairs = pairs.unionByName(
-                _verify_jaccard(cand_on, old_sets, new_sets, threshold)
+                verify_jaccard_pairs(cand_on, old_sets, new_sets, threshold)
             )
 
     pairs = pairs.localCheckpoint(eager=True)

@@ -25,3 +25,28 @@ def hadoop_fs(spark: SparkSession, path_str: str):
 def fs_exists(spark: SparkSession, path_str: str) -> bool:
     fs, path, _ = hadoop_fs(spark, path_str)
     return bool(fs.exists(path))
+
+
+def fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    """Write a small text file through Hadoop's FileSystem (works on any
+    scheme Spark can reach). Overwrites. For metadata-sized payloads
+    only — the bytes pass through the py4j gateway."""
+    fs, path, _ = hadoop_fs(spark, path_str)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path_str: str) -> str | None:
+    """Read a small text file through Hadoop's FileSystem; None if the
+    file does not exist."""
+    fs, path, _ = hadoop_fs(spark, path_str)
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        return bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()

@@ -387,11 +387,15 @@ def event_type_cardinality_approx_check(
     pairs first (one shuffle, map-side combined), then count pairs and
     sketch over the deduplicated keys — HLL is duplicate-insensitive,
     so the sketch value is bit-identical, and sketches now exist only
-    per (partition x event_type)."""
+    per (partition x event_type). ``n_users`` counts the pairs rows via
+    ``count(user_id)``, not ``count(*)``: a NULL user_id forms its own
+    pairs row, and SQL's COUNT(DISTINCT ...) — the oracle's exact side
+    and the HLL sketch alike — excludes NULLs, while ``n_events`` must
+    still include NULL-user rows."""
     ev = read_table(spark, sf_dir, "events")
     pairs = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("_pair_n"))
     grouped = pairs.groupBy("event_type").agg(
-        F.count("*").alias("n_users"),
+        F.count("user_id").alias("n_users"),
         F.approx_count_distinct("user_id", rsd).alias("n_users_hll"),
         F.sum("_pair_n").alias("n_events"),
     )

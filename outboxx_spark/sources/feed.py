@@ -91,10 +91,11 @@ def _streamable_dir(path: str) -> str:
     path itself as partition-discovery basePath). When the feed is a
     single parquet file (the raw testdata layout), expose it through a
     stable symlink directory."""
-    if path.startswith("file://"):
+    if path.startswith("file:"):
         # same machine, different spelling: strip the scheme and fall
-        # through to the local shim so a file:// single-file feed works
-        # exactly like its bare-path form
+        # through to the local shim so a file:// (or Hadoop's canonical
+        # single-slash file:/) feed works exactly like its bare-path
+        # form. urlparse handles both spellings.
         path = urlparse(path).path
     elif "://" in path:
         # truly remote locations (hdfs://, s3a://) are directories or

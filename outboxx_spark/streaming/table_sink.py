@@ -193,9 +193,35 @@ def upsert_batch(
     _commit_staged(spark, table_dir, prune_unstaged=False)
 
 
+def recover_table(spark: SparkSession, table_dir: str) -> None:
+    """Public entry for crash repair: restore any bucket parked in
+    ``.undo`` by an interrupted swap and discard leftover staging.
+    The write path runs this automatically; readers that hit the
+    torn-commit guard in :func:`read_table_state` call it explicitly
+    (it is idempotent and a no-op on a clean table) — but only when no
+    writer is live, since repair deletes the writer's in-flight
+    staging."""
+    _recover(spark, table_dir)
+
+
 def read_table_state(spark: SparkSession, table_dir: str) -> DataFrame:
     """Current table state (all buckets); DELETE tombstones excluded.
-    (.stage/.undo are dot-prefixed, so parquet readers never see them.)"""
+    (.stage/.undo are dot-prefixed, so parquet readers never see them.)
+
+    Torn-commit guard: if a writer crashed mid-swap, a bucket may exist
+    ONLY in ``.undo`` — invisible to parquet readers, so every key in
+    it would silently vanish from the result. Readers are not allowed
+    to observe that window: raise and point at :func:`recover_table`
+    rather than auto-repair, because a reader racing a LIVE writer's
+    commit (undo is also non-empty for an instant mid-swap) must not
+    delete the writer's staging out from under it."""
+    fs, _, jvm = _fs(spark, table_dir)
+    if _bucket_dirs(fs, jvm, jvm.org.apache.hadoop.fs.Path(table_dir, _UNDO)):
+        raise RuntimeError(
+            f"{table_dir} has buckets parked in {_UNDO} from an interrupted "
+            "commit; run recover_table() (write path does this "
+            "automatically) before reading, or retry if a writer is live"
+        )
     return (
         spark.read.parquet(table_dir)
         .filter(F.col("op") != "DELETE")

@@ -119,3 +119,23 @@ def test_streaming_wrapper_end_to_end(spark, tmp_path):
         3,
         4,
     }
+
+
+def test_store_refuses_mismatched_parameters(spark, tmp_path):
+    """The store's layout parameters (k, threshold, n_store_buckets) are
+    baked into its partition hashing and shingle sets; a later call with
+    different values must fail-stop instead of silently pruning the
+    wrong partitions and passing duplicates through."""
+    store = str(tmp_path / "store")
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_A]), store, batch_id=0, k=1)
+    with pytest.raises(ValueError, match="refusing"):
+        incremental_minhash_dedup_batch(
+            _docs_df(spark, [DOC_D]), store, batch_id=1, k=2
+        )
+    with pytest.raises(ValueError, match="refusing"):
+        incremental_minhash_dedup_batch(
+            _docs_df(spark, [DOC_D]), store, batch_id=1, k=1, n_store_buckets=32
+        )
+    # matching parameters still work after the rejected attempts
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_D]), store, batch_id=1, k=1)
+    assert {r.doc_id for r in read_survivors(spark, store).collect()} == {1, 4}

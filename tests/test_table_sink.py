@@ -12,6 +12,7 @@ from outboxx_spark.operators.materialize import materialize
 from outboxx_spark.sources.feed import read_feed, read_feed_stream
 from outboxx_spark.streaming.table_sink import (
     read_table_state,
+    recover_table,
     start_table_upsert_stream,
     upsert_batch,
 )
@@ -221,6 +222,31 @@ def test_upsert_recovers_bucket_parked_mid_swap(spark, tmp_path):
     }
     assert not os.path.exists(os.path.join(table, ".undo"))
     assert not os.path.exists(os.path.join(table, ".stage"))
+
+
+def test_read_refuses_torn_commit_until_recovered(spark, tmp_path):
+    """A reader must never silently observe a table missing a bucket
+    parked in .undo by a crashed swap (parquet readers skip dot-dirs,
+    so every key in that bucket would just vanish). read_table_state
+    raises; after recover_table() it returns the full pre-crash state."""
+    import shutil
+
+    table = str(tmp_path / "tbl")
+    cols = "op string, resource string, lsn long, commit_ts long, user_id long"
+    upsert_batch(
+        spark.createDataFrame(
+            [("INSERT", "public.t0", i, 10, i) for i in range(1, 30)], cols
+        ),
+        table,
+    )
+    want = _state_set(read_table_state(spark, table))
+    victim = next(d for d in os.listdir(table) if d.startswith("bucket="))
+    os.makedirs(os.path.join(table, ".undo"), exist_ok=True)
+    shutil.move(os.path.join(table, victim), os.path.join(table, ".undo", victim))
+    with pytest.raises(RuntimeError, match="recover_table"):
+        read_table_state(spark, table)
+    recover_table(spark, table)
+    assert _state_set(read_table_state(spark, table)) == want
 
 
 def test_upsert_recovers_completed_swap_with_stale_undo(spark, tmp_path):
