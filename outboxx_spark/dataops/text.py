@@ -324,3 +324,82 @@ SELECT doc_id, token, tfidf,
 FROM scored
 QUALIFY rnk <= {top}
 """
+
+
+def unigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_df: int = 2
+) -> DataFrame:
+    """Per-document unigram language-model quality scores — the
+    CCNet-style corpus filter: train add-one-smoothed token
+    probabilities on the corpus itself, score every document by mean
+    token log-probability (low = gibberish / boilerplate outlier) and
+    by OOV rate against a ``min_df``-pruned vocabulary.
+
+    p(tok) = (n_tok + 1) / (total + |V| + 1) with n_tok = 0 for tokens
+    whose document frequency is below ``min_df`` (the OOV mass).
+    Emits (doc_id, n_tokens, oov_rate, avg_logprob); documents with no
+    tokens are absent (no tokens to score).
+
+    Determinism: a double sum over a document's token log-probs is
+    float-order-dependent, so each log-prob is quantized to integer
+    micro-nats FIRST (CAST(round(ln(p) * 1e6) AS BIGINT)) — the same
+    integer-domain trick as the quantile queries' cents — making the
+    per-doc sum exact and order-independent; only the final mean is
+    rounded back. Mirrored verbatim in :func:`unigram_lm_scores_sql`.
+
+    100 TB shape: one explode, one vocabulary-sized groupBy (map-side
+    combinable), a broadcast vocab join, one per-doc aggregation. The
+    two corpus scalars (total occurrences, vocab size) are single
+    aggregate actions at plan-build time."""
+    occ = parallelized(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = occ.groupBy("token").agg(
+        F.count("*").alias("n_tok"), F.count_distinct(id_col).alias("df_")
+    )
+    vocab = counts.filter(F.col("df_") >= min_df).select("token", "n_tok")
+    total = occ.count()
+    v_size = vocab.count()
+    denom = float(total + v_size + 1)
+    lp_micro = F.round(
+        F.log((F.coalesce(F.col("n_tok"), F.lit(0)) + 1.0) / F.lit(denom)) * 1e6
+    ).cast("long")
+    scored = occ.join(F.broadcast(vocab), "token", "left").select(
+        F.col(id_col),
+        F.when(F.col("n_tok").isNull(), 1).otherwise(0).alias("is_oov"),
+        lp_micro.alias("lp_micro"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("is_oov") / F.count("*"), 6).alias("oov_rate"),
+        F.round(F.sum("lp_micro") / F.count("*") / 1e6, 6).alias("avg_logprob"),
+    )
+
+
+def unigram_lm_scores_sql(min_df: int = 2) -> str:
+    return f"""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+occf AS (SELECT doc_id, token FROM occ WHERE token != ''),
+counts AS (
+  SELECT token, count(*) AS n_tok, count(DISTINCT doc_id) AS df_
+  FROM occf GROUP BY token
+),
+vocab AS (SELECT token, n_tok FROM counts WHERE df_ >= {min_df}),
+tot AS (SELECT count(*) AS total FROM occf),
+vsz AS (SELECT count(*) AS v FROM vocab),
+lp AS (
+  SELECT o.doc_id,
+         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS is_oov,
+         CAST(round(ln((COALESCE(v.n_tok, 0) + 1.0)
+                       / (tot.total + vsz.v + 1.0)) * 1000000) AS BIGINT)
+           AS lp_micro
+  FROM occf o LEFT JOIN vocab v USING (token), tot, vsz
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(sum(is_oov) * 1.0 / count(*), 6) AS oov_rate,
+       round(sum(lp_micro) * 1.0 / count(*) / 1000000.0, 6) AS avg_logprob
+FROM lp GROUP BY doc_id
+"""

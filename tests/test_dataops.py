@@ -395,3 +395,60 @@ def test_edit_distance_salted_path_equals_default(spark):
         for r in edit_distance_pairs(df, d=8, n_salt=8).collect()
     )
     assert plain == salted and plain  # identical and non-empty
+
+
+def test_unigram_lm_scores_match_python_model(spark):
+    """Hand model: add-one-smoothed unigram log-probs with a min_df=2
+    vocab, quantized to micro-nats exactly as the operator does."""
+    import math
+
+    rows = [
+        (1, "a a b"),        # a: df 2, b: df 2 -> both in vocab
+        (2, "a b zz"),       # zz: df 1 -> OOV
+        (3, "c"),            # c: df 1 -> OOV, whole doc OOV
+    ]
+    occ = [(d, t) for d, txt in rows for t in txt.split()]
+    from collections import Counter
+
+    n_tok = Counter(t for _, t in occ)
+    df_ = {t: len({d for d, tt in occ if tt == t}) for t in n_tok}
+    vocab = {t: n for t, n in n_tok.items() if df_[t] >= 2}
+    denom = len(occ) + len(vocab) + 1
+    def lp_micro(t):
+        return round(math.log((vocab.get(t, 0) + 1.0) / denom) * 1e6)
+    want = {}
+    for d, txt in rows:
+        ts = txt.split()
+        oov = sum(1 for t in ts if t not in vocab)
+        want[d] = (
+            len(ts),
+            round(oov / len(ts), 6),
+            round(sum(lp_micro(t) for t in ts) / len(ts) / 1e6, 6),
+        )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["oov_rate"], r["avg_logprob"])
+        for r in tx.unigram_lm_scores(_docs(spark, rows)).collect()
+    }
+    assert got == want
+
+
+def test_unigram_lm_scores_match_duckdb_mirror(spark, sf_dir):
+    """The Spark operator and its DuckDB SQL mirror must agree row-for-
+    row on the real documents table (the r5 promotion contract)."""
+    import duckdb
+
+    sdf = {
+        r["doc_id"]: (r["n_tokens"], r["oov_rate"], r["avg_logprob"])
+        for r in tx.unigram_lm_scores(
+            read_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    odf = {
+        int(r[0]): (int(r[1]), float(r[2]), float(r[3]))
+        for r in con.execute(tx.unigram_lm_scores_sql()).fetchall()
+    }
+    assert sdf == odf
