@@ -845,3 +845,119 @@ def kmeans_assignments_sql(
     SELECT a.vec_id, a.cluster, s.cluster_size
     FROM assign a JOIN sizes s USING (cluster)
     """
+
+
+def diversity_sample(
+    emb: DataFrame,
+    fraction: float = 0.25,
+    n_clusters: int = 16,
+    sample_size: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-stratified coreset selection — the training-data
+    curation step that downsamples a corpus while preserving its
+    semantic spread: per k-means cluster, keep ``ceil(fraction *
+    cluster_size)`` vectors, closest-to-centroid first (the cluster's
+    most representative members), ties broken by id.
+
+    Output is float-free (vec_id, cluster, keep_rank): ranks come from
+    an exact cosine between each vector and its assigned centroid
+    computed with the SEQUENTIAL fold (:func:`cosine`) against the
+    centroid inlined as a literal array column — the same summation
+    order as the DuckDB mirror's ``list_sum`` fold, so the ranking is
+    reproducible across engines (the Arrow argmax assignment carries
+    the documented sub-ulp-tie assumption of :func:`ivf_ann_topk_sql`).
+
+    100 TB shape: centroids are a broadcast constant (trained on a
+    bounded driver-side sample); assignment is one Arrow matmul; the
+    centroid lookup is a broadcast join on an ``n_clusters``-row dim;
+    ranking is one window partitioned BY CLUSTER — no global sort. For
+    very hot clusters at extreme scale, swap the window for a per-
+    cluster approximate threshold (quantile of the score) to avoid a
+    single-reducer cluster; at sane cluster counts the window is the
+    exact, simpler choice."""
+    spark = emb.sparkSession
+    sample_rows = (
+        emb.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()[vec_col]
+    )
+    sample = np.vstack(sample_rows.to_numpy()).astype(np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    centroids = _kmeans_centroids(sample, n_clusters)
+
+    assigned = ivf_assignments(emb, centroids, id_col, vec_col)
+    cent_df = spark.createDataFrame(
+        [(c, [float(x) for x in centroids[c]]) for c in range(n_clusters)],
+        "cluster int, c array<double>",
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .join(assigned, "vid")
+        .join(F.broadcast(cent_df), "cluster")
+        .select(
+            "vid",
+            "cluster",
+            F.round(cosine(F.col("v"), F.col("c")), 6).alias("score"),
+        )
+    )
+    sizes = scored.groupBy("cluster").agg(F.count("*").alias("n"))
+    quota = F.ceil(F.lit(float(fraction)) * F.col("n")).cast("int")
+    w = W.partitionBy("cluster").orderBy(F.col("score").desc(), F.col("vid"))
+    return (
+        scored.join(F.broadcast(sizes), "cluster")
+        .withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= quota)
+        .select(F.col("vid").alias(id_col), "cluster", "keep_rank")
+    )
+
+
+def diversity_sample_sql(
+    fraction: float = 0.25,
+    n_clusters: int = 16,
+    sample_size: int = 1024,
+    sf_dir: str | None = None,
+) -> str:
+    """Mirror of :func:`diversity_sample`: identical centroid retrain,
+    argmax assignment (first-wins ties), sequential-fold cosine to the
+    assigned centroid rounded to 6dp, per-cluster rank, ceil quota."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    centroids = _train_centroids_from_parquet(sf_dir, n_clusters, sample_size)
+    dim = centroids.shape[1]
+    return f"""
+    WITH centroids(cid, c) AS (VALUES
+    {_matrix_values(centroids)}),
+    dots AS (
+      SELECT e.vec_id, ct.cid,
+             list_sum(list_transform(range(1, {dim + 1}),
+               i -> CAST(e.embedding[i] AS DOUBLE) * (ct.c)[i])) AS d
+      FROM embeddings e, centroids ct
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM dots) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT a.vec_id, a.cluster,
+             round(
+               list_sum(list_transform(range(1, {dim + 1}),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * (ct.c)[i]))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(ct.c, x -> x * x)))),
+               6) AS score
+      FROM assign a
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN centroids ct ON ct.cid = a.cluster
+    ),
+    sizes AS (SELECT cluster, count(*) AS n FROM scored GROUP BY cluster)
+    SELECT s.vec_id, s.cluster,
+           CAST(row_number() OVER (PARTITION BY s.cluster
+                                   ORDER BY s.score DESC, s.vec_id)
+                AS INTEGER) AS keep_rank
+    FROM scored s JOIN sizes z USING (cluster)
+    QUALIFY keep_rank <= CAST(ceil({fraction} * z.n) AS INTEGER)
+    """

@@ -452,3 +452,52 @@ def test_unigram_lm_scores_match_duckdb_mirror(spark, sf_dir):
         for r in con.execute(tx.unigram_lm_scores_sql()).fetchall()
     }
     assert sdf == odf
+
+
+def test_diversity_sample_quota_and_determinism(spark, sf_dir):
+    """Per-cluster quota is exactly ceil(fraction * cluster_size), the
+    selection is closest-to-centroid-first, and two runs agree."""
+    import math
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = sim.diversity_sample(emb, fraction=0.25).collect()
+    sizes = {
+        r["cluster"]: r["cluster_size"]
+        for r in sim.kmeans_assignments(emb).select("cluster", "cluster_size").distinct().collect()
+    }
+    per_cluster = {}
+    for r in out:
+        per_cluster.setdefault(r["cluster"], []).append(r["keep_rank"])
+    for c, ranks in per_cluster.items():
+        quota = math.ceil(0.25 * sizes[c])
+        assert sorted(ranks) == list(range(1, quota + 1))
+    again = sim.diversity_sample(emb, fraction=0.25).collect()
+    assert {(r["vec_id"], r["cluster"], r["keep_rank"]) for r in out} == {
+        (r["vec_id"], r["cluster"], r["keep_rank"]) for r in again
+    }
+
+
+def test_diversity_sample_matches_duckdb_mirror(spark, sf_dir):
+    """Spark operator vs its SQL mirror, row-for-row on the real
+    embeddings table (the r5 promotion contract)."""
+    import duckdb
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["vec_id"], r["cluster"], r["keep_rank"])
+        for r in sim.diversity_sample(emb, fraction=0.25).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    import os
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+    try:
+        want = {
+            (int(a), int(b), int(c))
+            for a, b, c in con.execute(sim.diversity_sample_sql(fraction=0.25)).fetchall()
+        }
+    finally:
+        del os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+    assert got == want
