@@ -1,0 +1,139 @@
+"""Distributed BPE tokenizer training over the ``documents`` corpus.
+
+The real tokenizer-training workload behind `text.bpe_tokens`'s
+regex approximation: learn byte-pair-encoding merge rules from corpus
+statistics (Sennrich et al. 2016, the public BPE algorithm), expressed
+Spark-first.
+
+Shape: ONE corpus-scale pass builds the distinct-word frequency table
+(`word-count vocab`), which for natural text is orders of magnitude
+smaller than the corpus (Heaps' law) — every merge round after that
+touches only the vocab table:
+
+    round i:  adjacent-symbol pair counts  = one explode + one
+              map-side-combinable groupBy over the vocab,
+              weighted by word frequency;
+              argmax pair                  = a 1-row driver action
+              (deterministic tie-break: count desc, then pair);
+              merge the pair in every word = one codegen'd fold
+              projection (no shuffle), lineage cut per round
+              exactly like `curation.dup_clusters`.
+
+All arithmetic is integer (counts) and string (symbols) — there is no
+float anywhere, so results are exactly reproducible on any engine and
+any partitioning; the pytest gate compares against a from-scratch
+Python implementation of the published algorithm.
+
+Semantics (matching the original published implementation): pair
+counts are the overlapping zip count (``aaa`` counts (a,a) twice);
+merging replaces occurrences greedily left-to-right (``aaa`` ->
+``aa a``); words are whitespace tokens, symbols start as single
+characters (no end-of-word marker — the corpus is single-space
+separated, so the in-word/cross-word distinction the marker encodes
+does not arise).
+
+100 TB: the corpus pass is one shuffle on word; vocab rounds are
+bounded by vocabulary size, not corpus size. n_merges rounds = n
+driver-coordinated vocab-sized jobs — the same iterate-on-bounded-
+state pattern as k-means training and label propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _chars(word: Column) -> Column:
+    """Word -> array of single-character symbols. The split point must
+    be followed by a character ((?=.)) — Spark's split otherwise emits
+    a trailing empty symbol that would be learned as a merge target."""
+    return F.split(word, "(?!^)(?=.)")
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array<string> -> array<struct<a,b>> of adjacent symbol pairs
+    (overlapping, Sennrich counting)."""
+    n = F.size(syms)
+    return F.arrays_zip(
+        F.slice(syms, 1, n - 1).alias("a"),
+        F.slice(syms, 2, n - 1).alias("b"),
+    )
+
+
+def _merge_pair(syms: Column, a: str, b: str) -> Column:
+    """Replace adjacent (a, b) occurrences with the merged symbol,
+    greedily left-to-right — one fold, stays in the JVM."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(syms: array<string>, n: long) — the distinct-word frequency
+    table with words pre-split into character symbols. The only
+    corpus-scale operation in BPE training."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(_chars(F.col("w")).alias("syms"), "n")
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus; stops early
+    when the best remaining pair occurs fewer than ``min_pair_count``
+    times. Returns the rules in the order learned."""
+    vocab = word_vocab(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            vocab.select(F.col("n"), F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .first()
+        )
+        if best is None or best["cnt"] < min_pair_count:
+            break
+        merges.append((best["a"], best["b"]))
+        vocab = vocab.select(
+            _merge_pair(F.col("syms"), best["a"], best["b"]).alias("syms"), "n"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned merge rules to every document: (doc_id, token,
+    pieces) — each whitespace token segmented into its BPE pieces by
+    replaying the rules in learned order. One explode plus a chain of
+    fold projections; no shuffle beyond the explode."""
+    out = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    pieces = _chars(F.col("token"))
+    for a, b in merges:
+        pieces = _merge_pair(pieces, a, b)
+    return out.select(id_col, "token", pieces.alias("pieces"))

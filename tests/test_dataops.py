@@ -501,3 +501,71 @@ def test_diversity_sample_matches_duckdb_mirror(spark, sf_dir):
     finally:
         del os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
     assert got == want
+
+
+def _bpe_python(corpus_texts, n_merges, min_pair_count=2):
+    """From-scratch Sennrich-style BPE on word frequencies: overlapping
+    pair counts, greedy left-to-right merge, (count desc, a, b) ties."""
+    from collections import Counter
+
+    words = Counter(w for t in corpus_texts for w in t.split() if w)
+    vocab = {tuple(w): n for w, n in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from outboxx_spark.dataops import bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new news",
+        "wide wider widest low new",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = bpe.bpe_train(_docs(spark, rows), n_merges=8)
+    want = _bpe_python(texts, n_merges=8)
+    assert got == want
+
+
+def test_bpe_train_and_segment_on_corpus(spark, sf_dir):
+    """Real documents table: rules reproduce across runs, and segment
+    pieces always reconstruct the original token."""
+    from outboxx_spark.dataops import bpe
+
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    merges = bpe.bpe_train(docs, n_merges=5)
+    assert merges == bpe.bpe_train(docs, n_merges=5)
+    assert len(merges) == 5
+    seg = bpe.bpe_segment(docs, merges).limit(500)
+    bad = seg.filter(
+        F.concat_ws("", F.col("pieces")) != F.col("token")
+    ).count()
+    assert bad == 0
+    # at least one rule actually fires on the corpus
+    merged_tok = "".join(merges[0])
+    assert seg.filter(F.array_contains("pieces", merged_tok)).count() > 0
