@@ -569,3 +569,22 @@ def test_bpe_train_and_segment_on_corpus(spark, sf_dir):
     # at least one rule actually fires on the corpus
     merged_tok = "".join(merges[0])
     assert seg.filter(F.array_contains("pieces", merged_tok)).count() > 0
+
+
+@pytest.mark.parametrize(
+    "texts",
+    [
+        ["aaaa aaa aa a"],                      # overlapping self-pair (a,a)
+        ["ab ab ba ba"],                        # exact tie -> (a,b) < (b,a)
+        ["abc abc ab bc c"],                    # chained rules share symbols
+        ["x"],                                  # single 1-char word: no pairs
+        ["aa aa bb bb"],                        # two pairs, count tie
+    ],
+)
+def test_bpe_edge_cases_match_python_reference(spark, texts):
+    from outboxx_spark.dataops import bpe
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = bpe.bpe_train(_docs(spark, rows), n_merges=4, min_pair_count=1)
+    want = _bpe_python(texts, n_merges=4, min_pair_count=1)
+    assert got == want
