@@ -44,11 +44,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Cut the logical plan every N merge rounds (bpe_train) / applied rules
+# (bpe_segment): each round adds one nested fold expression, and both
+# the analyzer and codegen degrade superlinearly past a few dozen.
+_LINEAGE_CUT = 8
+
+
 def _chars(word: Column) -> Column:
     """Word -> array of single-character symbols. The split point must
-    be followed by a character ((?=.)) — Spark's split otherwise emits
-    a trailing empty symbol that would be learned as a merge target."""
-    return F.split(word, "(?!^)(?=.)")
+    be followed by a character — Spark's split otherwise emits a
+    trailing empty symbol that would be learned as a merge target. The
+    lookahead is [\\s\\S], not '.', because Java's '.' excludes line
+    terminators: a token with an embedded newline must still split to
+    true single characters."""
+    return F.split(word, "(?!^)(?=[\\s\\S])")
 
 
 def _adjacent_pairs(syms: Column) -> Column:
@@ -101,9 +110,16 @@ def bpe_train(
     """Learn ``n_merges`` BPE merge rules from the corpus; stops early
     when the best remaining pair occurs fewer than ``min_pair_count``
     times. Returns the rules in the order learned."""
+    # Round storage discipline: each round caches the new vocab, runs
+    # the (eager) pair-count action against it, and unpersists the
+    # previous round's copy — executor storage stays O(1) vocab copies
+    # however many rounds run. Every _LINEAGE_CUT rounds the vocab is
+    # localCheckpointed instead, so the logical plan (one nested fold
+    # per round otherwise) stays bounded too; those few checkpoint RDDs
+    # are reclaimed by Spark's ContextCleaner once dereferenced.
     vocab = word_vocab(df, text_col).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    for round_i in range(n_merges):
         best = (
             vocab.select(F.col("n"), F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -114,9 +130,17 @@ def bpe_train(
         if best is None or best["cnt"] < min_pair_count:
             break
         merges.append((best["a"], best["b"]))
-        vocab = vocab.select(
+        new_vocab = vocab.select(
             _merge_pair(F.col("syms"), best["a"], best["b"]).alias("syms"), "n"
-        ).localCheckpoint(eager=True)
+        )
+        if (round_i + 1) % _LINEAGE_CUT == 0:
+            new_vocab = new_vocab.localCheckpoint(eager=True)
+        else:
+            new_vocab = new_vocab.cache()
+            new_vocab.count()  # materialize before dropping the parent
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
     return merges
 
 
@@ -128,12 +152,25 @@ def bpe_segment(
 ) -> DataFrame:
     """Apply learned merge rules to every document: (doc_id, token,
     pieces) — each whitespace token segmented into its BPE pieces by
-    replaying the rules in learned order. One explode plus a chain of
-    fold projections; no shuffle beyond the explode."""
+    replaying the rules in learned order. One explode plus chains of
+    fold projections; no shuffle beyond the explode.
+
+    Rules are applied in chunks of ``_LINEAGE_CUT`` with a
+    ``localCheckpoint`` between chunks: one nested fold per rule in a
+    single projection blows past Catalyst's analyzer/codegen limits at
+    realistic (10^3+) rule counts, while chunking keeps every plan
+    shallow at the cost of materializing the intermediate frame per
+    chunk. Note the checkpoints make this eager, unlike most operators
+    here."""
     out = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).filter(F.col("token") != "")
-    pieces = _chars(F.col("token"))
-    for a, b in merges:
-        pieces = _merge_pair(pieces, a, b)
-    return out.select(id_col, "token", pieces.alias("pieces"))
+    out = out.withColumn("pieces", _chars(F.col("token")))
+    for start in range(0, len(merges), _LINEAGE_CUT):
+        pieces = F.col("pieces")
+        for a, b in merges[start : start + _LINEAGE_CUT]:
+            pieces = _merge_pair(pieces, a, b)
+        out = out.withColumn("pieces", pieces)
+        if start + _LINEAGE_CUT < len(merges):
+            out = out.localCheckpoint(eager=True)
+    return out.select(id_col, "token", "pieces")

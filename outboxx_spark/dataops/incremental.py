@@ -87,6 +87,18 @@ def _check_store_meta(
     want = {"k": k, "threshold": threshold, "n_store_buckets": n_store_buckets}
     raw = fs_read_text(spark, meta_path)
     if raw is None:
+        if fs_exists(spark, f"{store_dir}/buckets"):
+            # A store with data but no meta (pre-meta layout, or a lost
+            # file) must FAIL CLOSED: adopting the caller's parameters
+            # as truth is exactly the silent corruption this guard
+            # exists to prevent. An operator who knows the original
+            # parameters can hand-write the meta file to adopt it.
+            raise ValueError(
+                f"dedup store {store_dir} has data but no {_META}; "
+                "refusing to assume its parameters — create the meta "
+                "file with the store's original (k, threshold, "
+                "n_store_buckets) to adopt it"
+            )
         fs_write_text(spark, meta_path, _json.dumps(want))
         return
     have = _json.loads(raw)

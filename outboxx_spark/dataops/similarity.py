@@ -211,12 +211,7 @@ def embedding_near_dup_pairs_ivf(
     block self-join shuffles (cluster, id) keys only; verification
     touches candidate pairs, never the cross product.
     """
-    sample_rows = (
-        emb.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()[vec_col]
-    )
-    sample = np.vstack(sample_rows.to_numpy()).astype(np.float64)
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    centroids = _kmeans_centroids(sample, n_clusters)
+    centroids = _train_corpus_centroids(emb, n_clusters, sample_size, id_col, vec_col)
 
     @F.pandas_udf("array<int>")
     def assign_multi(vecs: pd.Series) -> pd.Series:
@@ -409,6 +404,27 @@ def embedding_near_dup_pairs_sql(threshold: float = 0.4) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _train_corpus_centroids(
+    emb: DataFrame,
+    n_clusters: int,
+    sample_size: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """THE corpus centroid-training recipe — first ``sample_size`` rows
+    by id, float64, row-normalized, deterministic k-means — shared by
+    every IVF/k-means operator. Single definition on purpose: the SQL
+    oracles replay exactly this via ``_train_centroids_from_parquet``,
+    so a tweak applied to one operator's copy would silently
+    desynchronize the others from their oracles."""
+    sample_rows = (
+        emb.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()[vec_col]
+    )
+    sample = np.vstack(sample_rows.to_numpy()).astype(np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    return _kmeans_centroids(sample, n_clusters)
+
+
 def _kmeans_centroids(sample: np.ndarray, n_clusters: int, n_iters: int = 8) -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample (the coarse
     quantizer is tiny — centroids are a broadcastable constant). Init =
@@ -429,11 +445,11 @@ def _kmeans_centroids(sample: np.ndarray, n_clusters: int, n_iters: int = 8) -> 
     return centroids
 
 
-def ivf_assignments(
-    emb: DataFrame, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """vec_id -> nearest-centroid cluster id (one Arrow-batched matmul
-    per batch; centroids ride the closure as a broadcast constant).
+def ivf_assign_udf(centroids: np.ndarray):
+    """The nearest-centroid assignment UDF (one Arrow-batched matmul
+    per batch; centroids ride the closure as a broadcast constant) —
+    shared by every operator that assigns, so the arithmetic the SQL
+    mirrors replay stays defined once.
 
     No per-vector normalization: argmax_j (v . c_j) is invariant to a
     positive scaling of v, so dividing by ||v|| can't change the
@@ -445,6 +461,14 @@ def ivf_assignments(
         m = np.vstack(vecs.to_numpy()).astype(np.float64)
         return pd.Series((m @ centroids.T).argmax(axis=1).astype("int32"))
 
+    return assign
+
+
+def ivf_assignments(
+    emb: DataFrame, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """vec_id -> nearest-centroid cluster id (see ivf_assign_udf)."""
+    assign = ivf_assign_udf(centroids)
     return emb.select(F.col(id_col).alias("vid"), assign(F.col(vec_col)).alias("cluster"))
 
 
@@ -466,12 +490,7 @@ def ivf_ann_topk(
     assignment is a narrow Arrow map; the probe join shuffles only the
     candidate lists. Same output contract as the brute-force baseline
     (rows-only driver check; recall asserted in tests)."""
-    sample_rows = (
-        emb.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()[vec_col]
-    )
-    sample = np.vstack(sample_rows.to_numpy()).astype(np.float64)
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    centroids = _kmeans_centroids(sample, n_clusters)
+    centroids = _train_corpus_centroids(emb, n_clusters, sample_size, id_col, vec_col)
 
     assigned = ivf_assignments(emb, centroids, id_col, vec_col)
     # driver-side sample + kmeans is deterministic, so the SQL oracle can
@@ -798,12 +817,7 @@ def kmeans_assignments(
     ride to executors as a broadcast constant inside one Arrow-batched
     matmul; the only shuffle is the final population count on a
     ``n_clusters``-value domain (map-side combinable)."""
-    sample_rows = (
-        emb.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()[vec_col]
-    )
-    sample = np.vstack(sample_rows.to_numpy()).astype(np.float64)
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    centroids = _kmeans_centroids(sample, n_clusters)
+    centroids = _train_corpus_centroids(emb, n_clusters, sample_size, id_col, vec_col)
     assigned = ivf_assignments(emb, centroids, id_col, vec_col)
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
     return (
@@ -870,29 +884,28 @@ def diversity_sample(
     the documented sub-ulp-tie assumption of :func:`ivf_ann_topk_sql`).
 
     100 TB shape: centroids are a broadcast constant (trained on a
-    bounded driver-side sample); assignment is one Arrow matmul; the
-    centroid lookup is a broadcast join on an ``n_clusters``-row dim;
-    ranking is one window partitioned BY CLUSTER — no global sort. For
-    very hot clusters at extreme scale, swap the window for a per-
-    cluster approximate threshold (quantile of the score) to avoid a
+    bounded driver-side sample); assignment is one Arrow matmul
+    computed INLINE in the projection that keeps the vector — no
+    corpus-scale self-join to reattach cluster ids; the centroid
+    lookup is a broadcast join on an ``n_clusters``-row dim; ranking
+    is one window partitioned BY CLUSTER — no global sort. For very
+    hot clusters at extreme scale, swap the window for a per-cluster
+    approximate threshold (quantile of the score) to avoid a
     single-reducer cluster; at sane cluster counts the window is the
     exact, simpler choice."""
     spark = emb.sparkSession
-    sample_rows = (
-        emb.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()[vec_col]
-    )
-    sample = np.vstack(sample_rows.to_numpy()).astype(np.float64)
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    centroids = _kmeans_centroids(sample, n_clusters)
-
-    assigned = ivf_assignments(emb, centroids, id_col, vec_col)
+    centroids = _train_corpus_centroids(emb, n_clusters, sample_size, id_col, vec_col)
+    assign = ivf_assign_udf(centroids)
     cent_df = spark.createDataFrame(
         [(c, [float(x) for x in centroids[c]]) for c in range(n_clusters)],
         "cluster int, c array<double>",
     )
     scored = (
-        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-        .join(assigned, "vid")
+        emb.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            assign(F.col(vec_col)).alias("cluster"),
+        )
         .join(F.broadcast(cent_df), "cluster")
         .select(
             "vid",

@@ -29,14 +29,23 @@ def fs_exists(spark: SparkSession, path_str: str) -> bool:
 
 def fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
     """Write a small text file through Hadoop's FileSystem (works on any
-    scheme Spark can reach). Overwrites. For metadata-sized payloads
-    only — the bytes pass through the py4j gateway."""
-    fs, path, _ = hadoop_fs(spark, path_str)
-    out = fs.create(path, True)
+    scheme Spark can reach). For metadata-sized payloads only — the
+    bytes pass through the py4j gateway.
+
+    Write-temp-then-rename (same atomicity discipline as the table
+    sink's commit): a crash mid-write must never leave a truncated
+    file at the final path — readers distinguish only absent (retry/
+    initialize) from complete. The final path must not already exist
+    when called (metadata files here are write-once)."""
+    fs, path, jvm = hadoop_fs(spark, path_str)
+    tmp = jvm.org.apache.hadoop.fs.Path(path_str + ".tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    if not fs.rename(tmp, path):
+        raise IOError(f"rename failed: {tmp} -> {path}")
 
 
 def fs_read_text(spark: SparkSession, path_str: str) -> str | None:

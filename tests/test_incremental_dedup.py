@@ -139,3 +139,17 @@ def test_store_refuses_mismatched_parameters(spark, tmp_path):
     # matching parameters still work after the rejected attempts
     incremental_minhash_dedup_batch(_docs_df(spark, [DOC_D]), store, batch_id=1, k=1)
     assert {r.doc_id for r in read_survivors(spark, store).collect()} == {1, 4}
+
+
+def test_store_with_data_but_no_meta_fails_closed(spark, tmp_path):
+    """A pre-meta-layout store (data present, no meta file) must refuse
+    to run rather than adopt the caller's parameters as truth."""
+    import os
+
+    store = str(tmp_path / "store")
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_A]), store, batch_id=0, k=1)
+    os.remove(os.path.join(store, "_dedup_store_meta.json"))
+    with pytest.raises(ValueError, match="no _dedup_store_meta"):
+        incremental_minhash_dedup_batch(
+            _docs_df(spark, [DOC_D]), store, batch_id=1, k=1
+        )
