@@ -258,3 +258,31 @@ def test_cardinality_approx_check_is_single_pass(spark, sf_dir):
         plan,
     ):
         assert "approx_count_distinct" not in m.group(1)
+
+
+def test_diversity_sample_never_crossjoins(spark, sf_dir):
+    """Coreset selection must stay broadcast-shaped: the centroid dim
+    joins via broadcast, there is no cartesian product, and no
+    corpus-scale hash exchange exists before the per-cluster window
+    (the assignment is computed inline, not reattached by a self-join)."""
+    from outboxx_spark.dataops.similarity import diversity_sample
+    from outboxx_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = _plan(diversity_sample(emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_lm_vocab_join_broadcasts(spark, sf_dir):
+    """The vocabulary join must broadcast (vocab is bounded by Heaps'
+    law); the corpus-side explode must never sort-merge against it."""
+    from outboxx_spark.dataops.text import unigram_lm_scores
+    from outboxx_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = _plan(unigram_lm_scores(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
