@@ -216,3 +216,62 @@ def test_snapshot_diff_matches_dict_model(spark, rows):
         for r in snapshot_diff(old_df, new_df, compare_cols=("value",)).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="ab ", min_size=1, max_size=40), min_size=1, max_size=10),
+    n_merges=st.sampled_from([3, 6]),
+)
+def test_bpe_train_matches_model_on_arbitrary_corpora(spark, texts, n_merges):
+    """Spark BPE training must equal the from-scratch Python model on
+    arbitrary tiny-alphabet corpora: 'ab '-only text forces heavy pair
+    collisions, repeated merges of self-pairs (a,a), and count ties —
+    the adversarial surface of the greedy algorithm."""
+    from outboxx_spark.dataops.bpe import bpe_train
+
+    from tests.test_dataops import _bpe_python
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bpe_train(df, n_merges=n_merges, min_pair_count=1)
+    want = _bpe_python(texts, n_merges=n_merges, min_pair_count=1)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="abc ", min_size=1, max_size=40), min_size=1, max_size=10),
+)
+def test_unigram_lm_matches_model_on_arbitrary_corpora(spark, texts):
+    """unigram_lm_scores must equal the pure-Python add-one-smoothed
+    model (micro-nat quantization included) on arbitrary corpora —
+    empty-token edge cases, whole-doc OOV, and min_df boundary hits."""
+    import math
+    from collections import Counter
+
+    from outboxx_spark.dataops.text import unigram_lm_scores
+
+    occ = [(i, t) for i, txt in enumerate(texts) for t in txt.split(" ") if t]
+    want = {}
+    if occ:
+        n_tok = Counter(t for _, t in occ)
+        df_ = {t: len({d for d, tt in occ if tt == t}) for t in n_tok}
+        vocab = {t: n for t, n in n_tok.items() if df_[t] >= 2}
+        denom = len(occ) + len(vocab) + 1
+        for d in {d for d, _ in occ}:
+            ts = [t for dd, t in occ if dd == d]
+            lps = [round(math.log((vocab.get(t, 0) + 1.0) / denom) * 1e6) for t in ts]
+            oov = sum(1 for t in ts if t not in vocab)
+            want[d] = (
+                len(ts),
+                round(oov / len(ts), 6),
+                round(sum(lps) / len(ts) / 1e6, 6),
+            )
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["oov_rate"], r["avg_logprob"])
+        for r in unigram_lm_scores(df).collect()
+    }
+    assert got == want
