@@ -221,9 +221,15 @@ def embedding_near_dup_pairs_ivf(
         order = np.argsort(-d, axis=1, kind="stable")[:, :n_assign]
         return pd.Series(list(order.astype("int32")))
 
+    # The (vid, cluster) block table is tiny (n_docs x n_assign keyed
+    # rows) but feeds BOTH sides of the self-join — without a
+    # materialization the Arrow assignment matmul runs once per side on
+    # every action (measured 15% of query time). The operator is
+    # already eager at build (driver-side centroid training), so the
+    # checkpoint changes composability nothing.
     blocks = emb.select(
         F.col(id_col).alias("vid"), F.explode(assign_multi(F.col(vec_col))).alias("cluster")
-    )
+    ).localCheckpoint(eager=True)
     left = blocks.select(F.col("vid").alias("id_a"), "cluster")
     right = blocks.select(F.col("vid").alias("id_b"), "cluster")
     cand = (
