@@ -216,6 +216,32 @@ def main() -> None:
     except Exception as e:  # the probe must never sink the bench
         print(f"# dedup scaleup probe failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # Incremental dedup-store probe (tracked per round): ingest the
+    # corpus in two halves through the persistent LSH survivor store.
+    # The claim under test is per-batch-bounded work: batch 2 (probing
+    # a populated store) must cost the same order as batch 1 (empty
+    # store), not rescan-everything.
+    dedup_store_b1_sec = dedup_store_b2_sec = None
+    store_root = tempfile.mkdtemp(prefix="bench_dedupstore_")
+    try:
+        from outboxx_spark.dataops.incremental import incremental_minhash_dedup_batch
+
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        half1 = docs.filter(F.col("doc_id") < n_docs // 2)
+        half2 = docs.filter(F.col("doc_id") >= n_docs // 2)
+        store = f"{store_root}/store"
+        dedup_store_b1_sec = round(
+            _timed(lambda: incremental_minhash_dedup_batch(half1, store, batch_id=0)), 4
+        )
+        dedup_store_b2_sec = round(
+            _timed(lambda: incremental_minhash_dedup_batch(half2, store, batch_id=1)), 4
+        )
+    except Exception as e:  # the probe must never sink the bench
+        print(f"# dedup store probe failed: {type(e).__name__}: {e}", file=sys.stderr)
+    finally:
+        shutil.rmtree(store_root, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     extra = {
         "pipeline_events": n_events,
@@ -234,6 +260,8 @@ def main() -> None:
         "dedup_4x_time_ratio": (
             round(dedup_4x_sec / dedup_1x_sec, 2) if dedup_1x_sec and dedup_4x_sec else None
         ),
+        "dedup_store_b1_sec": dedup_store_b1_sec,
+        "dedup_store_b2_sec": dedup_store_b2_sec,
         "n_queries": len(timings),
         "detail": "bench_detail.json",
     }
