@@ -121,6 +121,13 @@ def edit_distance_pairs(
             F.col("len"),
             F.explode(F.array_distinct(F.transform("pfx", lambda s: s["g"]))).alias("g"),
         )
+        # The prefix table feeds BOTH sides of the candidate self-join;
+        # without a materialization the whole grams -> frequency-dim ->
+        # collect_list pipeline runs once per side on every action
+        # (measured 2.6s -> 1.0s steady-state at sf0.1). It is tiny —
+        # n_docs x (d*q+1) keyed rows. This makes the operator eager at
+        # build, like the IVF family's centroid training.
+        .localCheckpoint(eager=True)
     )
     # Candidate join on (gram, length band[, salt]):
     #
