@@ -222,7 +222,13 @@ def test_ngram_max_df_cap_is_broadcast_anti_join(spark, sf_dir):
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        dd.ngram_jaccard_pairs(read_table(spark, sf_dir, "documents")).explain("formatted")
+        # inspect shingle_index directly: ngram_jaccard_pairs now
+        # materializes the index once (both self-join sides), so the
+        # anti join executes at build and the composed plan shows only
+        # the checkpointed scan — the guarded property lives here
+        dd.shingle_index(
+            read_table(spark, sf_dir, "documents"), max_df=dd.NGRAM_MAX_DF
+        ).explain("formatted")
     plan = buf.getvalue()
     # the drop-list side broadcasts; the capped index never shuffles on it
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
