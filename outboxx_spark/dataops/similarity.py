@@ -279,8 +279,17 @@ def embedding_near_dup_pairs_lsh(
             for t in range(n_tables)
         ]
     )
-    buckets = sigs.select("vec_id_", F.explode(tables).alias("ts")).select(
-        F.col("vec_id_").alias("vid"), F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig")
+    buckets = (
+        sigs.select("vec_id_", F.explode(tables).alias("ts"))
+        .select(
+            F.col("vec_id_").alias("vid"),
+            F.col("ts.table").alias("table"),
+            F.col("ts.sig").alias("sig"),
+        )
+        # both join sides — materialize once so the hyperplane signature
+        # computation upstream doesn't run per side (same fix as the
+        # IVF block table and the minhash bucket table)
+        .localCheckpoint(eager=True)
     )
     left = buckets.select(F.col("vid").alias("id_a"), "table", "sig")
     right = buckets.select(F.col("vid").alias("id_b"), "table", "sig")

@@ -354,11 +354,15 @@ def unigram_lm_scores(
     occ = parallelized(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).filter(F.col("token") != "")
+    # counts is vocabulary-sized (bounded) and feeds the vocab filter,
+    # BOTH corpus scalars, and the broadcast join — materialize it once
+    # so the corpus-scale explode runs exactly twice total (here and in
+    # the scoring join), not once per derived use
     counts = occ.groupBy("token").agg(
         F.count("*").alias("n_tok"), F.count_distinct(id_col).alias("df_")
-    )
+    ).localCheckpoint(eager=True)
     vocab = counts.filter(F.col("df_") >= min_df).select("token", "n_tok")
-    total = occ.count()
+    total = counts.agg(F.sum("n_tok")).first()[0] or 0
     v_size = vocab.count()
     denom = float(total + v_size + 1)
     lp_micro = F.round(

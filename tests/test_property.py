@@ -246,11 +246,23 @@ def test_bpe_train_matches_model_on_arbitrary_corpora(spark, texts, n_merges):
 def test_unigram_lm_matches_model_on_arbitrary_corpora(spark, texts):
     """unigram_lm_scores must equal the pure-Python add-one-smoothed
     model (micro-nat quantization included) on arbitrary corpora —
-    empty-token edge cases, whole-doc OOV, and min_df boundary hits."""
+    empty-token edge cases, whole-doc OOV, and min_df boundary hits.
+
+    The model must replicate Spark's ROUND semantics exactly: F.round
+    is HALF_UP over the double's shortest decimal repr (BigDecimal),
+    while Python's round() is half-even — they disagree at exact .5
+    boundaries (hypothesis found mean micro-nat sums ending in .5)."""
     import math
     from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
 
     from outboxx_spark.dataops.text import unigram_lm_scores
+
+    def r(x: float, nd: int) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
+
+    def r0(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP))
 
     occ = [(i, t) for i, txt in enumerate(texts) for t in txt.split(" ") if t]
     want = {}
@@ -261,12 +273,12 @@ def test_unigram_lm_matches_model_on_arbitrary_corpora(spark, texts):
         denom = len(occ) + len(vocab) + 1
         for d in {d for d, _ in occ}:
             ts = [t for dd, t in occ if dd == d]
-            lps = [round(math.log((vocab.get(t, 0) + 1.0) / denom) * 1e6) for t in ts]
+            lps = [r0(math.log((vocab.get(t, 0) + 1.0) / denom) * 1e6) for t in ts]
             oov = sum(1 for t in ts if t not in vocab)
             want[d] = (
                 len(ts),
-                round(oov / len(ts), 6),
-                round(sum(lps) / len(ts) / 1e6, 6),
+                r(oov / len(ts), 6),
+                r(sum(lps) / len(ts) / 1e6, 6),
             )
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
