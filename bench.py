@@ -98,13 +98,28 @@ def main() -> None:
     # (cdc_pgoutput_roundtrip 5.56s vs 1.2s standalone) when a spike
     # spanned a whole pass; the third sample costs ~40s and caps that
     # tail. The min is the stable "capability" number.
-    dfs = {name: qs[name](spark, sf_dir) for name in bench_names}
+    #
+    # Each pass REBUILDS the query's DataFrame (what the driver and any
+    # user pays per invocation): several operators materialize bounded
+    # intermediates eagerly at build (localCheckpoint), and timing a
+    # prebuilt frame would move that work outside the clock. Rebuilding
+    # per pass re-runs those builds every sample, so the reported min
+    # is the honest full per-invocation cost.
+    # gc.collect() between queries (outside the timer) promptly drops
+    # the py4j references to each rebuild's checkpointed RDDs so
+    # Spark's ContextCleaner unpersists them — without it the blocks
+    # accumulate across 3x74 rebuilds and block-manager pressure
+    # inflates later samples ~50% (measured: 2.4-4.1s drifting vs
+    # 2.3-2.5s stable on the same query).
+    import gc
+
     for _pass in range(3):
         for name in bench_names:
             t0 = time.perf_counter()
-            dfs[name].write.format("noop").mode("overwrite").save()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             timings[name] = round(min(timings.get(name, dt), dt), 4)
+            gc.collect()
 
     # second, decorrelated pipeline batch (see comment at the first)
     pipeline_sec = min(pipeline_sec, min(_timed(_pipeline_run) for _ in range(3)))
@@ -204,14 +219,24 @@ def main() -> None:
         # (a single parquet file -> one partition) runs handicapped and
         # the ratio flatters the pipeline
         big = big.repartition(32).localCheckpoint(eager=True)
-        d1 = minhash_dedup_pairs(copies[0].repartition(32).localCheckpoint(eager=True))
-        d4 = minhash_dedup_pairs(big)
-        d1.write.format("noop").mode("overwrite").save()  # warm plans
+        small = copies[0].repartition(32).localCheckpoint(eager=True)
+        # rebuild per trial: the operator materializes intermediates
+        # eagerly at build, and the scale exponent must include that
+        # (linear) stage on both sides, not just the post-build scan
+        minhash_dedup_pairs(small).write.format("noop").mode("overwrite").save()  # warm
         dedup_1x_sec = round(
-            min(_timed(lambda: d1.write.format("noop").mode("overwrite").save()) for _ in range(2)), 4
+            min(
+                _timed(lambda: minhash_dedup_pairs(small).write.format("noop").mode("overwrite").save())
+                for _ in range(2)
+            ),
+            4,
         )
         dedup_4x_sec = round(
-            min(_timed(lambda: d4.write.format("noop").mode("overwrite").save()) for _ in range(2)), 4
+            min(
+                _timed(lambda: minhash_dedup_pairs(big).write.format("noop").mode("overwrite").save())
+                for _ in range(2)
+            ),
+            4,
         )
     except Exception as e:  # the probe must never sink the bench
         print(f"# dedup scaleup probe failed: {type(e).__name__}: {e}", file=sys.stderr)
@@ -263,6 +288,14 @@ def main() -> None:
         "dedup_store_b1_sec": dedup_store_b1_sec,
         "dedup_store_b2_sec": dedup_store_b2_sec,
         "n_queries": len(timings),
+        # r4 accounting change: per-query timings REBUILD the DataFrame
+        # every pass, so eager build stages (checkpoint
+        # materializations, iterative loops like dup_clusters) are now
+        # INSIDE the clock. Queries with eager stages report higher —
+        # truer — numbers than r3's prebuilt-frame accounting did
+        # (dup_clusters 0.02s -> ~2s is the correction, not a
+        # regression).
+        "accounting": "rebuild-per-pass",
         "detail": "bench_detail.json",
     }
 

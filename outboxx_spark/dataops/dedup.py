@@ -44,6 +44,32 @@ from outboxx_spark.dataops.hashing import (
 from outboxx_spark.dataops.text import shingles, shingles_sql
 from outboxx_spark.dataops.util import parallelized as _parallelized
 
+# Materialization tier for CORPUS-SCALE intermediates that feed more
+# than one consumer (the shingle inverted index, the per-doc verify
+# sets). These grow with corpus bytes, unlike the bounded n_docs-scale
+# key tables (band buckets, prefixes), which are always safe to
+# localCheckpoint.
+#   "checkpoint" — fastest scans; non-fault-tolerant executor storage
+#                  (an executor loss mid-job fails the job). Right for
+#                  single-node/bench profiles; the local default.
+#   "persist"    — DISK_ONLY, lineage-recoverable and spillable; the
+#                  1000-executor setting (measured ~5x slower scans on
+#                  array-heavy data locally).
+#   "none"       — no materialization: each consumer recomputes from
+#                  the source (two extra corpus scans, zero storage).
+CORPUS_MATERIALIZE = "checkpoint"
+
+
+def _materialize_corpus(df: DataFrame) -> DataFrame:
+    if CORPUS_MATERIALIZE == "checkpoint":
+        return df.localCheckpoint(eager=True)
+    if CORPUS_MATERIALIZE == "persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -108,9 +134,11 @@ def ngram_jaccard_pairs(
     correctness compare is float-free; jaccard >= t is applied as
     inter * 1 >= t * (|A|+|B|-inter) in exact integer/decimal arithmetic.
     """
-    # the index feeds both self-join sides AND the size table —
-    # materialize once (same pattern as lsh_candidate_pairs)
-    idx = shingle_index(df, k, text_col, max_df=max_df).localCheckpoint(eager=True)
+    # the index feeds both self-join sides AND the size table — it is
+    # corpus-scale (one row per distinct shingle occurrence), so the
+    # tier is configurable; see CORPUS_MATERIALIZE. Makes the builder
+    # eager under the default tier.
+    idx = _materialize_corpus(shingle_index(df, k, text_col, max_df=max_df))
     sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = idx.alias("a")
     b = idx.alias("b")
@@ -187,10 +215,18 @@ def dedup_survivors_sql(k: int = 3, threshold: float = 0.5) -> str:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+def minhash_signatures(
+    df: DataFrame | None = None,
+    k: int = 3,
+    text_col: str = "text",
+    index: DataFrame | None = None,
+) -> DataFrame:
     """doc_id -> N_MINHASHES minimum permuted hashes. One explode + one
-    groupBy with N partial mins (all map-side combinable)."""
-    idx = shingle_index(df, k, text_col).withColumn("h", md5_hash60(F.col("s")) % HASH_P)
+    groupBy with N partial mins (all map-side combinable). Pass a
+    prebuilt distinct-shingle ``index`` (doc_id, s) to skip re-shingling
+    when the caller already materialized one."""
+    idx = index if index is not None else shingle_index(df, k, text_col)
+    idx = idx.withColumn("h", md5_hash60(F.col("s")) % HASH_P)
     mins = [
         F.min((F.col("h") * MINHASH_A[i] + MINHASH_B[i]) % HASH_P).alias(f"mh{i}")
         for i in range(N_MINHASHES)
@@ -287,14 +323,16 @@ def minhash_dedup_pairs(
     contract as ``ngram_jaccard_pairs`` but near-linear candidate
     generation. Verification joins each candidate pair to the two
     distinct-shingle arrays and computes the exact intersection."""
-    cands = lsh_candidate_pairs(minhash_signatures(df, k, text_col))
-    # the shingle-set table verifies BOTH pair sides — materialize once
-    # (one row per doc) instead of re-sharding the corpus per side
-    sets_ = (
-        _parallelized(df)
-        .select("doc_id", shingles(F.col(text_col), k).alias("sh"))
-        .localCheckpoint(eager=True)
+    # ONE corpus text pass: the per-doc shingle-set table is
+    # materialized (corpus-scale — tier per CORPUS_MATERIALIZE), the
+    # signature index derives from it by a cheap explode, and the same
+    # table verifies both pair sides. Makes the builder eager under the
+    # default tier.
+    sets_ = _materialize_corpus(
+        _parallelized(df).select("doc_id", shingles(F.col(text_col), k).alias("sh"))
     )
+    idx = sets_.select("doc_id", F.explode("sh").alias("s"))
+    cands = lsh_candidate_pairs(minhash_signatures(k=k, index=idx))
     return verify_jaccard_pairs(cands, sets_, sets_, threshold)
 
 

@@ -594,3 +594,26 @@ def test_bpe_edge_cases_match_python_reference(spark, texts):
     got = bpe.bpe_train(_docs(spark, rows), n_merges=4, min_pair_count=1)
     want = _bpe_python(texts, n_merges=4, min_pair_count=1)
     assert got == want
+
+
+def test_ngram_pairs_apply_default_df_cap(spark):
+    """The production default max_df=NGRAM_MAX_DF must actually reach
+    the index: two docs connected ONLY through a shingle present in
+    more than NGRAM_MAX_DF documents pair under max_df=None but not
+    under the default (the pair exists solely via the capped shingle)."""
+    hot = "h1 h2 h3"  # one shingle at k=3
+    filler = [(100 + i, f"{hot} f{i}a f{i}b f{i}c") for i in range(dd.NGRAM_MAX_DF)]
+    # doc 1/2: share ONLY the hot shingle; their other shingles disjoint
+    probe = [(1, f"{hot} x1 x2 x3 x1 x2"), (2, f"{hot} y1 y2 y3 y1 y2")]
+    df = _docs(spark, probe + filler)
+    lo_thresh = 0.01  # any shared shingle qualifies the pair
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_pairs(df, threshold=lo_thresh, max_df=None).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_pairs(df, threshold=lo_thresh).collect()
+    }
+    assert (1, 2) in uncapped
+    assert (1, 2) not in capped
