@@ -136,11 +136,15 @@ def incremental_minhash_dedup_batch(
         return
     _check_store_meta(spark, store_dir, k, threshold, n_store_buckets)
 
-    sigs = minhash_signatures(batch, k, "text")
-    new_buckets = lsh_band_buckets(sigs).localCheckpoint(eager=True)
+    # one shingle pass per batch: signatures derive from the
+    # materialized shingle sets (same pattern as minhash_dedup_pairs)
     new_sets = batch.select("doc_id", shingles(F.col("text"), k).alias("sh")).localCheckpoint(
         eager=True
     )
+    sigs = minhash_signatures(
+        k=k, index=new_sets.select("doc_id", F.explode("sh").alias("s"))
+    )
+    new_buckets = lsh_band_buckets(sigs).localCheckpoint(eager=True)
 
     # new-vs-new (standard banded self-join, batch-sized)
     pairs = verify_jaccard_pairs(
