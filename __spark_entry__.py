@@ -899,3 +899,44 @@ def oracle_sql() -> dict[str, str]:
                md5(text) AS digest
         FROM documents""",
     }
+
+
+# ---------------------------------------------------------------------------
+# Staged queries — r5 promotion queue (NOT visible to the driver)
+# ---------------------------------------------------------------------------
+# The driver records exactly the first 50 queries() entries per round, and
+# round 4's window is fully committed to the 21 previously-unevidenced
+# queries — so these r4-new operators stay OUT of queries() this round
+# (VERDICT r3 item #9) but are kept driver-ready here: the local gate
+# (tools/check_oracles.py) validates them every run, and the r5 rotation
+# is a two-line dict move. BPE training/segmentation stays pytest-pinned
+# (iterative merge rounds — not SQL-expressible, dup_clusters-class,
+# but with no recursive-CTE equivalent because each round's pair counts
+# depend on the previous round's merges applied to every word).
+
+
+def q_docs_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality scores: corpus-trained add-one
+    smoothed token log-probs, per-doc mean + OOV rate (integer
+    micro-nat quantization makes the sum order-independent)."""
+    return tx.unigram_lm_scores(read_table(spark, sf_dir, "documents"))
+
+
+def q_emb_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-stratified coreset selection: per k-means cluster keep
+    ceil(fraction x size) closest-to-centroid vectors."""
+    return sim.diversity_sample(read_table(spark, sf_dir, "embeddings"))
+
+
+def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "docs_unigram_lm": q_docs_unigram_lm,
+        "emb_diversity_sample": q_emb_diversity_sample,
+    }
+
+
+def oracle_sql_staged() -> dict[str, str]:
+    return {
+        "docs_unigram_lm": tx.unigram_lm_scores_sql(),
+        "emb_diversity_sample": sim.diversity_sample_sql(),
+    }
