@@ -109,7 +109,17 @@ def bpe_train(
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from the corpus; stops early
     when the best remaining pair occurs fewer than ``min_pair_count``
-    times. Returns the rules in the order learned."""
+    times. Returns the rules in the order learned.
+
+    Fault-tolerance trade-off (deliberate, unlike the corpus-scale
+    dedup intermediates behind ``dedup.CORPUS_MATERIALIZE``): per-round
+    vocab copies live in executor storage (cache/localCheckpoint) with
+    truncated lineage, so losing an executor mid-training fails the
+    job and training restarts from the corpus pass. The vocab is
+    Heaps'-law bounded (not corpus-scale) and rounds are short, so a
+    restart is cheap relative to paying DISK_ONLY persistence every
+    round; a cluster profile that can't accept restarts should persist
+    ``word_vocab`` externally and resume from it."""
     # Round storage discipline: each round caches the new vocab, runs
     # the (eager) pair-count action against it, and unpersists the
     # previous round's copy — executor storage stays O(1) vocab copies

@@ -257,33 +257,43 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint(eager=True)
     )
+    # Seed each node with min(self, direct neighbors) — the same
+    # aggregation a distinct-nodes init would cost, but it performs
+    # round 1 for free (halves rounds on chain-shaped components, and
+    # star-shaped near-dup clusters often converge immediately).
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("nbr_min"))
+        .select("node", F.least(F.col("node"), F.col("nbr_min")).alias("label"))
         .localCheckpoint(eager=True)
     )
     changed = None  # max_iter <= 0 must hit the unconverged raise, not NameError
-    for _ in range(max_iter):
+    for round_i in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+        new_labels = labels.join(nbr_min, labels.node == nbr_min.dst, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
+        # Lineage discipline: materialize every round (the changed-count
+        # and the next round both consume new_labels), but pay the
+        # lineage CUT (localCheckpoint) only every other round — odd
+        # rounds cache over a <=1-round-deep plan, keeping per-round
+        # overhead at one tiny job while plan depth stays bounded.
+        if round_i % 2 == 1:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

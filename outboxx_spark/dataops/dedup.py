@@ -27,6 +27,8 @@ Python in the hot path; md5-derived hashes keep the DuckDB oracle exact.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -225,6 +227,8 @@ def minhash_signatures(
     groupBy with N partial mins (all map-side combinable). Pass a
     prebuilt distinct-shingle ``index`` (doc_id, s) to skip re-shingling
     when the caller already materialized one."""
+    if df is None and index is None:
+        raise ValueError("minhash_signatures: pass df or index")
     idx = index if index is not None else shingle_index(df, k, text_col)
     idx = idx.withColumn("h", md5_hash60(F.col("s")) % HASH_P)
     mins = [
@@ -232,6 +236,58 @@ def minhash_signatures(
         for i in range(N_MINHASHES)
     ]
     return idx.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures_from_sets(sets: DataFrame, sh_col: str = "sh") -> DataFrame:
+    """Same signatures as :func:`minhash_signatures`, computed WITHOUT
+    the corpus-scale explode + 128-buffer hash aggregation (and without
+    its shuffle): the element hashes stay md5-derived JVM-side (one
+    ``transform`` per row), and the 128 permuted minima are one
+    Arrow-batched numpy pass — a (shingles x 128) broadcasted
+    multiply-mod and a ``minimum.reduceat`` over the per-doc segments,
+    all vectorized C. Values are bit-identical to the groupBy
+    formulation (min over the same distinct-shingle hash set under the
+    same int64 arithmetic — asserted in tests), so the DuckDB oracles
+    and any existing incremental store need no change.
+
+    Why not pure JVM: signatures never appear in an oracle (the checked
+    output is the exact verified pair set), and the pure-expression
+    alternative — 128 ``array_min(transform(...))`` higher-order calls —
+    is interpreted, not codegen'd; measured at sf0.1 it costs ~2.3s vs
+    ~1.3s for this path (signatures+buckets stage, steady-state).
+
+    Memory: the permutation matrix is built over doc chunks capped at
+    2^18 shingles (~256 MB peak) so an Arrow batch of many large docs
+    can't balloon the python worker. ``shingles()`` never yields an
+    empty array (whole-text fallback), so every segment is non-empty."""
+    h_arr = F.transform(F.col(sh_col), lambda s: md5_hash60(s) % HASH_P)
+    perm_a = np.array(MINHASH_A, dtype=np.int64)
+    perm_b = np.array(MINHASH_B, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sig(h_arrs: pd.Series) -> pd.Series:
+        lens = h_arrs.map(len).to_numpy(dtype=np.int64)
+        n = len(lens)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in h_arrs])
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        out = np.empty((n, N_MINHASHES), dtype=np.int64)
+        chunk_budget = 1 << 18
+        d0 = 0
+        while d0 < n:
+            d1 = d0 + 1
+            while d1 < n and ends[d1 - 1] - starts[d0] < chunk_budget:
+                d1 += 1
+            seg = flat[starts[d0] : ends[d1 - 1]]
+            m = (seg[:, None] * perm_a + perm_b) % HASH_P
+            out[d0:d1] = np.minimum.reduceat(m, starts[d0:d1] - starts[d0], axis=0)
+            d0 = d1
+        return pd.Series(list(out))
+
+    sa = sets.select("doc_id", _sig(h_arr).alias("sa"))
+    return sa.select("doc_id", *[F.col("sa")[i].alias(f"mh{i}") for i in range(N_MINHASHES)])
 
 
 def lsh_band_buckets(sigs: DataFrame) -> DataFrame:
@@ -331,8 +387,7 @@ def minhash_dedup_pairs(
     sets_ = _materialize_corpus(
         _parallelized(df).select("doc_id", shingles(F.col(text_col), k).alias("sh"))
     )
-    idx = sets_.select("doc_id", F.explode("sh").alias("s"))
-    cands = lsh_candidate_pairs(minhash_signatures(k=k, index=idx))
+    cands = lsh_candidate_pairs(minhash_signatures_from_sets(sets_))
     return verify_jaccard_pairs(cands, sets_, sets_, threshold)
 
 

@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 from outboxx_spark.dataops.dedup import (
     lsh_band_buckets,
     lsh_bucket_pairs,
-    minhash_signatures,
+    minhash_signatures_from_sets,
     verify_jaccard_pairs,
 )
 from outboxx_spark.dataops.text import shingles
@@ -141,9 +141,7 @@ def incremental_minhash_dedup_batch(
     new_sets = batch.select("doc_id", shingles(F.col("text"), k).alias("sh")).localCheckpoint(
         eager=True
     )
-    sigs = minhash_signatures(
-        k=k, index=new_sets.select("doc_id", F.explode("sh").alias("s"))
-    )
+    sigs = minhash_signatures_from_sets(new_sets)
     new_buckets = lsh_band_buckets(sigs).localCheckpoint(eager=True)
 
     # new-vs-new (standard banded self-join, batch-sized)

@@ -987,5 +987,5 @@ def diversity_sample_sql(
                                    ORDER BY s.score DESC, s.vec_id)
                 AS INTEGER) AS keep_rank
     FROM scored s JOIN sizes z USING (cluster)
-    QUALIFY keep_rank <= CAST(ceil({fraction} * z.n) AS INTEGER)
+    QUALIFY keep_rank <= CAST(ceil(CAST({fraction!r} AS DOUBLE) * z.n) AS INTEGER)
     """

@@ -45,7 +45,16 @@ def fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
     finally:
         out.close()
     if not fs.rename(tmp, path):
-        raise IOError(f"rename failed: {tmp} -> {path}")
+        # Two concurrent first-writers can race here (and S3A's
+        # copy+delete rename is not atomic): if the destination now
+        # holds exactly the payload we meant to write, the other writer
+        # won and this call's contract is satisfied — only a CONFLICTING
+        # destination is an error.
+        fs.delete(tmp, False)
+        current = fs_read_text(spark, path_str)
+        if current == text:
+            return
+        raise IOError(f"rename failed: {tmp} -> {path} (destination differs)")
 
 
 def fs_read_text(spark: SparkSession, path_str: str) -> str | None:

@@ -55,6 +55,26 @@ def test_minhash_matches_exact_on_testdata(spark, sf_dir):
     assert lsh == exact  # LSH recall 1.0 at this threshold (by construction)
 
 
+def test_minhash_signature_formulations_bit_identical(spark, sf_dir):
+    # the Arrow/numpy signature path must be bit-identical to the
+    # explode+groupBy formulation — the incremental store's replay
+    # idempotence and the LSH bucket structure both depend on it
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    sets_ = docs.select("doc_id", tx.shingles(F.col("text"), 3).alias("sh"))
+    via_arrow = dd.minhash_signatures_from_sets(sets_).orderBy("doc_id").collect()
+    via_groupby = (
+        dd.minhash_signatures(index=sets_.select("doc_id", F.explode("sh").alias("s")))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert via_arrow == via_groupby
+
+
+def test_minhash_signatures_contract_error():
+    with pytest.raises(ValueError, match="pass df or index"):
+        dd.minhash_signatures()
+
+
 def test_simhash_band_join_equals_bruteforce(spark, sf_dir):
     # pigeonhole guarantee: banded join is exact for hamming <= 3
     docs = read_table(spark, sf_dir, "documents").limit(100)
