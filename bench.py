@@ -241,6 +241,90 @@ def main() -> None:
     except Exception as e:  # the probe must never sink the bench
         print(f"# dedup scaleup probe failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # Embedding scale-exponent probe (the dedup family's 4x probe,
+    # applied to the embedding family): bucketed near-dup (LSH) and IVF
+    # ANN at 1x and 4x the corpus. Copies are dimension-rotated so they
+    # are ~orthogonal to their originals (same norm statistics, no
+    # planted clone pairs) — the 4x corpus stresses volume. A quadratic
+    # pipeline would show ~16x time at 4x vectors; the bucketed/probed
+    # paths must stay well under.
+    emb_lsh_1x = emb_lsh_4x = emb_ivf_1x = emb_ivf_4x = None
+    try:
+        from outboxx_spark.dataops.similarity import (
+            embedding_near_dup_pairs_lsh,
+            ivf_ann_topk,
+            with_planted_near_dups,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_vec = emb.count()
+        dim = len(emb.select("embedding").first()[0])
+        copies = [emb.select("vec_id", "embedding")]
+        for r in (1, 2, 3):
+            rot = r * (dim // 4)
+            copies.append(
+                emb.select(
+                    (F.col("vec_id") + r * n_vec).alias("vec_id"),
+                    F.concat(
+                        F.slice("embedding", rot + 1, dim - rot),
+                        F.slice("embedding", 1, rot),
+                    ).alias("embedding"),
+                )
+            )
+        big_e = copies[0]
+        for c in copies[1:]:
+            big_e = big_e.unionByName(c)
+        big_e = big_e.repartition(32).localCheckpoint(eager=True)
+        small_e = copies[0].repartition(32).localCheckpoint(eager=True)
+
+        def _lsh(df):
+            return embedding_near_dup_pairs_lsh(
+                with_planted_near_dups(df), threshold=0.8, n_planes=16, n_tables=8
+            )
+
+        _lsh(small_e).write.format("noop").mode("overwrite").save()  # warm
+        emb_lsh_1x = round(
+            min(_timed(lambda: _lsh(small_e).write.format("noop").mode("overwrite").save()) for _ in range(2)), 4
+        )
+        emb_lsh_4x = round(
+            min(_timed(lambda: _lsh(big_e).write.format("noop").mode("overwrite").save()) for _ in range(2)), 4
+        )
+        _ivf = lambda df: ivf_ann_topk(df, n_queries=10, k=10).write.format("noop").mode("overwrite").save()  # noqa: E731
+        _ivf(small_e)  # warm
+        emb_ivf_1x = round(min(_timed(lambda: _ivf(small_e)) for _ in range(2)), 4)
+        emb_ivf_4x = round(min(_timed(lambda: _ivf(big_e)) for _ in range(2)), 4)
+    except Exception as e:  # the probe must never sink the bench
+        print(f"# embedding scaleup probe failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # Persistent IVF index probe: build once, then serve a 10-query
+    # batch from the store — the serving-path latency a rebuilt-per-call
+    # ivf_ann_topk hides (its bench number pays training+assignment
+    # every invocation).
+    ivf_build_sec = ivf_serve_sec = None
+    ivf_root = tempfile.mkdtemp(prefix="bench_ivfstore_")
+    try:
+        from outboxx_spark.dataops.similarity import (
+            build_ivf_index,
+            ivf_ann_topk_from_store,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        ivf_store = f"{ivf_root}/ivf"
+        ivf_build_sec = round(_timed(lambda: build_ivf_index(emb, ivf_store)), 4)
+        queries_df = emb.filter(F.col("vec_id") < 10).localCheckpoint(eager=True)
+
+        def _serve():
+            ivf_ann_topk_from_store(spark, ivf_store, queries_df, k=10).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        _serve()  # warm
+        ivf_serve_sec = round(min(_timed(_serve) for _ in range(3)), 4)
+    except Exception as e:  # the probe must never sink the bench
+        print(f"# ivf store probe failed: {type(e).__name__}: {e}", file=sys.stderr)
+    finally:
+        shutil.rmtree(ivf_root, ignore_errors=True)
+
     # Incremental dedup-store probe (tracked per round): ingest the
     # corpus in two halves through the persistent LSH survivor store.
     # The claim under test is per-batch-bounded work: batch 2 (probing
@@ -287,6 +371,18 @@ def main() -> None:
         ),
         "dedup_store_b1_sec": dedup_store_b1_sec,
         "dedup_store_b2_sec": dedup_store_b2_sec,
+        "emb_lsh_1x_sec": emb_lsh_1x,
+        "emb_lsh_4x_sec": emb_lsh_4x,
+        "emb_lsh_4x_time_ratio": (
+            round(emb_lsh_4x / emb_lsh_1x, 2) if emb_lsh_1x and emb_lsh_4x else None
+        ),
+        "emb_ivf_1x_sec": emb_ivf_1x,
+        "emb_ivf_4x_sec": emb_ivf_4x,
+        "emb_ivf_4x_time_ratio": (
+            round(emb_ivf_4x / emb_ivf_1x, 2) if emb_ivf_1x and emb_ivf_4x else None
+        ),
+        "ivf_build_sec": ivf_build_sec,
+        "ivf_serve_sec": ivf_serve_sec,
         "n_queries": len(timings),
         # r4 accounting change: per-query timings REBUILD the DataFrame
         # every pass, so eager build stages (checkpoint

@@ -101,11 +101,55 @@ def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def merge_rounds_local(
+    vocab: dict[tuple[str, ...], int],
+    n_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """The exact merge-round algorithm on a driver-local word-frequency
+    table: overlapping pair counts weighted by word frequency, greedy
+    left-to-right merge, (count desc, a, b) tie-break — the published
+    semantics, identical to the distributed loop (property-tested).
+    Shared by ``bpe_train``'s driver path and the DuckDB oracle builder
+    (``bpe_merges_sql``), so the two can't drift apart."""
+    from collections import Counter
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
     min_pair_count: int = 2,
+    mode: str = "auto",
+    driver_vocab_limit: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from the corpus; stops early
     when the best remaining pair occurs fewer than ``min_pair_count``
@@ -119,15 +163,34 @@ def bpe_train(
     Heaps'-law bounded (not corpus-scale) and rounds are short, so a
     restart is cheap relative to paying DISK_ONLY persistence every
     round; a cluster profile that can't accept restarts should persist
-    ``word_vocab`` externally and resume from it."""
-    # Round storage discipline: each round caches the new vocab, runs
-    # the (eager) pair-count action against it, and unpersists the
-    # previous round's copy — executor storage stays O(1) vocab copies
-    # however many rounds run. Every _LINEAGE_CUT rounds the vocab is
-    # localCheckpointed instead, so the logical plan (one nested fold
-    # per round otherwise) stays bounded too; those few checkpoint RDDs
-    # are reclaimed by Spark's ContextCleaner once dereferenced.
+    ``word_vocab`` externally and resume from it.
+
+    Execution modes (``mode``): the corpus pass is always distributed;
+    the merge ROUNDS run driver-local whenever the word vocab fits
+    ``driver_vocab_limit`` rows (``"auto"``, the default — collected
+    once off the checkpointed vocab, then ``merge_rounds_local``; this
+    is how production BPE trainers work, since realistic merge counts
+    are 10^4+ and a per-round distributed job would mean 10^4+ vocab
+    jobs), falling back to the distributed per-round loop above the
+    limit. ``"distributed"``/``"driver"`` force a path (tests pin the
+    two bit-identical). At 100 TB, frequency-threshold the vocab
+    (min_count filter on ``word_vocab``) to bring it under the driver
+    limit — the standard practice — or accept the distributed rounds."""
+    # Round storage discipline (distributed path): each round caches
+    # the new vocab, runs the (eager) pair-count action against it, and
+    # unpersists the previous round's copy — executor storage stays
+    # O(1) vocab copies however many rounds run. Every _LINEAGE_CUT
+    # rounds the vocab is localCheckpointed instead, so the logical
+    # plan (one nested fold per round otherwise) stays bounded too.
     vocab = word_vocab(df, text_col).localCheckpoint(eager=True)
+    if mode == "driver" or (mode == "auto" and vocab.count() <= driver_vocab_limit):
+        rows = vocab.collect()
+        vocab.unpersist()
+        local = {}
+        for r in rows:
+            key = tuple(r["syms"])
+            local[key] = local.get(key, 0) + r["n"]
+        return merge_rounds_local(local, n_merges, min_pair_count)
     merges: list[tuple[str, str]] = []
     for round_i in range(n_merges):
         best = (
@@ -152,6 +215,46 @@ def bpe_train(
         vocab = new_vocab
     vocab.unpersist()
     return merges
+
+
+def bpe_merges_sql(
+    n_merges: int = 12,
+    min_pair_count: int = 2,
+    sf_dir: str | None = None,
+) -> str:
+    """DuckDB oracle for the learned merge table: replay the exact
+    algorithm in pure Python over the same parquet at SQL-build time
+    and inline the rules as VALUES (the inlined-model pattern the
+    k-means oracles use, ``similarity._train_centroids_from_parquet``).
+    All arithmetic is integer/string, so the replay is exactly
+    reproducible — no float caveat here. Word splitting mirrors the
+    Spark side exactly: literal single-space split, empty tokens
+    dropped, every character (incl. line terminators) a symbol."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    texts = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )["text"].to_pylist()
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    merges = merge_rounds_local(
+        {tuple(w): n for w, n in words.items()}, n_merges, min_pair_count
+    )
+    if not merges:
+        return (
+            "SELECT CAST(NULL AS INTEGER) AS rule_idx, CAST(NULL AS VARCHAR) AS pair_a, "
+            "CAST(NULL AS VARCHAR) AS pair_b WHERE FALSE"
+        )
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n    ".join(f"({i}, {_q(a)}, {_q(b)})" for i, (a, b) in enumerate(merges))
+    return f"SELECT * FROM (VALUES\n    {vals}) AS t(rule_idx, pair_a, pair_b)"
 
 
 def bpe_segment(

@@ -60,15 +60,25 @@ from outboxx_spark.dataops.dedup import (
     lsh_band_buckets,
     lsh_bucket_pairs,
     minhash_signatures_from_sets,
+    ngram_jaccard_pairs_sql,
     verify_jaccard_pairs,
 )
 from outboxx_spark.dataops.text import shingles
 from outboxx_spark.dataops.util import parallelized as _parallelized
-from outboxx_spark.fsutil import fs_exists, fs_read_text, fs_write_text
+from outboxx_spark.fsutil import fs_exists, fs_read_text, fs_write_text, hadoop_fs
 
 DEFAULT_STORE_BUCKETS = 64
 
 _META = "_dedup_store_meta.json"
+# Store compaction (see compact_dedup_store): staged generation +
+# parked old generations + the roll-forward decision marker. The
+# compacted generation lands as batch_id=-1 — a real batch_id is a
+# non-negative epoch, so the replay-exclusion filter can never exclude
+# the compacted generation by accident.
+_COMPACT_STAGE = ".compact_stage"
+_COMPACT_UNDO = ".compact_undo"
+_COMMIT_READY = "_COMMIT_READY"
+COMPACTED_BATCH_ID = -1
 
 
 def _check_store_meta(
@@ -135,6 +145,9 @@ def incremental_minhash_dedup_batch(
         # under batch_id=N would make later store reads schema-less
         return
     _check_store_meta(spark, store_dir, k, threshold, n_store_buckets)
+    # finish (or discard) any interrupted out-of-band compaction before
+    # reading the store — a half-committed swap must never be probed
+    _recover_compaction(spark, store_dir)
 
     # one shingle pass per batch: signatures derive from the
     # materialized shingle sets (same pattern as minhash_dedup_pairs)
@@ -223,6 +236,134 @@ def incremental_minhash_dedup_batch(
         .partitionBy("dbk")
         .parquet(f"{docs_root}/batch_id={batch_id}")
     )
+
+
+def _batch_dirs(fs, tree_path) -> list[str]:
+    """Names of batch_id=* children of ``tree_path`` (empty if absent)."""
+    if not fs.exists(tree_path):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(tree_path)
+        if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
+    ]
+
+
+def _commit_compaction(spark: SparkSession, store_dir: str) -> None:
+    """Swap the staged compacted generation into place. Idempotent and
+    resumable from any crash point once ``_COMMIT_READY`` exists: per
+    tree, if the staged dir is still present, park every live
+    generation (including any previous compacted one) in the undo area
+    and rename the staged dir in as ``batch_id=-1``; a tree whose
+    staged dir is gone already committed and is skipped. Parking MOVES
+    directories, so no instant holds the same rows in two live dirs."""
+    fs, _, jvm = hadoop_fs(spark, store_dir)
+    path = jvm.org.apache.hadoop.fs.Path
+    for tree in ("buckets", "docs"):
+        staged = path(f"{store_dir}/{_COMPACT_STAGE}/{tree}")
+        if not fs.exists(staged):
+            continue  # this tree already committed
+        live_root = path(f"{store_dir}/{tree}")
+        undo_root = path(f"{store_dir}/{_COMPACT_UNDO}/{tree}")
+        if not fs.mkdirs(undo_root):
+            raise IOError(f"mkdirs failed: {undo_root}")
+        for name in _batch_dirs(fs, live_root):
+            if not fs.rename(path(live_root, name), path(undo_root, name)):
+                raise IOError(f"rename failed: {live_root}/{name} -> undo")
+        dest = path(live_root, f"batch_id={COMPACTED_BATCH_ID}")
+        if not fs.rename(staged, dest):
+            raise IOError(f"rename failed: {staged} -> {dest}")
+    fs.delete(path(f"{store_dir}/{_COMPACT_UNDO}"), True)
+    fs.delete(path(f"{store_dir}/{_COMPACT_STAGE}"), True)
+
+
+def _recover_compaction(spark: SparkSession, store_dir: str) -> None:
+    """Repair an interrupted compaction before any read or ingest.
+    ``_COMMIT_READY`` is the decision point: present -> the staged
+    generation is complete, roll FORWARD (re-run the idempotent
+    commit); absent -> the stage is garbage, roll BACK (restore any
+    parked generation whose live dir is missing, then drop stage+undo).
+    No-op (two existence probes) when no compaction was in flight."""
+    stage_exists = fs_exists(spark, f"{store_dir}/{_COMPACT_STAGE}")
+    undo_exists = fs_exists(spark, f"{store_dir}/{_COMPACT_UNDO}")
+    if not stage_exists and not undo_exists:
+        return
+    if fs_exists(spark, f"{store_dir}/{_COMPACT_STAGE}/{_COMMIT_READY}"):
+        _commit_compaction(spark, store_dir)
+        return
+    fs, _, jvm = hadoop_fs(spark, store_dir)
+    path = jvm.org.apache.hadoop.fs.Path
+    for tree in ("buckets", "docs"):
+        undo_root = path(f"{store_dir}/{_COMPACT_UNDO}/{tree}")
+        live_root = path(f"{store_dir}/{tree}")
+        for name in _batch_dirs(fs, undo_root):
+            live = path(live_root, name)
+            if not fs.exists(live):
+                if not fs.rename(path(undo_root, name), live):
+                    raise IOError(f"rename failed: undo/{name} -> {live}")
+    fs.delete(path(f"{store_dir}/{_COMPACT_UNDO}"), True)
+    fs.delete(path(f"{store_dir}/{_COMPACT_STAGE}"), True)
+
+
+def compact_dedup_store(spark: SparkSession, store_dir: str) -> None:
+    """Bin-pack every committed batch generation into ONE compacted
+    generation per tree (``batch_id=-1``), preserving the ``bkt``/
+    ``dbk`` hash partitioning so probe-side pruning is untouched. The
+    append-only store otherwise grows O(batches x n_store_buckets)
+    small files — a year of crawl deliveries becomes a listing/open
+    bottleneck; after compaction the file count is O(n_store_buckets)
+    again regardless of history. ``pairs/`` (the audit log) is left
+    alone: nothing joins against it per batch.
+
+    Operational contract (same class as the table sink's): single
+    writer, run OUT-OF-BAND — never concurrently with ingestion, and
+    only when no ingested batch can still replay (i.e. after the
+    stream's checkpoint has committed past it). A replay of a batch
+    whose rows were folded into the compacted generation would re-add
+    those rows under the original batch_id, duplicating them in the
+    store. Crash-safe via stage + marker + park-and-rename: recovery
+    (run automatically at the next compaction or ingest) rolls forward
+    iff the stage completed, else rolls back."""
+    _recover_compaction(spark, store_dir)
+    if not fs_exists(spark, f"{store_dir}/buckets"):
+        return
+    for tree, part_col in (("buckets", "bkt"), ("docs", "dbk")):
+        (
+            spark.read.parquet(f"{store_dir}/{tree}")
+            .drop("batch_id")
+            .repartition(part_col)
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(f"{store_dir}/{_COMPACT_STAGE}/{tree}")
+        )
+    fs_write_text(spark, f"{store_dir}/{_COMPACT_STAGE}/{_COMMIT_READY}", "ready")
+    _commit_compaction(spark, store_dir)
+
+
+def incremental_dedup_pairs_sql(k: int = 3, threshold: float = 0.5) -> str:
+    """DuckDB mirror of the two-halves incremental ingest the driver
+    query runs (``documents`` split at count//2 on doc_id, batch 0 then
+    batch 1): batch-0 pairs are the exact Jaccard pairs within the
+    first half; batch-1 pairs are pairs whose doc_b is in the second
+    half and whose doc_a is either also new (new-vs-new) or a batch-0
+    SURVIVOR (first-seen-wins: docs dropped in batch 0 never enter the
+    store, so they can't drop later docs). Relies on the test-pinned
+    equality of the LSH+verify pair set with the exact pair set, and on
+    doc_a < doc_b making "doc_b < h" equivalent to "both < h"."""
+    pairs = ngram_jaccard_pairs_sql(k, threshold, max_df=None)
+    return f"""
+    WITH all_pairs AS ({pairs}),
+    half AS (SELECT CAST(count(*) // 2 AS BIGINT) AS h FROM documents),
+    p1 AS (SELECT p.* FROM all_pairs p, half WHERE p.doc_b < half.h),
+    p2 AS (
+      SELECT p.* FROM all_pairs p, half
+      WHERE p.doc_b >= half.h
+        AND (p.doc_a >= half.h OR p.doc_a NOT IN (SELECT doc_b FROM p1))
+    )
+    SELECT 0 AS batch_id, doc_a, doc_b, inter, n_a, n_b FROM p1
+    UNION ALL
+    SELECT 1 AS batch_id, doc_a, doc_b, inter, n_a, n_b FROM p2
+    """
 
 
 def read_survivors(spark: SparkSession, store_dir: str) -> DataFrame:

@@ -816,6 +816,130 @@ def ivf_ann_topk_sql(
     """
 
 
+# ---------------------------------------------------------------------------
+# persistent IVF index (build once, serve many query batches)
+# ---------------------------------------------------------------------------
+
+_IVF_META = "_ivf_meta.json"
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    store_dir: str,
+    n_clusters: int = 16,
+    sample_size: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF serving index: the trained coarse quantizer
+    (centroids, in a JSON meta file — ``repr`` floats roundtrip
+    float64 exactly, so a reload is bit-identical) plus the inverted
+    lists (every vector with its assigned cluster, parquet partitioned
+    BY CLUSTER so a probe reads only its n_probe list partitions).
+
+    ``ivf_ann_topk`` retrains and re-assigns per call — right for a
+    one-shot query, wrong for a serving corpus: a real 100 TB index is
+    built once (one training sample + one assignment pass over the
+    corpus) and then answers many query batches at O(probed lists)
+    each. The index is immutable once built (serving-index contract —
+    the same reason the dedup store fail-stops on parameter drift):
+    building into a non-empty ``store_dir`` raises; reindex into a
+    fresh directory and swap."""
+    from outboxx_spark.fsutil import fs_exists, fs_write_text
+
+    spark = emb.sparkSession
+    if fs_exists(spark, f"{store_dir}/{_IVF_META}"):
+        raise ValueError(
+            f"IVF index at {store_dir} already exists; indexes are "
+            "immutable — build into a fresh directory and swap"
+        )
+    centroids = _train_corpus_centroids(emb, n_clusters, sample_size, id_col, vec_col)
+    assign = ivf_assign_udf(centroids)
+    (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            assign(F.col(vec_col)).alias("cluster"),
+        )
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{store_dir}/lists")
+    )
+    # meta written LAST: readers treat its presence as the commit mark,
+    # so a crash mid-build leaves an unreadable (never half-served) dir
+    meta = {
+        "n_clusters": n_clusters,
+        "sample_size": sample_size,
+        "dim": int(centroids.shape[1]),
+        "centroids": [[float(x) for x in row] for row in centroids],
+    }
+    import json as _json
+
+    fs_write_text(spark, f"{store_dir}/{_IVF_META}", _json.dumps(meta))
+
+
+def ivf_ann_topk_from_store(
+    spark,
+    store_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a query batch from a persisted IVF index: rank each
+    query's centroids from the stored quantizer (driver-side — the
+    query batch is bounded by contract, like every ANN query set here),
+    then exact-cosine re-rank ONLY the probed list partitions. Equals
+    :func:`ivf_ann_topk` on the same corpus/queries bit-for-bit
+    (pytest-pinned): the stored centroids reload exactly, so
+    assignment, probes, and re-rank replay the same arithmetic. The
+    corpus scan is partition-pruned with an explicit cluster filter
+    (driver knows the probe set), so served cost is O(probed lists),
+    not O(corpus)."""
+    import json as _json
+
+    from outboxx_spark.fsutil import fs_read_text
+
+    raw = fs_read_text(spark, f"{store_dir}/{_IVF_META}")
+    if raw is None:
+        raise ValueError(f"no IVF index at {store_dir} (missing {_IVF_META})")
+    meta = _json.loads(raw)
+    centroids = np.array(meta["centroids"], dtype=np.float64)
+
+    qpd = queries.select(id_col, vec_col).toPandas()
+    qm = np.vstack(qpd[vec_col].to_numpy()).astype(np.float64)
+    probes = (qm @ centroids.T).argsort(axis=1, kind="stable")[:, ::-1][:, :n_probe]
+    probe_rows = [
+        (int(qid), int(c)) for qid, cs in zip(qpd[id_col], probes) for c in cs
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, cluster int")
+    probed_clusters = sorted({c for _, c in probe_rows})
+
+    corpus = (
+        spark.read.parquet(f"{store_dir}/lists")
+        .filter(F.col("cluster").isin(probed_clusters))
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cluster")
+    )
+    qv = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in zip(qpd[id_col], qpd[vec_col])],
+        "query_id long, qv array<double>",
+    )
+    cands = (
+        corpus.join(F.broadcast(probe_df), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def kmeans_assignments(
     emb: DataFrame,
     n_clusters: int = 16,

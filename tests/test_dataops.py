@@ -55,6 +55,33 @@ def test_minhash_matches_exact_on_testdata(spark, sf_dir):
     assert lsh == exact  # LSH recall 1.0 at this threshold (by construction)
 
 
+def test_ivf_store_serves_identical_topk(spark, sf_dir, tmp_path):
+    """A persisted IVF index must answer exactly what a rebuild-per-call
+    ivf_ann_topk answers on the same corpus and query batch — the
+    stored centroids reload bit-identically, so assignment, probes and
+    re-rank replay the same arithmetic. Rebuilding into a non-empty
+    index dir must refuse (serving-index immutability)."""
+    import pytest as _pytest
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    store = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, store)
+    queries = emb.filter(F.col("vec_id") < 10)
+    served = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivf_ann_topk_from_store(spark, store, queries, k=10).collect()
+    )
+    rebuilt = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivf_ann_topk(emb, n_queries=10, k=10).collect()
+    )
+    assert served == rebuilt
+    with _pytest.raises(ValueError, match="immutable"):
+        sim.build_ivf_index(emb, store)
+    with _pytest.raises(ValueError, match="no IVF index"):
+        sim.ivf_ann_topk_from_store(spark, str(tmp_path / "nope"), queries)
+
+
 def test_minhash_signature_formulations_bit_identical(spark, sf_dir):
     # the Arrow/numpy signature path must be bit-identical to the
     # explode+groupBy formulation — the incremental store's replay
@@ -586,6 +613,9 @@ def test_bpe_train_and_segment_on_corpus(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").limit(200)
     merges = bpe.bpe_train(docs, n_merges=5)
     assert merges == bpe.bpe_train(docs, n_merges=5)
+    # the driver-local merge rounds (auto on this vocab) and the
+    # distributed per-round loop must agree on real corpus text
+    assert merges == bpe.bpe_train(docs, n_merges=5, mode="distributed")
     assert len(merges) == 5
     seg = bpe.bpe_segment(docs, merges).limit(500)
     bad = seg.filter(

@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 from outboxx_spark.dataops.incremental import (
+    compact_dedup_store,
     incremental_minhash_dedup_batch,
     read_dedup_pairs,
     read_survivors,
@@ -119,6 +120,95 @@ def test_streaming_wrapper_end_to_end(spark, tmp_path):
         3,
         4,
     }
+
+
+def _parquet_file_count(root) -> int:
+    import os
+
+    n = 0
+    for _, _, files in os.walk(root):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def _store_state(spark, store):
+    surv = sorted(r.doc_id for r in read_survivors(spark, store).collect())
+    pairs = sorted(
+        (r.batch_id, r.doc_a, r.doc_b, r.inter, r.n_a, r.n_b)
+        for r in read_dedup_pairs(spark, store).collect()
+    )
+    return surv, pairs
+
+
+def test_compaction_folds_generations_and_keeps_pruning(spark, tmp_path):
+    """Compaction bin-packs every batch generation into batch_id=-1 per
+    tree: survivors/pairs unchanged, parquet file count drops, and a
+    later batch still dedups against the compacted store (the bkt/dbk
+    partition pruning the probe relies on survives the rewrite)."""
+    import os
+
+    store = str(tmp_path / "store")
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_A, DOC_B]), store, batch_id=0, k=1)
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_C]), store, batch_id=1, k=1)
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_D]), store, batch_id=2, k=1)
+    before = _store_state(spark, store)
+    files_before = _parquet_file_count(f"{store}/buckets") + _parquet_file_count(f"{store}/docs")
+    compact_dedup_store(spark, store)
+    assert _store_state(spark, store) == before
+    files_after = _parquet_file_count(f"{store}/buckets") + _parquet_file_count(f"{store}/docs")
+    assert files_after < files_before
+    assert os.listdir(f"{store}/buckets") == ["batch_id=-1"]
+    # probe against the compacted generation: a resend of stored
+    # survivor A must still drop
+    incremental_minhash_dedup_batch(
+        _docs_df(spark, [(99, DOC_A[1])]), store, batch_id=3, k=1
+    )
+    surv, pairs = _store_state(spark, store)
+    assert 99 not in surv
+    assert (3, 1, 99, 10, 10, 10) in pairs
+    # re-compaction over (compacted + new) generations stays correct
+    compact_dedup_store(spark, store)
+    assert _store_state(spark, store) == (surv, pairs)
+
+
+def test_compaction_recovery_rolls_forward_after_marker(spark, tmp_path, monkeypatch):
+    """A crash AFTER the stage completed (_COMMIT_READY present) must
+    roll forward at the next ingest: the staged generation commits and
+    the store behaves exactly as if compaction had finished."""
+    import os
+
+    import outboxx_spark.dataops.incremental as inc
+
+    store = str(tmp_path / "store")
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_A, DOC_B]), store, batch_id=0, k=1)
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_C]), store, batch_id=1, k=1)
+    before = _store_state(spark, store)
+    monkeypatch.setattr(inc, "_commit_compaction", lambda *a, **k: None)
+    compact_dedup_store(spark, store)  # stages + marker, then "crashes"
+    monkeypatch.undo()
+    assert os.path.exists(f"{store}/.compact_stage/_COMMIT_READY")
+    # next ingest recovers forward, then dedups against the store
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_D]), store, batch_id=2, k=1)
+    assert not os.path.exists(f"{store}/.compact_stage")
+    surv, pairs = _store_state(spark, store)
+    assert surv == sorted(before[0] + [4])
+    assert pairs == before[1]
+    assert os.listdir(f"{store}/buckets") == sorted(["batch_id=-1", "batch_id=2"])
+
+
+def test_compaction_recovery_discards_unready_stage(spark, tmp_path):
+    """A crash BEFORE the marker (half-written stage) must roll back:
+    the junk stage is dropped and the live generations are untouched."""
+    import os
+
+    store = str(tmp_path / "store")
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_A]), store, batch_id=0, k=1)
+    before = _store_state(spark, store)
+    os.makedirs(f"{store}/.compact_stage/buckets")  # no _COMMIT_READY
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_D]), store, batch_id=1, k=1)
+    assert not os.path.exists(f"{store}/.compact_stage")
+    surv, pairs = _store_state(spark, store)
+    assert surv == sorted(before[0] + [4])
 
 
 def test_store_refuses_mismatched_parameters(spark, tmp_path):

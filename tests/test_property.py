@@ -234,9 +234,12 @@ def test_bpe_train_matches_model_on_arbitrary_corpora(spark, texts, n_merges):
 
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = bpe_train(df, n_merges=n_merges, min_pair_count=1)
+    # force the distributed per-round loop: auto mode would take the
+    # driver path on these tiny vocabs and leave the loop untested
+    got = bpe_train(df, n_merges=n_merges, min_pair_count=1, mode="distributed")
     want = _bpe_python(texts, n_merges=n_merges, min_pair_count=1)
     assert got == want
+    assert bpe_train(df, n_merges=n_merges, min_pair_count=1, mode="driver") == want
 
 
 @settings(max_examples=6, deadline=None)
