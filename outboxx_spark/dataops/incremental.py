@@ -220,10 +220,13 @@ def incremental_minhash_dedup_batch(
 
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     survivor_ids = batch.select("doc_id").join(dropped, "doc_id", "left_anti")
+    # one shuffle task per store bucket -> exactly ONE file per bkt dir
+    # (the table sink's layout): a 32-task repartition would scatter
+    # every bucket dir with up to 32 small files per batch
     (
         new_buckets.join(survivor_ids, "doc_id")
         .withColumn("bkt", _bkt(F.col("band"), F.col("sig"), n=n_store_buckets))
-        .repartition("bkt")
+        .repartition(n_store_buckets, "bkt")
         .write.mode("overwrite")
         .partitionBy("bkt")
         .parquet(f"{buckets_root}/batch_id={batch_id}")
@@ -231,7 +234,7 @@ def incremental_minhash_dedup_batch(
     (
         new_sets.join(survivor_ids, "doc_id")
         .withColumn("dbk", _bkt(F.col("doc_id"), n=n_store_buckets))
-        .repartition("dbk")
+        .repartition(n_store_buckets, "dbk")
         .write.mode("overwrite")
         .partitionBy("dbk")
         .parquet(f"{docs_root}/batch_id={batch_id}")
@@ -327,11 +330,18 @@ def compact_dedup_store(spark: SparkSession, store_dir: str) -> None:
     _recover_compaction(spark, store_dir)
     if not fs_exists(spark, f"{store_dir}/buckets"):
         return
+    import json as _json
+
+    meta_raw = fs_read_text(spark, f"{store_dir}/{_META}")
+    n_buckets = (
+        _json.loads(meta_raw)["n_store_buckets"] if meta_raw else DEFAULT_STORE_BUCKETS
+    )
     for tree, part_col in (("buckets", "bkt"), ("docs", "dbk")):
         (
             spark.read.parquet(f"{store_dir}/{tree}")
             .drop("batch_id")
-            .repartition(part_col)
+            # one task per bucket -> one file per dir (the bin-pack)
+            .repartition(n_buckets, part_col)
             .write.mode("overwrite")
             .partitionBy(part_col)
             .parquet(f"{store_dir}/{_COMPACT_STAGE}/{tree}")

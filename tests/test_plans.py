@@ -286,3 +286,31 @@ def test_unigram_lm_vocab_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_store_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """Serving from the persisted IVF index must read ONLY the probed
+    cluster partitions: the lists scan carries a cluster PartitionFilter
+    and the probe/query sides ride broadcast joins — O(probed lists)
+    served cost, the property that makes build-once-serve-many the
+    100 TB shape."""
+    from outboxx_spark.dataops.similarity import (
+        build_ivf_index,
+        ivf_ann_topk_from_store,
+    )
+    from outboxx_spark.sources.tables import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    store = str(tmp_path / "ivf")
+    build_ivf_index(emb, store)
+    plan = _plan(
+        ivf_ann_topk_from_store(spark, store, emb.filter(F.col("vec_id") < 3), k=5)
+    )
+    # the pruning predicate must reach the scan's partition filters,
+    # not sit in a post-scan Filter
+    assert "PartitionFilters" in plan
+    assert "cluster#" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
