@@ -24,7 +24,7 @@ from outboxx_spark.dataops import dedup as dd
 from outboxx_spark.dataops import editdist as ed
 from outboxx_spark.dataops import similarity as sim
 from outboxx_spark.dataops import text as tx
-from outboxx_spark.dataops.bpe import bpe_merges_sql
+from outboxx_spark.dataops.bpe import bpe_merges_sql, bpe_train
 from outboxx_spark.dataops.incremental import incremental_dedup_pairs_sql
 from outboxx_spark.dataops.multimodal import (
     MM_FEATURES_SQL,
@@ -596,9 +596,7 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical integer/string algorithm in pure
     Python over the same parquet and inlines the rules as VALUES
     (the inlined-model oracle pattern of the k-means queries)."""
-    from outboxx_spark.dataops import bpe
-
-    merges = bpe.bpe_train(read_table(spark, sf_dir, "documents"), n_merges=12)
+    merges = bpe_train(read_table(spark, sf_dir, "documents"), n_merges=12)
     rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
     return spark.createDataFrame(rows, "rule_idx int, pair_a string, pair_b string")
 

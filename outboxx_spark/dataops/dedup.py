@@ -256,11 +256,19 @@ def minhash_signatures_from_sets(sets: DataFrame, sh_col: str = "sh") -> DataFra
     is interpreted, not codegen'd; measured at sf0.1 it costs ~2.3s vs
     ~1.3s for this path (signatures+buckets stage, steady-state).
 
-    Memory: the permutation matrix is built over doc chunks capped at
-    2^18 shingles (~256 MB peak) so an Arrow batch of many large docs
-    can't balloon the python worker. ``shingles()`` never yields an
-    empty array (whole-text fallback), so every segment is non-empty."""
-    h_arr = F.transform(F.col(sh_col), lambda s: md5_hash60(s) % HASH_P)
+    Memory: the permutation matrix is built over chunks capped at 2^18
+    shingles (~256 MB peak) — BOTH across docs and within one doc (a
+    single pathologically large document is sliced and its minima
+    combined), so no input shape can balloon the python worker. Null
+    hygiene matches the explode+groupBy formulation it replaced: null
+    hash elements (null text rows hit ``shingles``'s whole-text
+    fallback as ``[NULL]``) are compacted away and hash-less docs are
+    DROPPED from the signature table — they produce no bucket keys, so
+    they are never dedup candidates and always survive, exactly as
+    exploded nulls behaved."""
+    h_arr = F.array_compact(
+        F.transform(F.col(sh_col), lambda s: md5_hash60(s) % HASH_P)
+    )
     perm_a = np.array(MINHASH_A, dtype=np.int64)
     perm_b = np.array(MINHASH_B, dtype=np.int64)
 
@@ -280,13 +288,26 @@ def minhash_signatures_from_sets(sets: DataFrame, sh_col: str = "sh") -> DataFra
             d1 = d0 + 1
             while d1 < n and ends[d1 - 1] - starts[d0] < chunk_budget:
                 d1 += 1
-            seg = flat[starts[d0] : ends[d1 - 1]]
-            m = (seg[:, None] * perm_a + perm_b) % HASH_P
-            out[d0:d1] = np.minimum.reduceat(m, starts[d0:d1] - starts[d0], axis=0)
+            if d1 == d0 + 1 and lens[d0] > chunk_budget:
+                # one oversized doc: slice its shingle run, fold minima
+                acc = np.full(N_MINHASHES, np.iinfo(np.int64).max)
+                for s0 in range(int(starts[d0]), int(ends[d0]), chunk_budget):
+                    seg = flat[s0 : min(s0 + chunk_budget, int(ends[d0]))]
+                    m = (seg[:, None] * perm_a + perm_b) % HASH_P
+                    np.minimum(acc, m.min(axis=0), out=acc)
+                out[d0] = acc
+            else:
+                seg = flat[starts[d0] : ends[d1 - 1]]
+                m = (seg[:, None] * perm_a + perm_b) % HASH_P
+                out[d0:d1] = np.minimum.reduceat(m, starts[d0:d1] - starts[d0], axis=0)
             d0 = d1
         return pd.Series(list(out))
 
-    sa = sets.select("doc_id", _sig(h_arr).alias("sa"))
+    sa = (
+        sets.select("doc_id", h_arr.alias("ha"))
+        .filter(F.size("ha") > 0)
+        .select("doc_id", _sig(F.col("ha")).alias("sa"))
+    )
     return sa.select("doc_id", *[F.col("sa")[i].alias(f"mh{i}") for i in range(N_MINHASHES)])
 
 

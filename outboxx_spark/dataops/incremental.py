@@ -138,6 +138,12 @@ def incremental_minhash_dedup_batch(
     overwrites the same batch_id directories with identical content —
     the store joins exclude the batch's own batch_id partition, so a
     half-committed first attempt can't make docs match themselves."""
+    if batch_id < 0:
+        # negative ids are reserved for compacted generations
+        # (COMPACTED_BATCH_ID): a caller-supplied -1 would both skip
+        # the whole compacted generation in the replay-exclusion filter
+        # and OVERWRITE it on the survivor append
+        raise ValueError(f"batch_id must be >= 0, got {batch_id}")
     spark = batch.sparkSession
     batch = _parallelized(batch).select(F.col("doc_id"), F.col(text_col).alias("text"))
     if batch.isEmpty():
@@ -333,9 +339,16 @@ def compact_dedup_store(spark: SparkSession, store_dir: str) -> None:
     import json as _json
 
     meta_raw = fs_read_text(spark, f"{store_dir}/{_META}")
-    n_buckets = (
-        _json.loads(meta_raw)["n_store_buckets"] if meta_raw else DEFAULT_STORE_BUCKETS
-    )
+    if meta_raw is None:
+        # same fail-closed rule as _check_store_meta: guessing the
+        # bucket count would quietly break the one-file-per-bucket
+        # bin-pack this maintenance op exists to produce
+        raise ValueError(
+            f"dedup store {store_dir} has data but no {_META}; refusing "
+            "to compact with assumed parameters — restore the meta file "
+            "first"
+        )
+    n_buckets = _json.loads(meta_raw)["n_store_buckets"]
     for tree, part_col in (("buckets", "bkt"), ("docs", "dbk")):
         (
             spark.read.parquet(f"{store_dir}/{tree}")
@@ -377,13 +390,20 @@ def incremental_dedup_pairs_sql(k: int = 3, threshold: float = 0.5) -> str:
 
 
 def read_survivors(spark: SparkSession, store_dir: str) -> DataFrame:
-    """All surviving doc_ids ingested so far."""
+    """All surviving doc_ids ingested so far. Repairs any interrupted
+    compaction first — reading a half-committed swap would silently
+    return a partial survivor set."""
+    _recover_compaction(spark, store_dir)
     return spark.read.parquet(f"{store_dir}/docs").select("doc_id")
 
 
 def read_dedup_pairs(spark: SparkSession, store_dir: str) -> DataFrame:
     """Every verified duplicate pair emitted so far (doc_a kept,
-    doc_b dropped), with the batch that dropped it."""
+    doc_b dropped), with the batch that dropped it. Repairs any
+    interrupted compaction first (pairs/ itself is never compacted, but
+    a caller reading pairs right after a compaction crash should leave
+    the store whole)."""
+    _recover_compaction(spark, store_dir)
     return spark.read.parquet(f"{store_dir}/pairs").select(
         "batch_id", "doc_a", "doc_b", "inter", "n_a", "n_b"
     )

@@ -909,6 +909,12 @@ def ivf_ann_topk_from_store(
     centroids = np.array(meta["centroids"], dtype=np.float64)
 
     qpd = queries.select(id_col, vec_col).toPandas()
+    if len(qpd) == 0:
+        # steady-state serving can legitimately see an empty query
+        # batch; answer with an empty frame, not a vstack crash
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int"
+        )
     qm = np.vstack(qpd[vec_col].to_numpy()).astype(np.float64)
     probes = (qm @ centroids.T).argsort(axis=1, kind="stable")[:, ::-1][:, :n_probe]
     probe_rows = [

@@ -36,9 +36,14 @@ def fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
     sink's commit): a crash mid-write must never leave a truncated
     file at the final path — readers distinguish only absent (retry/
     initialize) from complete. The final path must not already exist
-    when called (metadata files here are write-once)."""
+    when called (metadata files here are write-once). The temp name is
+    per-writer-unique: a shared ``.tmp`` would let a concurrent first
+    writer truncate this writer's in-flight bytes and then have THIS
+    writer publish the mangled file as a success."""
+    import uuid
+
     fs, path, jvm = hadoop_fs(spark, path_str)
-    tmp = jvm.org.apache.hadoop.fs.Path(path_str + ".tmp")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path_str}.{uuid.uuid4().hex}.tmp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))

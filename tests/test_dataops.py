@@ -80,6 +80,9 @@ def test_ivf_store_serves_identical_topk(spark, sf_dir, tmp_path):
         sim.build_ivf_index(emb, store)
     with _pytest.raises(ValueError, match="no IVF index"):
         sim.ivf_ann_topk_from_store(spark, str(tmp_path / "nope"), queries)
+    # an empty serving batch answers empty, not a numpy crash
+    none = emb.filter(F.col("vec_id") < 0)
+    assert sim.ivf_ann_topk_from_store(spark, store, none).count() == 0
 
 
 def test_minhash_signature_formulations_bit_identical(spark, sf_dir):

@@ -211,6 +211,41 @@ def test_compaction_recovery_discards_unready_stage(spark, tmp_path):
     assert surv == sorted(before[0] + [4])
 
 
+def test_negative_batch_id_refused(spark, tmp_path):
+    """batch_id=-1 is the compacted generation's reserved id: a caller
+    passing it would both skip the compacted generation in the replay
+    filter and overwrite it on the survivor append — fail-stop."""
+    with pytest.raises(ValueError, match="batch_id must be >= 0"):
+        incremental_minhash_dedup_batch(
+            _docs_df(spark, [DOC_A]), str(tmp_path / "s"), batch_id=-1, k=1
+        )
+
+
+def test_null_text_doc_survives_unmatched(spark, tmp_path):
+    """A null-text row must not crash the batch (the numpy signature
+    path compacts null hashes away, like the exploded formulation
+    did): it produces no bucket keys, is never a candidate, and
+    survives."""
+    store = str(tmp_path / "store")
+    rows = [DOC_A, (7, None), DOC_D]
+    incremental_minhash_dedup_batch(
+        spark.createDataFrame(rows, "doc_id long, text string"), store, batch_id=0, k=1
+    )
+    assert {r.doc_id for r in read_survivors(spark, store).collect()} == {1, 4, 7}
+
+
+def test_compaction_without_meta_fails_closed(spark, tmp_path):
+    """Like ingest, compaction must refuse a store whose meta file is
+    missing rather than assume a bucket count."""
+    import os
+
+    store = str(tmp_path / "store")
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_A]), store, batch_id=0, k=1)
+    os.remove(os.path.join(store, "_dedup_store_meta.json"))
+    with pytest.raises(ValueError, match="refusing to compact"):
+        compact_dedup_store(spark, store)
+
+
 def test_store_refuses_mismatched_parameters(spark, tmp_path):
     """The store's layout parameters (k, threshold, n_store_buckets) are
     baked into its partition hashing and shingle sets; a later call with
