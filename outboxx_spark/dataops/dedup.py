@@ -266,49 +266,100 @@ def minhash_signatures_from_sets(sets: DataFrame, sh_col: str = "sh") -> DataFra
     DROPPED from the signature table — they produce no bucket keys, so
     they are never dedup candidates and always survive, exactly as
     exploded nulls behaved."""
+    sa = _nonempty_hashes(sets, sh_col).select(
+        "doc_id", _perm_mins_udf()(F.col("ha")).alias("sa")
+    )
+    return sa.select("doc_id", *[F.col("sa")[i].alias(f"mh{i}") for i in range(N_MINHASHES)])
+
+
+def _nonempty_hashes(sets: DataFrame, sh_col: str) -> DataFrame:
+    """(doc_id, ha): per-doc shingle-hash arrays with null elements
+    compacted away and hash-less docs dropped (see the null-hygiene
+    note in minhash_signatures_from_sets)."""
     h_arr = F.array_compact(
         F.transform(F.col(sh_col), lambda s: md5_hash60(s) % HASH_P)
     )
+    return sets.select("doc_id", h_arr.alias("ha")).filter(F.size("ha") > 0)
+
+
+def _perm_min_matrix(h_arrs: pd.Series) -> np.ndarray:
+    """The shared numpy core: (n_docs, N_MINHASHES) permuted minima
+    over per-doc hash segments, with the 2^18-shingle chunk cap applied
+    both ACROSS docs and WITHIN one oversized doc."""
     perm_a = np.array(MINHASH_A, dtype=np.int64)
     perm_b = np.array(MINHASH_B, dtype=np.int64)
+    lens = h_arrs.map(len).to_numpy(dtype=np.int64)
+    n = len(lens)
+    if n == 0:
+        return np.empty((0, N_MINHASHES), dtype=np.int64)
+    flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in h_arrs])
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    out = np.empty((n, N_MINHASHES), dtype=np.int64)
+    chunk_budget = 1 << 18
+    d0 = 0
+    while d0 < n:
+        d1 = d0 + 1
+        while d1 < n and ends[d1 - 1] - starts[d0] < chunk_budget:
+            d1 += 1
+        if d1 == d0 + 1 and lens[d0] > chunk_budget:
+            # one oversized doc: slice its shingle run, fold minima
+            acc = np.full(N_MINHASHES, np.iinfo(np.int64).max)
+            for s0 in range(int(starts[d0]), int(ends[d0]), chunk_budget):
+                seg = flat[s0 : min(s0 + chunk_budget, int(ends[d0]))]
+                m = (seg[:, None] * perm_a + perm_b) % HASH_P
+                np.minimum(acc, m.min(axis=0), out=acc)
+            out[d0] = acc
+        else:
+            seg = flat[starts[d0] : ends[d1 - 1]]
+            m = (seg[:, None] * perm_a + perm_b) % HASH_P
+            out[d0:d1] = np.minimum.reduceat(m, starts[d0:d1] - starts[d0], axis=0)
+        d0 = d1
+    return out
 
+
+def _perm_mins_udf():
     @F.pandas_udf("array<long>")
     def _sig(h_arrs: pd.Series) -> pd.Series:
-        lens = h_arrs.map(len).to_numpy(dtype=np.int64)
-        n = len(lens)
-        if n == 0:
-            return pd.Series([], dtype=object)
-        flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in h_arrs])
-        ends = np.cumsum(lens)
-        starts = ends - lens
-        out = np.empty((n, N_MINHASHES), dtype=np.int64)
-        chunk_budget = 1 << 18
-        d0 = 0
-        while d0 < n:
-            d1 = d0 + 1
-            while d1 < n and ends[d1 - 1] - starts[d0] < chunk_budget:
-                d1 += 1
-            if d1 == d0 + 1 and lens[d0] > chunk_budget:
-                # one oversized doc: slice its shingle run, fold minima
-                acc = np.full(N_MINHASHES, np.iinfo(np.int64).max)
-                for s0 in range(int(starts[d0]), int(ends[d0]), chunk_budget):
-                    seg = flat[s0 : min(s0 + chunk_budget, int(ends[d0]))]
-                    m = (seg[:, None] * perm_a + perm_b) % HASH_P
-                    np.minimum(acc, m.min(axis=0), out=acc)
-                out[d0] = acc
-            else:
-                seg = flat[starts[d0] : ends[d1 - 1]]
-                m = (seg[:, None] * perm_a + perm_b) % HASH_P
-                out[d0:d1] = np.minimum.reduceat(m, starts[d0:d1] - starts[d0], axis=0)
-            d0 = d1
-        return pd.Series(list(out))
+        out = _perm_min_matrix(h_arrs)
+        return pd.Series(list(out)) if len(out) else pd.Series([], dtype=object)
 
-    sa = (
-        sets.select("doc_id", h_arr.alias("ha"))
-        .filter(F.size("ha") > 0)
-        .select("doc_id", _sig(F.col("ha")).alias("sa"))
+    return _sig
+
+
+def lsh_band_buckets_from_sets(sets: DataFrame, sh_col: str = "sh") -> DataFrame:
+    """(doc_id, band, sig) LSH bucket keys straight from the
+    shingle-set table: the permuted minima AND the 32 band signature
+    strings are assembled in the same Arrow pass, then one posexplode.
+    Values are identical to ``lsh_band_buckets(
+    minhash_signatures_from_sets(sets))`` (test-pinned — same minima,
+    same ``m0_m1_m2_m3`` string assembly, same 0-based band numbers,
+    so existing incremental-store generations keep joining and
+    ``pmod(xxhash64(band, sig))`` pruning stays stable). Measured at
+    sf0.1: 1.52s -> 0.38s for the signatures+buckets stage — extracting
+    128 array elements into columns and re-concatenating them in the
+    decomposed form cost ~4x the actual minhash arithmetic."""
+    n_bands = N_MINHASHES // LSH_BAND_SIZE
+
+    @F.pandas_udf("array<string>")
+    def _bands(h_arrs: pd.Series) -> pd.Series:
+        mins = _perm_min_matrix(h_arrs)
+        if not len(mins):
+            return pd.Series([], dtype=object)
+        digits = mins.astype("U10")  # HASH_P < 2^33 -> at most 10 digits
+        return pd.Series(
+            [
+                [
+                    "_".join(row[b * LSH_BAND_SIZE : (b + 1) * LSH_BAND_SIZE])
+                    for b in range(n_bands)
+                ]
+                for row in digits
+            ]
+        )
+
+    return _nonempty_hashes(sets, sh_col).select(
+        "doc_id", F.posexplode(_bands(F.col("ha"))).alias("band", "sig")
     )
-    return sa.select("doc_id", *[F.col("sa")[i].alias(f"mh{i}") for i in range(N_MINHASHES)])
 
 
 def lsh_band_buckets(sigs: DataFrame) -> DataFrame:
@@ -408,7 +459,9 @@ def minhash_dedup_pairs(
     sets_ = _materialize_corpus(
         _parallelized(df).select("doc_id", shingles(F.col(text_col), k).alias("sh"))
     )
-    cands = lsh_candidate_pairs(minhash_signatures_from_sets(sets_))
+    cands = lsh_bucket_pairs(
+        lsh_band_buckets_from_sets(sets_).localCheckpoint(eager=True)
+    )
     return verify_jaccard_pairs(cands, sets_, sets_, threshold)
 
 

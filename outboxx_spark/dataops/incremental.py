@@ -57,9 +57,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from outboxx_spark.dataops.dedup import (
-    lsh_band_buckets,
+    lsh_band_buckets_from_sets,
     lsh_bucket_pairs,
-    minhash_signatures_from_sets,
     ngram_jaccard_pairs_sql,
     verify_jaccard_pairs,
 )
@@ -160,8 +159,7 @@ def incremental_minhash_dedup_batch(
     new_sets = batch.select("doc_id", shingles(F.col("text"), k).alias("sh")).localCheckpoint(
         eager=True
     )
-    sigs = minhash_signatures_from_sets(new_sets)
-    new_buckets = lsh_band_buckets(sigs).localCheckpoint(eager=True)
+    new_buckets = lsh_band_buckets_from_sets(new_sets).localCheckpoint(eager=True)
 
     # new-vs-new (standard banded self-join, batch-sized)
     pairs = verify_jaccard_pairs(

@@ -100,6 +100,24 @@ def test_minhash_signature_formulations_bit_identical(spark, sf_dir):
     assert via_arrow == via_groupby
 
 
+def test_fused_band_buckets_equal_decomposed(spark, sf_dir):
+    # the fused Arrow band-bucket pass must emit exactly the rows of
+    # signatures->columns->concat_ws->explode: the incremental store's
+    # existing generations join on these (band, sig) values and its
+    # pmod(xxhash64(band, sig)) partition pruning depends on them
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    sets_ = docs.select("doc_id", tx.shingles(F.col("text"), 3).alias("sh"))
+    fused = {
+        (r.doc_id, r.band, r.sig)
+        for r in dd.lsh_band_buckets_from_sets(sets_).collect()
+    }
+    decomposed = {
+        (r.doc_id, r.band, r.sig)
+        for r in dd.lsh_band_buckets(dd.minhash_signatures_from_sets(sets_)).collect()
+    }
+    assert fused == decomposed
+
+
 def test_minhash_signatures_contract_error():
     with pytest.raises(ValueError, match="pass df or index"):
         dd.minhash_signatures()
