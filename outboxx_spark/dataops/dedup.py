@@ -472,8 +472,45 @@ def minhash_dedup_pairs(
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """60-bit SimHash over the distinct-token set: bit j set iff the sum
-    of ±1 votes (token hash bit j) is >= 0. One explode + one groupBy
-    with 60 partial sums — map-side combinable, no UDF."""
+    of ±1 votes (token hash bit j) is >= 0. One Arrow pass per row: the
+    distinct-token hash array is computed JVM-side (md5, oracle-stable)
+    and the 60 vote sums + bit assembly happen in vectorized numpy —
+    no corpus-scale explode, no 60-buffer groupBy shuffle. Bit-identical
+    to the groupBy formulation (``simhash_via_groupby``, test-pinned)
+    and to the DuckDB oracle. Docs whose token-hash array is empty
+    (null text) are dropped, as the exploded formulation dropped them."""
+    h_arr = F.array_compact(
+        F.transform(
+            F.array_distinct(F.split(F.col(text_col), " ")),
+            lambda t: md5_hash60(t),
+        )
+    )
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+    weights = (1 << bit_idx).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def _sig(h_arrs: pd.Series) -> pd.Series:
+        out = np.empty(len(h_arrs), dtype=np.int64)
+        for i, arr in enumerate(h_arrs):
+            h = np.asarray(arr, dtype=np.int64)
+            bits = (h[:, None] >> bit_idx) & 1  # (tokens, 60)
+            votes = (2 * bits - 1).sum(axis=0)
+            out[i] = int(((votes >= 0) * weights).sum())
+        return pd.Series(out)
+
+    rows = (
+        _parallelized(df)
+        .select("doc_id", h_arr.alias("ha"))
+        .filter(F.size("ha") > 0)
+    )
+    return rows.select("doc_id", _sig(F.col("ha")).alias("simhash"))
+
+
+def simhash_via_groupby(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The original explode + 60-partial-sum groupBy formulation —
+    kept as the bit-identity reference for :func:`simhash` (the
+    signature VALUES are oracle-checked, so the fused path must never
+    drift) and as the fallback shape if a deployment forbids Python."""
     toks = _parallelized(df).select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
     ).withColumn("h", md5_hash60(F.col("tok")))

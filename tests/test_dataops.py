@@ -100,6 +100,15 @@ def test_minhash_signature_formulations_bit_identical(spark, sf_dir):
     assert via_arrow == via_groupby
 
 
+def test_simhash_arrow_path_bit_identical(spark, sf_dir):
+    # simhash VALUES are oracle-checked (docs_simhash), so the fused
+    # Arrow vote pass must never drift from the groupBy formulation
+    docs = read_table(spark, sf_dir, "documents").limit(300)
+    fused = {(r.doc_id, r.simhash) for r in dd.simhash(docs).collect()}
+    grouped = {(r.doc_id, r.simhash) for r in dd.simhash_via_groupby(docs).collect()}
+    assert fused == grouped
+
+
 def test_fused_band_buckets_equal_decomposed(spark, sf_dir):
     # the fused Arrow band-bucket pass must emit exactly the rows of
     # signatures->columns->concat_ws->explode: the incremental store's
