@@ -290,3 +290,64 @@ def test_unigram_lm_matches_model_on_arbitrary_corpora(spark, texts):
         for r in unigram_lm_scores(df).collect()
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_characters="\x00", blacklist_categories=("Cs",)),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_fused_minhash_buckets_match_decomposed_on_arbitrary_text(spark, texts):
+    """The fused Arrow band-bucket pass must equal the decomposed
+    signatures->columns->concat->explode formulation on ARBITRARY
+    unicode text (empty strings, newlines, multi-space runs), not just
+    the corpus — the incremental store's generations join on these
+    values across engine versions."""
+    from pyspark.sql import functions as F
+
+    from outboxx_spark.dataops import dedup as dd
+    from outboxx_spark.dataops import text as tx
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sets_ = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", tx.shingles(F.col("text"), 3).alias("sh")
+    )
+    fused = {
+        (r.doc_id, r.band, r.sig)
+        for r in dd.lsh_band_buckets_from_sets(sets_).collect()
+    }
+    decomposed = {
+        (r.doc_id, r.band, r.sig)
+        for r in dd.lsh_band_buckets(dd.minhash_signatures_from_sets(sets_)).collect()
+    }
+    assert fused == decomposed
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_characters="\x00", blacklist_categories=("Cs",)),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_simhash_arrow_matches_groupby_on_arbitrary_text(spark, texts):
+    """Fused SimHash (Arrow votes) vs the explode+groupBy reference on
+    arbitrary unicode — the signature values are oracle-checked, so the
+    two formulations must agree everywhere, not just on corpus text."""
+    from outboxx_spark.dataops import dedup as dd
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = {(r.doc_id, r.simhash) for r in dd.simhash(df).collect()}
+    grouped = {(r.doc_id, r.simhash) for r in dd.simhash_via_groupby(df).collect()}
+    assert fused == grouped
