@@ -331,9 +331,14 @@ def main() -> None:
     # a populated store) must cost the same order as batch 1 (empty
     # store), not rescan-everything.
     dedup_store_b1_sec = dedup_store_b2_sec = None
+    dedup_store_vs_4x_sec = dedup_store_compact_sec = None
+    dedup_store_files_before = dedup_store_files_after = None
     store_root = tempfile.mkdtemp(prefix="bench_dedupstore_")
     try:
-        from outboxx_spark.dataops.incremental import incremental_minhash_dedup_batch
+        from outboxx_spark.dataops.incremental import (
+            compact_dedup_store,
+            incremental_minhash_dedup_batch,
+        )
 
         docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
         n_docs = docs.count()
@@ -346,6 +351,44 @@ def main() -> None:
         dedup_store_b2_sec = round(
             _timed(lambda: incremental_minhash_dedup_batch(half2, store, batch_id=1)), 4
         )
+        # Store-SIZE independence: grow the store to ~4x the corpus with
+        # alphabet-rotated copies (disjoint shingle sets, no clone
+        # clusters), then time one more half-corpus batch. The probe is
+        # partition-pruned + broadcast-batch, so this must cost the same
+        # order as b2 against the small store — a store-scan per batch
+        # would grow with store size instead.
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        for r in (1, 2, 3):
+            rot = alpha[r:] + alpha[:r]
+            copy = docs.select(
+                (F.col("doc_id") + r * n_docs).alias("doc_id"),
+                F.translate("text", alpha, rot).alias("text"),
+            )
+            incremental_minhash_dedup_batch(copy, store, batch_id=1 + r)
+        probe_batch = docs.select(
+            (F.col("doc_id") + 4 * n_docs).alias("doc_id"),
+            F.translate("text", alpha, alpha[4:] + alpha[:4]).alias("text"),
+        ).filter(F.col("doc_id") < 4 * n_docs + n_docs // 2)
+        dedup_store_vs_4x_sec = round(
+            _timed(lambda: incremental_minhash_dedup_batch(probe_batch, store, batch_id=5)),
+            4,
+        )
+        # Compaction: bin-pack the 6 batch generations, track the
+        # parquet file-count drop (the small-files debt it erases).
+        import os as _os
+
+        def _pq_files() -> int:
+            total = 0
+            for tree in ("buckets", "docs"):
+                for _, _, files in _os.walk(f"{store}/{tree}"):
+                    total += sum(1 for f in files if f.endswith(".parquet"))
+            return total
+
+        dedup_store_files_before = _pq_files()
+        dedup_store_compact_sec = round(
+            _timed(lambda: compact_dedup_store(spark, store)), 4
+        )
+        dedup_store_files_after = _pq_files()
     except Exception as e:  # the probe must never sink the bench
         print(f"# dedup store probe failed: {type(e).__name__}: {e}", file=sys.stderr)
     finally:
@@ -371,6 +414,10 @@ def main() -> None:
         ),
         "dedup_store_b1_sec": dedup_store_b1_sec,
         "dedup_store_b2_sec": dedup_store_b2_sec,
+        "dedup_store_vs_4x_sec": dedup_store_vs_4x_sec,
+        "dedup_store_compact_sec": dedup_store_compact_sec,
+        "dedup_store_files_before": dedup_store_files_before,
+        "dedup_store_files_after": dedup_store_files_after,
         "emb_lsh_1x_sec": emb_lsh_1x,
         "emb_lsh_4x_sec": emb_lsh_4x,
         "emb_lsh_4x_time_ratio": (
