@@ -219,8 +219,12 @@ def incremental_minhash_dedup_batch(
                 verify_jaccard_pairs(cand_on, old_sets, new_sets, threshold)
             )
 
-    pairs = pairs.localCheckpoint(eager=True)
+    # ONE materialization: the parquet write is the pairs pipeline's
+    # only execution; the survivor computation reads the written files
+    # back (a checkpoint-then-write would run the same pipeline into
+    # executor storage first and pay a second job for the copy)
     pairs.write.mode("overwrite").parquet(f"{store_dir}/pairs/batch_id={batch_id}")
+    pairs = spark.read.parquet(f"{store_dir}/pairs/batch_id={batch_id}")
 
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     survivor_ids = batch.select("doc_id").join(dropped, "doc_id", "left_anti")
