@@ -143,6 +143,36 @@ def embedding_near_dup_pairs(
     )
 
 
+def _seq_fold_cosine_ge_udf(threshold: float):
+    """Arrow-vectorized exact-cosine threshold test whose float
+    arithmetic is BIT-IDENTICAL to the sequential JVM/DuckDB fold: the
+    accumulation loops over DIMENSIONS (64 numpy ops over the pair
+    batch), so each pair's dot and squared-norm sums run in strict
+    index order — the same add/mul sequence as ``F.aggregate`` and
+    ``list_sum``, just computed for every pair in the batch at once.
+    numpy's pairwise-summation reductions (``np.sum``/BLAS ``@``) would
+    NOT preserve this order; the explicit loop is the point."""
+
+    @F.pandas_udf("boolean")
+    def ok(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype=bool)
+        a = np.vstack(va.to_numpy()).astype(np.float64)
+        b = np.vstack(vb.to_numpy()).astype(np.float64)
+        dot = np.zeros(len(a))
+        na = np.zeros(len(a))
+        nb = np.zeros(len(a))
+        for d in range(a.shape[1]):
+            x, y = a[:, d], b[:, d]
+            dot = dot + x * y
+            na = na + x * x
+            nb = nb + y * y
+        cos = dot / (np.sqrt(na) * np.sqrt(nb))
+        return pd.Series(cos >= threshold)
+
+    return ok
+
+
 def _verify_pairs(
     emb: DataFrame,
     cand: DataFrame,
@@ -151,9 +181,34 @@ def _verify_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine verification of candidate (id_a < id_b) pairs —
-    shared tail of every blocked/bucketed near-dup formulation. Norms
-    are computed once per vector; the per-pair work is one dot fold,
-    numerically identical to the O(n^2) oracle."""
+    shared tail of every blocked/bucketed near-dup formulation. The
+    threshold test runs in the Arrow sequential-fold kernel
+    (:func:`_seq_fold_cosine_ge_udf`): bit-identical to the JVM fold /
+    DuckDB ``list_sum`` mirror (``_verify_pairs_jvm`` is the pinned
+    reference), but vectorized across the candidate batch — at
+    candidate volumes of millions the interpreted per-pair fold was
+    the dominant cost of the IVF/LSH near-dup paths."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    ok = _seq_fold_cosine_ge_udf(threshold)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(ok(F.col("va"), F.col("vb")))
+        .select("id_a", "id_b")
+    )
+
+
+def _verify_pairs_jvm(
+    emb: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The original pure-JVM verification (norms once per vector, one
+    interpreted dot fold per pair) — kept as the bit-identity reference
+    for :func:`_verify_pairs` and the no-Python fallback."""
     normed = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

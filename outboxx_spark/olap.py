@@ -19,7 +19,15 @@ from outboxx_spark.sources.tables import read_table
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan + filter + 2-key groupBy with decimal sums."""
+    """TPC-H Q1 shape: scan + filter + 2-key groupBy with decimal sums.
+
+    Outputs stay DECIMAL end-to-end (explicit matching precision both
+    engines; scales chosen so no cast ever rounds): the former
+    final cast-to-double went red at sf0.1 — the exact decimal sum is
+    identical on both engines, but DuckDB's decimal->double conversion
+    (int128 value and 10^-scale divided in double) is not always
+    correctly rounded, so the two engines could disagree by one ulp on
+    a 2.7e9-magnitude sum. Exact decimals compare equal at ANY scale."""
     li = read_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(20,4)")
     price = F.col("l_extendedprice").cast("decimal(20,4)")
@@ -28,9 +36,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(qty).cast("decimal(38,4)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,4)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,8)").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -38,10 +46,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_base_price,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
-                * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE)
+                * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS DECIMAL(38,8))
          AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
@@ -72,7 +80,11 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> Data
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        # DECIMAL end-to-end (same sf0.1 lesson as pricing_summary):
+        # DuckDB's decimal->double cast is not always correctly rounded,
+        # and revenue also ORDERS the top-k — exact decimals make both
+        # the values and the ranking scale-stable
+        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"), F.count("*").alias("n_items"))
     )
     topk = joined.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(k)
     w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -86,7 +98,7 @@ def top_revenue_customers_sql(k: int = 10) -> str:
     WITH per_cust AS (
       SELECT c_custkey, c_name,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
-                      * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE)
+                      * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS DECIMAL(38,8))
                AS revenue,
              count(*) AS n_items
       FROM lineitem
@@ -114,14 +126,15 @@ def nation_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double").alias("total"),
+            # decimal end-to-end — see pricing_summary's sf0.1 note
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("decimal(38,4)").alias("total"),
         )
     )
 
 
 NATION_ORDER_VOLUME_SQL = """
 SELECT r_name, n_name, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS total
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey

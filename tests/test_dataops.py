@@ -100,6 +100,29 @@ def test_minhash_signature_formulations_bit_identical(spark, sf_dir):
     assert via_arrow == via_groupby
 
 
+def test_verify_pairs_arrow_fold_bit_identical(spark, sf_dir):
+    # the Arrow sequential-fold cosine kernel must admit EXACTLY the
+    # pairs the JVM fold admits — near-dup oracles hash-check the
+    # verified set, so a single summation-order drift at a
+    # threshold-straddling pair would go red
+    from outboxx_spark.dataops.similarity import _verify_pairs, _verify_pairs_jvm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ids = emb.select(F.col("vec_id").alias("id_a"))
+    cand = (
+        ids.crossJoin(emb.select(F.col("vec_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    for thr in (0.3, 0.4, 0.56):
+        arrow = {
+            (r.id_a, r.id_b) for r in _verify_pairs(emb, cand, thr).collect()
+        }
+        jvm = {
+            (r.id_a, r.id_b) for r in _verify_pairs_jvm(emb, cand, thr).collect()
+        }
+        assert arrow == jvm, thr
+
+
 def test_simhash_arrow_path_bit_identical(spark, sf_dir):
     # simhash VALUES are oracle-checked (docs_simhash), so the fused
     # Arrow vote pass must never drift from the groupBy formulation
