@@ -491,10 +491,16 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     @F.pandas_udf("long")
     def _sig(h_arrs: pd.Series) -> pd.Series:
         out = np.empty(len(h_arrs), dtype=np.int64)
+        chunk_budget = 1 << 18  # caps the (tokens x 60) vote matrix
         for i, arr in enumerate(h_arrs):
             h = np.asarray(arr, dtype=np.int64)
-            bits = (h[:, None] >> bit_idx) & 1  # (tokens, 60)
-            votes = (2 * bits - 1).sum(axis=0)
+            votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+            # slice a pathologically token-rich doc so the per-slice
+            # matrix stays ~128 MB (same worker-memory invariant as
+            # _perm_min_matrix); integer vote sums are order-free
+            for s0 in range(0, len(h), chunk_budget):
+                bits = (h[s0 : s0 + chunk_budget, None] >> bit_idx) & 1
+                votes += (2 * bits - 1).sum(axis=0)
             out[i] = int(((votes >= 0) * weights).sum())
         return pd.Series(out)
 

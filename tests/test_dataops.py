@@ -148,6 +148,18 @@ def test_fused_band_buckets_equal_decomposed(spark, sf_dir):
         for r in dd.lsh_band_buckets(dd.minhash_signatures_from_sets(sets_)).collect()
     }
     assert fused == decomposed
+    # ...and the whole-wrapper reference path (lsh_candidate_pairs)
+    # yields the same candidate pair set as the fused bucket join —
+    # keeps the reference formulation live-tested, not dead code
+    fused_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dd.lsh_bucket_pairs(dd.lsh_band_buckets_from_sets(sets_)).collect()
+    }
+    reference_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dd.lsh_candidate_pairs(dd.minhash_signatures_from_sets(sets_)).collect()
+    }
+    assert fused_pairs == reference_pairs
 
 
 def test_minhash_signatures_contract_error():
