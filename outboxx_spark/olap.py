@@ -19,26 +19,34 @@ from outboxx_spark.sources.tables import read_table
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan + filter + 2-key groupBy with decimal sums.
+    """TPC-H Q1 shape: scan + filter + 2-key groupBy with exact sums.
 
-    Outputs stay DECIMAL end-to-end (explicit matching precision both
-    engines; scales chosen so no cast ever rounds): the former
-    final cast-to-double went red at sf0.1 — the exact decimal sum is
-    identical on both engines, but DuckDB's decimal->double conversion
-    (int128 value and 10^-scale divided in double) is not always
-    correctly rounded, so the two engines could disagree by one ulp on
-    a 2.7e9-magnitude sum. Exact decimals compare equal at ANY scale."""
+    Money is fixed-point INTEGER end-to-end (BIGINT): per row the
+    double is recovered to its exact decimal (prices carry 2 fractional
+    digits, price*discount carries 4 — verified against the corpus),
+    scaled to integer units, and summed as int64. History of this
+    formulation: a final cast-to-double went red at sf0.1 (DuckDB's
+    decimal->double is not correctly rounded), and the r5 DECIMAL(38,x)
+    output went red at the DRIVER (duckdb's pandas client path coerces
+    DECIMAL to float64 while Spark keeps Decimal objects, so the hash
+    over client-materialized values can never match). Integer units are
+    exact AND representation-stable in every client. Headroom: the
+    scale-4 disc sum at SF100 is ~2e17, x40 inside int64."""
     li = read_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(20,4)")
-    price = F.col("l_extendedprice").cast("decimal(20,4)")
-    disc_price = price * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)"))
+    qty = F.col("l_quantity").cast("decimal(20,4)").cast("long")
+    price_cents = (F.col("l_extendedprice").cast("decimal(20,4)") * 100).cast("long")
+    disc_price_u4 = (
+        F.col("l_extendedprice").cast("decimal(20,4)")
+        * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)"))
+        * 10000
+    ).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,4)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,4)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,8)").alias("sum_disc_price"),
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price_cents).alias("sum_base_price_cents"),
+            F.sum(disc_price_u4).alias("sum_disc_price_u4"),
             F.count("*").alias("count_order"),
         )
     )
@@ -46,11 +54,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
-                * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS DECIMAL(38,8))
-         AS sum_disc_price,
+       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(20,4)) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_base_price_cents,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4))
+                     * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))
+                     * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_price_u4,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -73,23 +82,26 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> Data
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice").cast("decimal(20,4)") * (
-        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
-    )
+    # Fixed-point integer revenue (scale-4 units — price*discount has
+    # exactly 4 fractional digits): exact, associative, and client-
+    # representation-stable. The r5 DECIMAL(38,8) output hashed red at
+    # the driver (Decimal objects vs duckdb's float64 pandas coercion)
+    # even with byte-identical values; int64 ranks AND hashes stably.
+    rev_u4 = (
+        F.col("l_extendedprice").cast("decimal(20,4)")
+        * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)"))
+        * 10000
+    ).cast("long")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
-        # DECIMAL end-to-end (same sf0.1 lesson as pricing_summary):
-        # DuckDB's decimal->double cast is not always correctly rounded,
-        # and revenue also ORDERS the top-k — exact decimals make both
-        # the values and the ranking scale-stable
-        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"), F.count("*").alias("n_items"))
+        .agg(F.sum(rev_u4).alias("revenue_u4"), F.count("*").alias("n_items"))
     )
-    topk = joined.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(k)
-    w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    return topk.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "c_custkey", "c_name", "revenue", "n_items"
+    topk = joined.orderBy(F.col("revenue_u4").desc(), F.col("c_custkey")).limit(k)
+    w = W.orderBy(F.col("revenue_u4").desc(), F.col("c_custkey"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "c_custkey", "c_name", "revenue_u4", "n_items"
     )
 
 
@@ -97,16 +109,17 @@ def top_revenue_customers_sql(k: int = 10) -> str:
     return f"""
     WITH per_cust AS (
       SELECT c_custkey, c_name,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
-                      * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS DECIMAL(38,8))
-               AS revenue,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4))
+                           * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))
+                           * 10000 AS BIGINT)) AS BIGINT)
+               AS revenue_u4,
              count(*) AS n_items
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
       GROUP BY c_custkey, c_name)
-    SELECT row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank,
-           c_custkey, c_name, revenue, n_items
+    SELECT row_number() OVER (ORDER BY revenue_u4 DESC, c_custkey) AS rank,
+           c_custkey, c_name, revenue_u4, n_items
     FROM per_cust
     QUALIFY rank <= {k}
     """
@@ -126,15 +139,19 @@ def nation_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            # decimal end-to-end — see pricing_summary's sf0.1 note
-            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("decimal(38,4)").alias("total"),
+            # integer cents — exact (prices carry 2 fractional digits)
+            # and client-representation-stable; see pricing_summary
+            F.sum((F.col("o_totalprice").cast("decimal(20,4)") * 100).cast("long")).alias(
+                "total_cents"
+            ),
         )
     )
 
 
 NATION_ORDER_VOLUME_SQL = """
 SELECT r_name, n_name, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS total
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(20,4)) * 100 AS BIGINT)) AS BIGINT)
+         AS total_cents
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
