@@ -376,7 +376,7 @@ def q_docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     single punctuation. Token counting for irregular text."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.size(tx.bpe_tokens(F.col("text"))).alias("n_pieces")
+        "doc_id", F.size(tx.bpe_tokens(F.col("text"))).cast("long").alias("n_pieces")
     )
 
 

@@ -433,9 +433,11 @@ def verify_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
-            F.size("sh_a").alias("n_a"),
-            F.size("sh_b").alias("n_b"),
+            # cast long: the ngram path's counts are int64, and mixed
+            # int widths in a checked output are a gate typewarn
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
         )
         .filter(
             F.col("inter").cast("double")
@@ -599,14 +601,16 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
     )
     dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cands.filter(dist <= max_hamming).select("doc_a", "doc_b", dist.alias("hamming"))
+    return cands.filter(dist <= max_hamming).select(
+        "doc_a", "doc_b", dist.cast("long").alias("hamming")
+    )
 
 
 def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
     return f"""
     , sigs2 AS (SELECT doc_id, simhash FROM sigs)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM sigs2 a JOIN sigs2 b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """

@@ -203,7 +203,8 @@ def edit_distance_pairs(
         .join(tb, "doc_b")
         .withColumn("dist", dist)
         .filter(F.col("dist") >= 0)
-        .select("doc_a", "doc_b", "dist")
+        # long: duckdb levenshtein is BIGINT; int-width splits typewarn
+        .select("doc_a", "doc_b", F.col("dist").cast("long").alias("dist"))
     )
 
 

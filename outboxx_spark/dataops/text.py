@@ -65,10 +65,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_uniq = F.size(F.array_distinct(toks))
     return df.select(
         "doc_id",
-        F.length(t).alias("n_chars_obs"),
-        n_tok.alias("n_tokens"),
-        n_stop.alias("n_stopwords"),
-        n_uniq.alias("n_unique_tokens"),
+        # counts cast long: duckdb length/len are BIGINT and int-width
+        # splits in checked outputs are a gate typewarn
+        F.length(t).cast("long").alias("n_chars_obs"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
+        n_uniq.cast("long").alias("n_unique_tokens"),
         (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
         (n_uniq.cast("double") / n_tok).alias("unique_ratio"),
         (F.length(t).cast("double") / n_tok).alias("avg_token_span"),
@@ -299,7 +301,7 @@ def tfidf_top_terms(
     )
     w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= top)
         .select(id_col, "token", "tfidf", "rnk")
     )

@@ -167,7 +167,7 @@ def top_orders_per_priority(spark: SparkSession, sf_dir: str, k: int = 5) -> Dat
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rank", F.row_number().over(w))
+        orders.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
     )
@@ -552,7 +552,7 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy(F.col("spend").desc(), F.col("o_custkey"))
     return (
-        spend.withColumn("decile", F.ntile(10).over(w))
+        spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
@@ -625,7 +625,7 @@ def value_band_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query keeps the general-dim form."""
     bands = spark.createDataFrame(
         [(i, float(i * 100), float((i + 1) * 100)) for i in range(10)],
-        "band_id int, lo double, hi double",
+        "band_id long, lo double, hi double",
     )
     ev = read_table(spark, sf_dir, "events")
     joined = ev.join(

@@ -27,9 +27,17 @@ def canon_type(t: str) -> str:
     driver's value hash is TYPE-SENSITIVE where this replica's Python
     normalization is not (r3: DuckDB sum(CASE..) returned HUGEINT,
     values equal, driver hash red) — so flag any column whose Spark and
-    DuckDB types land in different classes. HUGEINT deliberately maps to
-    its own class: it is the known red-flag type (cast to BIGINT in the
-    oracle)."""
+    DuckDB types land in different classes.
+
+    r6 hardening (the r5 escape): width-AWARE int/float classes
+    (int32 vs int64, float32 vs float64) instead of one merged class,
+    and DECIMAL maps to a dedicated red-flag class handled by
+    :func:`type_findings` — like HUGEINT, it can never be safe in an
+    output column, because duckdb's pandas client materialization
+    coerces DECIMAL to float64 while Spark keeps ``Decimal`` objects,
+    so the driver's hash over client-materialized values diverges even
+    when every value is exactly equal (CORRECTNESS_r05: three green-
+    valued queries hashed red)."""
     t = t.lower().strip()
     # recurse into list element types — an array<int> vs BIGINT[] gap is
     # the scalar HUGEINT failure mode one level down
@@ -40,20 +48,57 @@ def canon_type(t: str) -> str:
     if t.startswith("list"):
         return "list<?>"
     if t.startswith("decimal"):
-        return t.replace(" ", "")  # precision-sensitive
+        return "DECIMAL-REDFLAG"
     if t.startswith("timestamp"):
         return "timestamp"
-    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte", "utinyint", "usmallint", "uinteger", "ubigint"):
-        return "int"
+    if t in ("tinyint", "byte"):
+        return "int8"
+    if t in ("smallint", "short"):
+        return "int16"
+    if t in ("int", "integer"):
+        return "int32"
+    if t in ("bigint", "long"):
+        return "int64"
+    if t in ("utinyint", "usmallint", "uinteger", "ubigint"):
+        return f"u{t[1:]}"
     if t == "hugeint":
         return "hugeint"
-    if t in ("float", "real", "double"):
-        return "float"
+    if t in ("float", "real"):
+        return "float32"
+    if t == "double":
+        return "float64"
     if t in ("string", "varchar", "char", "text"):
         return "str"
     if t in ("binary", "blob", "bytea"):
         return "bytes"
     return t
+
+
+def type_findings(sp_types: dict, ora_types: dict) -> list:
+    """All driver-hash type risks between a Spark result schema and its
+    DuckDB oracle schema (types as reported by ``DataFrame.dtypes`` and
+    ``rel.types``). Returns (col, spark_type, oracle_type, reason)
+    tuples; empty means the schemas are representation-stable through
+    both client materializations. Split out so tests can pin the exact
+    r5 escape (DECIMAL on both sides — classes matched, driver hashed
+    red) as a finding forever."""
+    out = []
+    for c in sorted(sp_types):
+        if c not in ora_types:
+            continue
+        s, o = canon_type(sp_types[c]), canon_type(ora_types[c])
+        for side, cls in (("spark", s), ("oracle", o)):
+            if "DECIMAL-REDFLAG" in cls:
+                out.append(
+                    (c, sp_types[c], ora_types[c],
+                     f"{side} emits DECIMAL — duckdb .df() coerces to float64, "
+                     "spark keeps Decimal; emit integer units or string")
+                )
+                break
+        else:
+            if s != o:
+                out.append((c, sp_types[c], ora_types[c], f"class {s} != {o}"))
+    return out
 
 
 def normalize(v):
@@ -154,14 +199,12 @@ def main() -> int:
             # driver's hash is sensitive to even when values are equal
             sp_types = dict(sdf.dtypes)
             ora_types = {c: str(t) for c, t in zip(ocols_raw, rel.types)}
-            mismatched = [
-                (c, sp_types[c], ora_types[c])
-                for c in scols
-                if canon_type(sp_types[c]) != canon_type(ora_types[c])
-            ]
+            mismatched = type_findings(sp_types, ora_types)
             if mismatched:
                 typewarns += 1
-                detail = ", ".join(f"{c}: spark={s} oracle={o}" for c, s, o in mismatched)
+                detail = ", ".join(
+                    f"{c}: spark={s} oracle={o} ({why})" for c, s, o, why in mismatched
+                )
                 print(
                     f"TYPEWARN {name}: values match but column types differ "
                     f"({detail}) — driver hash may still be red"
