@@ -27,61 +27,48 @@ def test_no_orphan_oracles():
 
 
 def test_driver_window_order_is_stable():
-    # The driver records exactly the first 50 entries; the r5 rotation
-    # put every never-evidenced query (the two r4-staged promotions and
-    # the two r5-new operators) plus the 23 queries whose last driver
-    # row is r2/r3 inside that window. Pin the window boundary so an
-    # accidental reorder is a test failure, not a silently-lost round
-    # of driver evidence.
+    # The driver records exactly the first 50 entries; the r6 rotation
+    # puts (a) the 3 money queries that hashed red in r5 and were
+    # reformulated to fixed-point BIGINT, (b) the 7 queries whose
+    # output int widths were aligned this round, and (c) the entire
+    # 27-query r5 tail (stalest evidence, last driver row r4) inside
+    # that window. Pin the window boundary so an accidental reorder is
+    # a test failure, not a silently-lost round of driver evidence.
     order = list(E.queries())
     assert len(order) == 77
-    never_evidenced = {
-        "docs_unigram_lm",
-        "emb_diversity_sample",
-        "docs_bpe_merges",
-        "docs_incremental_dedup",
-    }
-    stale_r2_r3 = {
-        "emb_near_dup_lsh",
-        "emb_near_dup_ivf",
-        "emb_ann_lsh",
-        "emb_ann_ivf",
-        "emb_ann_recall",
-        "mm_metadata",
-        "mm_frame_sample",
-        "mm_features",
-        "emb_ann_topk",
-        "emb_near_dup",
-        "emb_kmeans_assign",
+    reformulated_r6 = {
+        # r5 hash-red, now fixed-point BIGINT money
         "olap_pricing_summary",
         "olap_top_customers",
         "olap_nation_volume",
+        # int32 -> int64 output alignment
+        "docs_incremental_dedup",
+        "emb_ann_lsh",
+        "emb_ann_ivf",
+        "emb_ann_topk",
         "olap_topk_per_priority",
-        "olap_rollup",
-        "olap_trailing_spend",
-        "olap_semi_join",
-        "olap_anti_join",
-        "olap_order_count_dist",
         "olap_spend_deciles",
-        "olap_cardinality",
-        "olap_funnel",
+        "olap_value_bands",
     }
-    first50 = set(order[:50])
-    assert (never_evidenced | stale_r2_r3) <= first50, sorted(
-        (never_evidenced | stale_r2_r3) - first50
-    )
-    # every tail entry must carry a green r4 driver row — losing it to
-    # the 50-row cap then costs no cross-round evidence
     import json
     from pathlib import Path
 
-    r4 = json.loads(
-        (Path(__file__).resolve().parent.parent / "CORRECTNESS_r04.json").read_text()
+    repo = Path(__file__).resolve().parent.parent
+    r5 = json.loads((repo / "CORRECTNESS_r05.json").read_text())
+    # r5 tail = every live query the r5 driver pass did NOT record
+    stale_r5_tail = {n for n in order if n not in r5}
+    assert len(stale_r5_tail) == 27
+    first50 = set(order[:50])
+    assert (reformulated_r6 | stale_r5_tail) <= first50, sorted(
+        (reformulated_r6 | stale_r5_tail) - first50
     )
-    tail_without_r4_row = [
-        n for n in order[50:] if not r4.get(n, {}).get("hash_match")
+    # every tail entry must carry a green r5 driver row in unchanged
+    # formulation — losing it to the 50-row cap then costs no
+    # cross-round evidence
+    tail_without_r5_row = [
+        n for n in order[50:] if not r5.get(n, {}).get("hash_match")
     ]
-    assert not tail_without_r4_row, tail_without_r4_row
+    assert not tail_without_r5_row, tail_without_r5_row
 
 
 def test_staged_queue_is_disjoint_and_oracle_complete():
