@@ -101,6 +101,25 @@ def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _materialize_vocab(df: DataFrame) -> DataFrame:
+    """Vocab-table materialization through the dedup corpus tier
+    (``dedup.CORPUS_MATERIALIZE``): ``"persist"`` -> DISK_ONLY with
+    lineage intact — an executor loss recomputes from the corpus scan
+    (the 1000-executor profile) — otherwise eager localCheckpoint
+    (fastest; restart-on-loss; the local default). The merge rounds
+    REQUIRE a real materialization (each round's fold nests the plan),
+    so tier ``"none"`` also checkpoints rather than skipping."""
+    from outboxx_spark.dataops import dedup as _dd
+
+    if _dd.CORPUS_MATERIALIZE == "persist":
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.DISK_ONLY)
+        df.count()  # eager, like the checkpoint branch
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 def merge_rounds_local(
     vocab: dict[tuple[str, ...], int],
     n_merges: int,
@@ -155,15 +174,15 @@ def bpe_train(
     when the best remaining pair occurs fewer than ``min_pair_count``
     times. Returns the rules in the order learned.
 
-    Fault-tolerance trade-off (deliberate, unlike the corpus-scale
-    dedup intermediates behind ``dedup.CORPUS_MATERIALIZE``): per-round
-    vocab copies live in executor storage (cache/localCheckpoint) with
-    truncated lineage, so losing an executor mid-training fails the
-    job and training restarts from the corpus pass. The vocab is
-    Heaps'-law bounded (not corpus-scale) and rounds are short, so a
-    restart is cheap relative to paying DISK_ONLY persistence every
-    round; a cluster profile that can't accept restarts should persist
-    ``word_vocab`` externally and resume from it.
+    Fault tolerance: the vocab table (initial and per-round lineage
+    cuts) routes through the SAME tier switch as the corpus-scale
+    dedup intermediates, ``dedup.CORPUS_MATERIALIZE`` — under
+    ``"persist"`` (the 1000-executor profile) it is DISK_ONLY with
+    lineage intact, so an executor loss recomputes from the corpus
+    scan instead of failing the job; the default ``"checkpoint"``
+    keeps the fast non-fault-tolerant localCheckpoint (the vocab is
+    Heaps'-law bounded and rounds are short, so a restart is cheap on
+    single-node profiles).
 
     Execution modes (``mode``): the corpus pass is always distributed;
     the merge ROUNDS run driver-local whenever the word vocab fits
@@ -182,7 +201,7 @@ def bpe_train(
     # O(1) vocab copies however many rounds run. Every _LINEAGE_CUT
     # rounds the vocab is localCheckpointed instead, so the logical
     # plan (one nested fold per round otherwise) stays bounded too.
-    vocab = word_vocab(df, text_col).localCheckpoint(eager=True)
+    vocab = _materialize_vocab(word_vocab(df, text_col))
     if mode == "driver" or (mode == "auto" and vocab.count() <= driver_vocab_limit):
         rows = vocab.collect()
         vocab.unpersist()
@@ -207,7 +226,7 @@ def bpe_train(
             _merge_pair(F.col("syms"), best["a"], best["b"]).alias("syms"), "n"
         )
         if (round_i + 1) % _LINEAGE_CUT == 0:
-            new_vocab = new_vocab.localCheckpoint(eager=True)
+            new_vocab = _materialize_vocab(new_vocab)
         else:
             new_vocab = new_vocab.cache()
             new_vocab.count()  # materialize before dropping the parent

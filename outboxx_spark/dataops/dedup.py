@@ -46,6 +46,13 @@ from outboxx_spark.dataops.hashing import (
 from outboxx_spark.dataops.text import shingles, shingles_sql
 from outboxx_spark.dataops.util import parallelized as _parallelized
 
+# Worker-memory invariant for the fused Arrow minhash kernel: the
+# (shingles x 128) permutation matrix is built over chunks of at most
+# this many shingles (~256 MB peak at int64), across docs and within
+# one oversized doc. Module-level so tests can shrink it and exercise
+# the chunk-boundary paths on small inputs.
+PERM_CHUNK_BUDGET = 1 << 18
+
 # Materialization tier for CORPUS-SCALE intermediates that feed more
 # than one consumer (the shingle inverted index, the per-doc verify
 # sets). These grow with corpus bytes, unlike the bounded n_docs-scale
@@ -259,13 +266,22 @@ def minhash_signatures_from_sets(sets: DataFrame, sh_col: str = "sh") -> DataFra
     Memory: the permutation matrix is built over chunks capped at 2^18
     shingles (~256 MB peak) — BOTH across docs and within one doc (a
     single pathologically large document is sliced and its minima
-    combined), so no input shape can balloon the python worker. Null
-    hygiene matches the explode+groupBy formulation it replaced: null
-    hash elements (null text rows hit ``shingles``'s whole-text
-    fallback as ``[NULL]``) are compacted away and hash-less docs are
-    DROPPED from the signature table — they produce no bucket keys, so
-    they are never dedup candidates and always survive, exactly as
-    exploded nulls behaved."""
+    combined), so no input shape can balloon the python worker.
+
+    Null hygiene (INTENTIONAL semantics, pinned in
+    tests/test_dataops.py): null hash elements (null text rows hit
+    ``shingles``'s whole-text fallback as ``[NULL]``) are compacted
+    away and hash-less docs are DROPPED from the signature table — they
+    produce no bucket keys, are never dedup candidates, and always
+    survive. This is a deliberate DIVERGENCE from the explode+groupBy
+    formulation this path replaced: there, a null-text doc produced an
+    all-null signature row whose band sigs concat_ws to "", so two
+    null-text docs could bucket-collide and then VERIFY as a duplicate
+    pair (``array_intersect`` treats NULL elements as equal —
+    jaccard([NULL],[NULL]) = 1). Declaring two contentless documents
+    duplicates of each other is not a dedup semantics any pipeline
+    wants; content-less rows belong to a quality filter, not the
+    dedup pass."""
     sa = _nonempty_hashes(sets, sh_col).select(
         "doc_id", _perm_mins_udf()(F.col("ha")).alias("sa")
     )
@@ -296,11 +312,16 @@ def _perm_min_matrix(h_arrs: pd.Series) -> np.ndarray:
     ends = np.cumsum(lens)
     starts = ends - lens
     out = np.empty((n, N_MINHASHES), dtype=np.int64)
-    chunk_budget = 1 << 18
+    chunk_budget = PERM_CHUNK_BUDGET
     d0 = 0
     while d0 < n:
         d1 = d0 + 1
-        while d1 < n and ends[d1 - 1] - starts[d0] < chunk_budget:
+        # admit doc d1 only if the chunk INCLUDING d1 stays in budget —
+        # checking only the docs already admitted (ends[d1-1]) let a
+        # huge doc ride in behind a small one and build an unbounded
+        # (shingles x 128) matrix; a doc that doesn't fit starts its
+        # own chunk, where the oversized branch below slices it
+        while d1 < n and ends[d1] - starts[d0] <= chunk_budget:
             d1 += 1
         if d1 == d0 + 1 and lens[d0] > chunk_budget:
             # one oversized doc: slice its shingle run, fold minima

@@ -942,6 +942,7 @@ def ivf_ann_topk_from_store(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Serve a query batch from a persisted IVF index: rank each
     query's centroids from the stored quantizer (driver-side — the
@@ -952,7 +953,16 @@ def ivf_ann_topk_from_store(
     assignment, probes, and re-rank replay the same arithmetic. The
     corpus scan is partition-pruned with an explicit cluster filter
     (driver knows the probe set), so served cost is O(probed lists),
-    not O(corpus)."""
+    not O(corpus).
+
+    ID contract: with ``exclude_self=True`` (the default, and the
+    pinned-equality contract with ``ivf_ann_topk``) query ids are
+    assumed DRAWN FROM THE CORPUS id space, and a candidate whose
+    ``neighbor_id`` equals the query id is excluded as "the query
+    itself". An EXTERNAL query batch whose ids are a different
+    namespace must pass ``exclude_self=False`` — otherwise an id that
+    coincidentally collides with a corpus vec_id silently loses a
+    legitimate neighbor."""
     import json as _json
 
     from outboxx_spark.fsutil import fs_read_text
@@ -968,7 +978,7 @@ def ivf_ann_topk_from_store(
         # steady-state serving can legitimately see an empty query
         # batch; answer with an empty frame, not a vstack crash
         return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int"
+            [], "query_id long, neighbor_id long, rank long"
         )
     qm = np.vstack(qpd[vec_col].to_numpy()).astype(np.float64)
     probes = (qm @ centroids.T).argsort(axis=1, kind="stable")[:, ::-1][:, :n_probe]
@@ -987,11 +997,11 @@ def ivf_ann_topk_from_store(
         [(int(qid), [float(x) for x in vec]) for qid, vec in zip(qpd[id_col], qpd[vec_col])],
         "query_id long, qv array<double>",
     )
-    cands = (
-        corpus.join(F.broadcast(probe_df), "cluster")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(qv), "query_id")
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    cands = corpus.join(F.broadcast(probe_df), "cluster")
+    if exclude_self:
+        cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
+    cands = cands.join(F.broadcast(qv), "query_id").select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

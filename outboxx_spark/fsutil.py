@@ -51,14 +51,22 @@ def fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
         out.close()
     if not fs.rename(tmp, path):
         # Two concurrent first-writers can race here (and S3A's
-        # copy+delete rename is not atomic): if the destination now
-        # holds exactly the payload we meant to write, the other writer
-        # won and this call's contract is satisfied — only a CONFLICTING
-        # destination is an error.
+        # copy+delete rename is not atomic — its commit point is the
+        # copy completing; a crash after copy leaves an inert, uniquely
+        # named .tmp, never a truncated destination): if the
+        # destination now holds exactly the payload we meant to write,
+        # the other writer won and this call's contract is satisfied —
+        # only a CONFLICTING destination is an error.
         fs.delete(tmp, False)
         current = fs_read_text(spark, path_str)
         if current == text:
             return
+        if current is None:
+            # transient store failure, not a lost race — nobody's
+            # payload is at the destination
+            raise IOError(
+                f"rename failed: {tmp} -> {path} (destination absent after failed rename)"
+            )
         raise IOError(f"rename failed: {tmp} -> {path} (destination differs)")
 
 

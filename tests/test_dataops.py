@@ -85,6 +85,24 @@ def test_ivf_store_serves_identical_topk(spark, sf_dir, tmp_path):
     assert sim.ivf_ann_topk_from_store(spark, store, none).count() == 0
 
 
+def test_ivf_store_external_batch_keeps_colliding_neighbor(spark, sf_dir, tmp_path):
+    # exclude_self assumes query ids are corpus ids (the pinned
+    # ivf_ann_topk contract); an external batch must opt out or an id
+    # collision silently drops a legitimate neighbor (r6, from the r5
+    # advisory). Corpus-member queries make the collision exact: with
+    # exclude_self=False the vector's own corpus row (cosine 1) is the
+    # rank-1 neighbor; the default drops it.
+    emb = read_table(spark, sf_dir, "embeddings")
+    store = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, store)
+    queries = emb.filter(F.col("vec_id") < 3)
+    kept = sim.ivf_ann_topk_from_store(spark, store, queries, k=2, exclude_self=False)
+    top1 = {r.query_id: r.neighbor_id for r in kept.collect() if r.rank == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+    dropped = sim.ivf_ann_topk_from_store(spark, store, queries, k=2)
+    assert all(r.query_id != r.neighbor_id for r in dropped.collect())
+
+
 def test_minhash_signature_formulations_bit_identical(spark, sf_dir):
     # the Arrow/numpy signature path must be bit-identical to the
     # explode+groupBy formulation — the incremental store's replay
@@ -98,6 +116,42 @@ def test_minhash_signature_formulations_bit_identical(spark, sf_dir):
         .collect()
     )
     assert via_arrow == via_groupby
+
+
+def test_null_text_docs_never_dedup_candidates(spark):
+    # Pinned INTENDED semantics (r6, from the r5 advisory): hash-less
+    # docs (null text) are dropped from the signature table — they
+    # never pair and always survive. The explode+groupBy path this
+    # replaced would have verified (10, 11) as jaccard-1 duplicates:
+    # all-null signatures band to "" and array_intersect treats NULL
+    # elements as equal. Contentless rows are a quality-filter concern,
+    # not duplicates of each other.
+    df = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f"), (10, None), (11, None)])
+    pairs = {(r.doc_a, r.doc_b) for r in dd.minhash_dedup_pairs(df, 3, 0.5).collect()}
+    assert pairs == {(1, 2)}
+    survivors = {r.doc_id for r in dd.dedup_survivors(df, 3, 0.5).collect()}
+    assert survivors == {1, 10, 11}
+
+
+def test_perm_chunk_budget_admits_only_fitting_docs(monkeypatch):
+    # The chunk loop must admit a doc only if the chunk INCLUDING it
+    # fits the budget (r6 fix): before, a huge doc rode in behind a
+    # small one (the [small, huge] shape) and built an unbounded
+    # (shingles x 128) matrix. Chunking is layout-only, so every
+    # budget must produce bit-identical minima.
+    import numpy as _np
+    import pandas as _pd
+
+    rng = _np.random.default_rng(7)
+    # shapes: small-then-oversized (the reported OOM shape), oversized
+    # runs, exact-budget fits, and trailing smalls
+    lens = [3, 40, 1, 37, 90, 32, 2, 31]
+    arrs = [rng.integers(0, dd.HASH_P, size=n).tolist() for n in lens]
+    s = _pd.Series(arrs)
+    expected = dd._perm_min_matrix(s)  # default budget: one chunk
+    monkeypatch.setattr(dd, "PERM_CHUNK_BUDGET", 32)
+    got = dd._perm_min_matrix(s)
+    assert _np.array_equal(expected, got)
 
 
 def test_verify_pairs_arrow_fold_bit_identical(spark, sf_dir):
@@ -595,30 +649,46 @@ def test_diversity_sample_quota_and_determinism(spark, sf_dir):
     }
 
 
-def test_diversity_sample_matches_duckdb_mirror(spark, sf_dir):
-    """Spark operator vs its SQL mirror, row-for-row on the real
-    embeddings table (the r5 promotion contract)."""
+def _diversity_mirror_case(spark, sf_dir, fraction):
+    import os
+
     import duckdb
 
     emb = read_table(spark, sf_dir, "embeddings")
     got = {
         (r["vec_id"], r["cluster"], r["keep_rank"])
-        for r in sim.diversity_sample(emb, fraction=0.25).collect()
+        for r in sim.diversity_sample(emb, fraction=fraction).collect()
     }
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
     )
-    import os
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     try:
         want = {
             (int(a), int(b), int(c))
-            for a, b, c in con.execute(sim.diversity_sample_sql(fraction=0.25)).fetchall()
+            for a, b, c in con.execute(sim.diversity_sample_sql(fraction=fraction)).fetchall()
         }
     finally:
         del os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
-    assert got == want
+    assert got == want, f"fraction={fraction!r}"
+
+
+def test_diversity_sample_matches_duckdb_mirror(spark, sf_dir):
+    """Spark operator vs its SQL mirror, row-for-row on the real
+    embeddings table (the r5 promotion contract)."""
+    _diversity_mirror_case(spark, sf_dir, 0.25)
+
+
+def test_diversity_sample_mirror_non_default_fractions(spark, sf_dir):
+    """Non-default fractions whose literals are NOT exactly
+    representable in binary (0.3) or in any finite decimal (1/3): the
+    mirror's quota must come from the same float64 the Spark side
+    multiplies by — a decimal-typed fraction literal would ceil a
+    different product at quota-boundary cluster sizes (r6, closing the
+    r4 advisory)."""
+    _diversity_mirror_case(spark, sf_dir, 0.3)
+    _diversity_mirror_case(spark, sf_dir, 1 / 3)
 
 
 def _bpe_python(corpus_texts, n_merges, min_pair_count=2):
@@ -682,6 +752,16 @@ def test_bpe_train_and_segment_on_corpus(spark, sf_dir):
     # distributed per-round loop must agree on real corpus text
     assert merges == bpe.bpe_train(docs, n_merges=5, mode="distributed")
     assert len(merges) == 5
+    # the fault-tolerant tier (vocab DISK_ONLY-persisted with lineage
+    # intact, the 1000-executor profile) must train identical rules on
+    # both paths (r6: vocab routed through dedup.CORPUS_MATERIALIZE)
+    prev = dd.CORPUS_MATERIALIZE
+    dd.CORPUS_MATERIALIZE = "persist"
+    try:
+        assert merges == bpe.bpe_train(docs, n_merges=5, mode="driver")
+        assert merges == bpe.bpe_train(docs, n_merges=5, mode="distributed")
+    finally:
+        dd.CORPUS_MATERIALIZE = prev
     seg = bpe.bpe_segment(docs, merges).limit(500)
     bad = seg.filter(
         F.concat_ws("", F.col("pieces")) != F.col("token")
