@@ -148,3 +148,50 @@ def test_approx_cardinality_within_hll_tolerance(spark, sf_dir):
     assert set(exact) == set(approx)
     for et, ex in exact.items():
         assert abs(approx[et] - ex) <= max(5, ex * 0.05), (et, ex, approx[et])
+
+
+def test_fixed_point_money_conversion_cross_engine_exact(spark):
+    """Per-row double -> fixed-point BIGINT conversion must agree
+    between Spark and DuckDB on adversarial inputs — this is the
+    primitive every olap_* money aggregate now rests on (r6: DECIMAL
+    outputs are banned from checked schemas; integer units are the
+    representation-stable exact form). Spark's decimal->long cast
+    truncates while DuckDB's decimal->BIGINT cast rounds, so the
+    conversion is only engine-identical because the scaled decimal is
+    exactly integral for every 2-decimal money double; exercise
+    rounding boundaries, big magnitudes, and a dense random sweep."""
+    import random
+
+    import duckdb
+
+    def spark_u(values):
+        sdf = spark.createDataFrame([(v,) for v in values], "v double")
+        return [
+            r["u"]
+            for r in sdf.select(
+                (F.col("v").cast("decimal(20,4)") * 100).cast("long").alias("u")
+            ).collect()
+        ]
+
+    def duck_u(values):
+        return [
+            r[0]
+            for r in duckdb.sql(
+                "SELECT CAST(CAST(unnest($v::DOUBLE[]) AS DECIMAL(20,4)) * 100 AS BIGINT)",
+                params={"v": values},
+            ).fetchall()
+        ]
+
+    # 2-decimal money: boundaries, big magnitudes, dense random sweep
+    vals = [0.01, 0.05, 0.10, 0.29, 1e10 + 0.01, 99999999999.99]
+    rng = random.Random(42)
+    vals += [round(rng.randrange(10**13) / 100, 2) for _ in range(5000)]
+    assert spark_u(vals) == duck_u(vals)
+    # Domain boundary, pinned as a NEGATIVE example: a 3-decimal input
+    # (2.675) breaks the integrality precondition — the scaled decimal
+    # is 267.5, Spark's decimal->long cast truncates to 267 while
+    # DuckDB's rounds to 268. This is why the money columns' 2-decimal
+    # property is verified against the corpus: past that domain the
+    # engines diverge silently.
+    assert spark_u([2.675]) == [267]
+    assert duck_u([2.675]) == [268]
