@@ -351,3 +351,36 @@ def test_simhash_arrow_matches_groupby_on_arbitrary_text(spark, texts):
     fused = {(r.doc_id, r.simhash) for r in dd.simhash(df).collect()}
     grouped = {(r.doc_id, r.simhash) for r in dd.simhash_via_groupby(df).collect()}
     assert fused == grouped
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    lens=st.lists(st.integers(1, 90), min_size=0, max_size=12),
+    budget=st.integers(1, 128),
+)
+def test_perm_min_matrix_invariant_under_any_chunk_budget(lens, budget):
+    """The fused minhash kernel's chunking is layout-only: for ANY doc
+    shape sequence and ANY budget (including budgets smaller than every
+    doc, which force the oversized-doc slicing branch, and the
+    small-then-huge shapes the r6 admit fix targets), the permuted
+    minima must be bit-identical to a brute-force per-doc reference."""
+    import numpy as np
+    import pandas as pd
+
+    from outboxx_spark.dataops import dedup as dd
+    from outboxx_spark.dataops.hashing import HASH_P, MINHASH_A, MINHASH_B
+
+    rng = np.random.default_rng(sum(lens) * 1000003 + budget)
+    arrs = [rng.integers(0, HASH_P, size=n, dtype=np.int64).tolist() for n in lens]
+    a = np.array(MINHASH_A, dtype=np.int64)
+    b = np.array(MINHASH_B, dtype=np.int64)
+    expected = np.array(
+        [((np.asarray(arr, dtype=np.int64)[:, None] * a + b) % HASH_P).min(axis=0) for arr in arrs]
+    ).reshape(len(arrs), len(a)) if arrs else np.empty((0, len(a)), dtype=np.int64)
+    prev = dd.PERM_CHUNK_BUDGET
+    dd.PERM_CHUNK_BUDGET = budget
+    try:
+        got = dd._perm_min_matrix(pd.Series(arrs, dtype=object))
+    finally:
+        dd.PERM_CHUNK_BUDGET = prev
+    assert np.array_equal(got, expected)
