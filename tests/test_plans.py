@@ -314,3 +314,41 @@ def test_ivf_store_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_scan_is_pushed_and_pruned(spark, sf_dir):
+    # the TPC-H Q1 shape must keep its shipdate filter in the scan and
+    # read only the 6 needed columns — the r6 integer-money rewrite
+    # must never cost the pushdown
+    from outboxx_spark.olap import pricing_summary
+
+    plan = _plan(pricing_summary(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan  # PushedFilters
+    assert "l_tax" not in plan and "l_orderkey" not in plan  # pruned
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_simhash_pairs_join_is_banded_not_cartesian(spark, sf_dir):
+    # the 4x15-bit pigeonhole bands replace the O(n^2) scan with an
+    # equi-join on (band, chunk value); a cartesian anywhere here is a
+    # scale regression
+    from outboxx_spark.dataops import dedup as dd
+    from outboxx_spark.sources.tables import read_table
+
+    sigs = dd.simhash(read_table(spark, sf_dir, "documents"))
+    plan = _plan(dd.simhash_near_pairs(sigs, max_hamming=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_pairs_join_is_bucketed_not_cartesian(spark, sf_dir):
+    # candidate generation must stay a (band, sig) bucket equi-join +
+    # per-pair verification joins — never an all-pairs product
+    from outboxx_spark.dataops import dedup as dd
+    from outboxx_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = _plan(dd.minhash_dedup_pairs(docs, k=3, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
