@@ -86,31 +86,38 @@ def main() -> int:
             ),  # R3
         }
         cumulative = {}
+        spreads = {}
         for name, build in plans.items():
             noop(build())  # warm codegen
-            cumulative[name] = min(
-                _timed(lambda: noop(build())) for _ in range(3)
-            )
+            samples = sorted(_timed(lambda: noop(build())) for _ in range(5))
+            cumulative[name] = samples[0]
+            spreads[name] = samples[2] - samples[0]  # median-min spread
 
         # pgoutput decode (S6/S7/S8): binary stream scan vs scan+decode
         enc = encode_feed_as_pgoutput(feed())
         enc.coalesce(1).write.mode("overwrite").parquet(f"{root}/wal.parquet")
         n_msgs = spark.read.parquet(f"{root}/wal.parquet").count()
         wal_scan = min(
-            _timed(lambda: noop(spark.read.parquet(f"{root}/wal.parquet"))) for _ in range(3)
+            _timed(lambda: noop(spark.read.parquet(f"{root}/wal.parquet"))) for _ in range(5)
         )
         noop(decode_stream(spark.read.parquet(f"{root}/wal.parquet")))  # warm
         wal_decode = min(
             _timed(lambda: noop(decode_stream(spark.read.parquet(f"{root}/wal.parquet"))))
-            for _ in range(3)
+            for _ in range(5)
         )
 
         order = ["scan", "converter", "serialize", "route", "key"]
+        # a stage delta below the run-to-run spread of its operands is
+        # noise, not a measurement — report it as such instead of
+        # printing a sign that flips between runs
+        noise_us = round(max(spreads.values()) / n * 1e6, 3)
         per_event_us = {}
         prev = 0.0
         for name in order:
-            per_event_us[name if name == "scan" else f"{name}_delta"] = round(
-                (cumulative[name] - prev) / n * 1e6, 3
+            delta = (cumulative[name] - prev) / n * 1e6
+            key_name = name if name == "scan" else f"{name}_delta"
+            per_event_us[key_name] = (
+                round(delta, 3) if delta > noise_us else f"<= noise ({noise_us})"
             )
             prev = cumulative[name]
         per_event_us["pgoutput_decode_delta"] = round((wal_decode - wal_scan) / n_msgs * 1e6, 3)
@@ -122,6 +129,7 @@ def main() -> int:
                     "events": n,
                     "wal_msgs": n_msgs,
                     "cores": 1,
+                    "noise_floor_us": noise_us,
                     "per_event_us": per_event_us,
                     "cumulative_sec": {k: round(v, 3) for k, v in cumulative.items()},
                 }
