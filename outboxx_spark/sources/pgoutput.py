@@ -272,12 +272,17 @@ class PgOutputDecoder:
         replaced (r6 perf: the reader's per-field call overhead was the
         top decode cost), pinned by the roundtrip oracle + unit tests."""
         n = len(payload)
-        if n < 6:
-            raise PgOutputError(f"truncated message: need 5 bytes at offset 1, have {n}")
+        # error ORDER mirrors the _Reader form exactly (differential-
+        # fuzzed): rid is parsed and looked up first, so a registered-
+        # relation check outranks a missing tuple tag
+        if n < 5:
+            raise PgOutputError(f"truncated message: need 4 bytes at offset 1, have {n}")
         rid = int.from_bytes(payload[1:5], "big")
         info = self.registry.get(rid)
         if info is None:
             raise PgOutputError(f"RelationNotFound: {rid}")
+        if n < 6:
+            raise PgOutputError(f"truncated message: need 1 bytes at offset 5, have {n}")
         old = None
         tag = payload[5]
         pos = 6

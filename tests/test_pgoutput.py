@@ -107,6 +107,22 @@ def test_unknown_relation_fails():
         d.decode(1, encode_insert(99, ["1", "x"]))
 
 
+def test_error_order_rid_lookup_before_tag_truncation():
+    # Found by differential fuzz (r6): a 5-byte I message carries a
+    # complete rid but no tuple tag. The rid is parsed and looked up
+    # FIRST — an unregistered relation must report RelationNotFound,
+    # not truncation; only a registered relation reaches the tag read
+    # and reports the truncation. Pins the fail-stop error order of
+    # the flattened hot path to the original _Reader semantics.
+    five = b"I" + (99).to_bytes(4, "big")
+    d = PgOutputDecoder()
+    with pytest.raises(PgOutputError, match="RelationNotFound"):
+        d.decode(1, five)
+    d2 = _dec_with_rel()
+    with pytest.raises(PgOutputError, match="truncated"):
+        d2.decode(1, b"I" + (42).to_bytes(4, "big"))
+
+
 def test_column_count_mismatch_fails():
     d = _dec_with_rel()
     with pytest.raises(PgOutputError, match="ColumnCountMismatch"):
