@@ -41,7 +41,6 @@ from outboxx_spark.dataops.hashing import (
     SIMHASH_BITS,
     md5_hash60,
     md5_hash60_sql,
-    minhash_expr_sql,
 )
 from outboxx_spark.dataops.text import shingles, shingles_sql
 from outboxx_spark.dataops.util import parallelized as _parallelized

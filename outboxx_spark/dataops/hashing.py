@@ -43,10 +43,3 @@ def md5_hash60_sql(expr: str) -> str:
     return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-def minhash_expr(h_mod_col: Column, i: int) -> Column:
-    """i-th MinHash of a pre-reduced hash column (h mod P)."""
-    return (h_mod_col * MINHASH_A[i] + MINHASH_B[i]) % HASH_P
-
-
-def minhash_expr_sql(h_mod_expr: str, i: int) -> str:
-    return f"(({h_mod_expr}) * {MINHASH_A[i]} + {MINHASH_B[i]}) % {HASH_P}"
