@@ -29,9 +29,6 @@ Usage:
 
 from __future__ import annotations
 
-import json
-from collections.abc import Iterator
-
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,

@@ -35,7 +35,7 @@ from outboxx_spark.functions.envelope import serialize_feed
 from outboxx_spark.operators.keys import partition_key
 from outboxx_spark.operators.routing import route, streams_dim
 from outboxx_spark.pipeline import FEED_DATA_COLS
-from outboxx_spark.sources.feed import read_feed, read_feed_stream
+from outboxx_spark.sources.feed import read_feed_stream
 from outboxx_spark.sources.snapshot import snapshot_table
 from outboxx_spark.streaming.metrics import MetricsRegistry
 
