@@ -211,6 +211,61 @@ def test_compaction_recovery_discards_unready_stage(spark, tmp_path):
     assert surv == sorted(before[0] + [4])
 
 
+def test_compaction_commit_crash_at_every_filesystem_step(spark, tmp_path, monkeypatch):
+    """Exhaustive crash-point enumeration (r6): replay _commit_compaction's
+    exact filesystem operation sequence — park each live generation,
+    swap each staged tree in, drop undo, drop stage — and crash after
+    EVERY prefix. Recovery (wired into every read) must restore the
+    identical logical store state and clear both work areas from any of
+    the intermediate states, not just the two endpoints the fixed
+    crash tests cover."""
+    import os
+    import shutil
+
+    import outboxx_spark.dataops.incremental as inc
+
+    base = str(tmp_path / "base")
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_A, DOC_B]), base, batch_id=0, k=1)
+    incremental_minhash_dedup_batch(_docs_df(spark, [DOC_C]), base, batch_id=1, k=1)
+    expected = _store_state(spark, base)
+    # stage a complete compacted generation + marker, then "crash"
+    # before any commit step
+    monkeypatch.setattr(inc, "_commit_compaction", lambda *a, **k: None)
+    compact_dedup_store(spark, base)
+    monkeypatch.undo()
+    assert os.path.exists(f"{base}/.compact_stage/_COMMIT_READY")
+
+    def commit_ops(root):
+        seq = []
+        for tree in ("buckets", "docs"):
+            undo = f"{root}/.compact_undo/{tree}"
+            seq.append(lambda undo=undo: os.makedirs(undo, exist_ok=True))
+            for name in ("batch_id=0", "batch_id=1"):
+                seq.append(
+                    lambda t=tree, n=name, undo=undo: shutil.move(
+                        f"{root}/{t}/{n}", f"{undo}/{n}"
+                    )
+                )
+            seq.append(
+                lambda t=tree: shutil.move(
+                    f"{root}/.compact_stage/{t}", f"{root}/{t}/batch_id=-1"
+                )
+            )
+        seq.append(lambda: shutil.rmtree(f"{root}/.compact_undo"))
+        seq.append(lambda: shutil.rmtree(f"{root}/.compact_stage"))
+        return seq
+
+    n_ops = len(commit_ops(base))
+    for k in range(n_ops + 1):
+        root = str(tmp_path / f"crash{k}")
+        shutil.copytree(base, root)
+        for op in commit_ops(root)[:k]:
+            op()
+        assert _store_state(spark, root) == expected, f"crash after op {k}"
+        assert not os.path.exists(f"{root}/.compact_stage"), f"crash after op {k}"
+        assert not os.path.exists(f"{root}/.compact_undo"), f"crash after op {k}"
+
+
 def test_negative_batch_id_refused(spark, tmp_path):
     """batch_id=-1 is the compacted generation's reserved id: a caller
     passing it would both skip the compacted generation in the replay
