@@ -83,6 +83,73 @@ def test_upsert_applies_delete_tombstones(spark, tmp_path):
     assert rows == {8}
 
 
+def test_upsert_crash_at_every_commit_step_replays_to_convergence(
+    spark, tmp_path, monkeypatch
+):
+    """Exhaustive crash-point enumeration of the per-bucket rename
+    commit (r6): replay _commit_staged's exact filesystem sequence —
+    park live bucket, swap staged bucket in, per sorted bucket, then
+    drop undo, drop stage — crashing after EVERY prefix. The claimed
+    contract is crash -> recover -> replay the same batch ==
+    clean-run final state; a mid-commit table may legitimately hold a
+    partial batch (swapped buckets), so convergence-after-replay is
+    the invariant, not state equality at the crash point."""
+    import shutil
+
+    import outboxx_spark.streaming.table_sink as ts
+
+    cols = "op string, resource string, lsn long, commit_ts long, user_id long"
+    b1 = spark.createDataFrame(
+        [("INSERT", "public.t0", i, 10, i) for i in range(1, 20)], cols
+    )
+    b2 = spark.createDataFrame(
+        [("UPDATE", "public.t0", 100 + i, 11, i) for i in range(1, 20)]
+        + [("DELETE", "public.t0", 200, 11, 3)],
+        cols,
+    )
+    # reference: the clean two-batch run
+    ref = str(tmp_path / "ref")
+    upsert_batch(b1, ref)
+    upsert_batch(b2, ref)
+    want = _state_set(read_table_state(spark, ref))
+
+    # base: batch 1 committed, batch 2 staged but NOT committed
+    base = str(tmp_path / "base")
+    upsert_batch(b1, base)
+    monkeypatch.setattr(ts, "_commit_staged", lambda *a, **k: None)
+    upsert_batch(b2, base)
+    monkeypatch.undo()
+    staged = sorted(
+        d for d in os.listdir(f"{base}/.stage") if d.startswith("bucket=")
+    )
+    assert staged, "expected staged buckets"
+
+    def commit_ops(root):
+        seq = [lambda: os.makedirs(f"{root}/.undo", exist_ok=True)]
+        for name in staged:
+            def park(n=name):
+                if os.path.exists(f"{root}/{n}"):
+                    shutil.move(f"{root}/{n}", f"{root}/.undo/{n}")
+            seq.append(park)
+            seq.append(lambda n=name: shutil.move(f"{root}/.stage/{n}", f"{root}/{n}"))
+        seq.append(lambda: shutil.rmtree(f"{root}/.undo"))
+        seq.append(lambda: shutil.rmtree(f"{root}/.stage"))
+        return seq
+
+    n_ops = len(commit_ops(base))
+    for k in range(n_ops + 1):
+        root = str(tmp_path / f"crash{k}")
+        shutil.copytree(base, root)
+        for op in commit_ops(root)[:k]:
+            op()
+        recover_table(spark, root)
+        assert not os.path.exists(f"{root}/.stage"), f"crash after op {k}"
+        assert not os.path.exists(f"{root}/.undo"), f"crash after op {k}"
+        upsert_batch(b2, root)  # the checkpoint replay
+        got = _state_set(read_table_state(spark, root))
+        assert got == want, f"crash after op {k}"
+
+
 def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     """Dynamic partition overwrite must leave untouched bucket
     directories' files byte-identical (same names, same mtimes)."""
