@@ -13,12 +13,41 @@ def parallelized(df: DataFrame) -> DataFrame:
     The partition probe uses ``inputFiles()`` (a driver-side listing),
     NOT ``df.rdd.getNumPartitions()`` — converting to RDD compiles the
     plan and costs ~1s per call. Non-file-backed frames (already
-    shuffled/derived) skip the repartition."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    shuffled/derived) skip the repartition.
+
+    Few files does NOT mean few partitions (r6 fix): the parquet scan
+    splits large files at ``spark.sql.files.maxPartitionBytes``, so a
+    single multi-GB file already yields >= target scan partitions — and
+    repartitioning THAT would be a full corpus-scale shuffle for
+    nothing. Repartition only when the files are few AND small enough
+    that the scan genuinely cannot produce ``target`` splits."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
         return df
-    if 0 < n_files < target:
+    if not (0 < len(files) < target):
+        return df
+    try:
+        from outboxx_spark.fsutil import hadoop_fs
+
+        total_bytes = 0
+        for f in files:
+            fs, p, _ = hadoop_fs(spark, f)
+            total_bytes += fs.getFileStatus(p).getLen()
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        digits = "".join(ch for ch in raw if ch.isdigit())
+        max_split = int(digits) if digits else 134217728
+        if raw.rstrip("bB").endswith(("k", "K")):
+            max_split *= 1024
+        elif raw.rstrip("bB").endswith(("m", "M")):
+            max_split *= 1024 * 1024
+        elif raw.rstrip("bB").endswith(("g", "G")):
+            max_split *= 1024 * 1024 * 1024
+    except Exception:
+        # size probe failed: fall back to the file-count heuristic
         return df.repartition(target)
-    return df
+    if total_bytes >= target * max_split:
+        return df  # the scan already splits into >= target partitions
+    return df.repartition(target)

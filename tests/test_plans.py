@@ -352,3 +352,30 @@ def test_minhash_pairs_join_is_bucketed_not_cartesian(spark, sf_dir):
     plan = _plan(dd.minhash_dedup_pairs(docs, k=3, threshold=0.5))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_parallelized_spreads_small_files_but_not_large_splittable_ones(spark, tmp_path):
+    # parallelized() exists to spread a SMALL single-file corpus across
+    # cores; a large single file is already split by the scan at
+    # maxPartitionBytes, and repartitioning it would be a corpus-scale
+    # shuffle for nothing (r6 fix: the heuristic weighs bytes, not just
+    # the file count)
+    from pyspark.sql import functions as F
+
+    from outboxx_spark.dataops.util import parallelized
+
+    p = str(tmp_path / "one_file.parquet")
+    spark.range(300_000).select(
+        "id", F.sha2(F.col("id").cast("string"), 256).alias("s")
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        # scan alone yields >= cores splits -> no repartition exchange
+        assert "REPARTITION_BY_NUM" not in _plan(parallelized(df))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    # under the default split size the file is one partition -> spread
+    assert "REPARTITION_BY_NUM" in _plan(parallelized(df))
