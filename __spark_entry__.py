@@ -638,84 +638,25 @@ def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order note (r6 rotation): the driver's correctness pass records
-    # exactly the FIRST 50 dict entries (proven r2-r5). The window
-    # carries, in priority order: (a) the 3 money queries that hashed
-    # red in r5 (DECIMAL client-materialization split — outputs are now
-    # fixed-point BIGINT, so they need a fresh green row in their new
-    # formulation), (b) the 7 r5-window queries whose output widths
-    # were aligned int32->int64 this round (the r5 driver proved the
-    # hash width-insensitive — olap_topk_per_priority was GREEN with
-    # Spark int32 rank vs DuckDB BIGINT — but a current-formulation row
-    # is still the strongest evidence), (c) the full 27-query r5 tail,
-    # whose last driver row is r4 (the stalest on the board; the seven
-    # width-touched docs_* queries are all in this set), and (d) 12
-    # r5-green fillers, led by the two whose oracles the r6 ADVICE
-    # fixes touch (emb_diversity_sample, docs_bpe_merges). The
-    # 27-query tail is exclusively r5-green in unchanged formulation,
-    # so the r5∪r6 union covers all 77. A cheap warm-up query stays
+    # Order note (r7 rotation): the driver's correctness pass records
+    # exactly the FIRST 50 dict entries (proven r2-r6). The window
+    # carries, in priority order: (a) the entire 27-query r6 tail,
+    # whose newest driver evidence is r5 (the stalest on the board),
+    # (b) the 9 r6-green queries whose implementation or testbed this
+    # round touches (the 3 money queries gain a fixed-point runtime
+    # guard, docs_incremental_dedup's per-batch store writes are
+    # folded, docs_dup_clusters gains a star-contraction path for
+    # high-diameter graphs, the mm_* testbed gains real PNG/JPEG blobs
+    # and mm_metadata emits parsed width/height, docs_bpe_merges'
+    # persist-tier lineage cut is fixed), and (c) 13 r6-green fillers.
+    # The 27-query tail is exclusively r6-green in unchanged
+    # formulation, so the r6∪r7 union covers all 77 — the same
+    # invariant that held for r5∪r6. A cheap warm-up query stays
     # first.
     return {
         # -- warm-up --
         "cdc_tally": q_tally,
-        # -- r5 hash-red, fixed this round: fresh evidence required --
-        "olap_pricing_summary": olap.pricing_summary,
-        "olap_top_customers": olap.top_revenue_customers,
-        "olap_nation_volume": olap.nation_order_volume,
-        # -- width-aligned this round (int32 -> int64 outputs) --
-        "docs_incremental_dedup": q_docs_incremental_dedup,
-        "emb_ann_lsh": q_emb_ann_lsh,
-        "emb_ann_ivf": q_emb_ann_ivf,
-        "emb_ann_topk": q_emb_ann_topk,
-        "olap_topk_per_priority": olap.top_orders_per_priority,
-        "olap_spend_deciles": olap.customer_spend_deciles,
-        "olap_value_bands": olap.value_band_totals,
-        # -- stalest evidence: the entire r5 tail (last driver row r4) --
-        "docs_edit_dedup": q_docs_edit_dedup,
-        "cdc_snapshot_diff": q_cdc_snapshot_diff,
-        "cdc_state_as_of": q_cdc_state_as_of,
-        "cdc_gap_check": q_cdc_gap_check,
-        "olap_table_profile": olap.table_profile,
-        "olap_quantiles_approx": olap.event_value_quantiles_approx_check,
-        "olap_cardinality_approx": olap.event_type_cardinality_approx_check,
-        "docs_minhash_dedup": q_docs_minhash_dedup,
-        "docs_simhash": q_docs_simhash,
-        "docs_simhash_pairs": q_docs_simhash_pairs,
-        "docs_bpe_tokens": q_docs_bpe_tokens,
-        "docs_dedup_survivors": q_docs_dedup_survivors,
-        "docs_curate": q_docs_curate,
-        "docs_pii_redact": q_docs_pii_redact,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_weighted_mix": q_docs_weighted_mix,
-        "docs_repetition": q_docs_repetition,
-        "docs_dup_clusters": q_docs_dup_clusters,
-        "docs_contamination": q_docs_contamination,
-        "cdc_update_pairs": q_cdc_update_pairs,
-        "docs_vocab_topk": q_docs_vocab_topk,
-        "docs_tfidf": q_docs_tfidf,
-        "docs_exact_dedup": q_docs_exact_dedup,
-        "docs_quality": q_docs_quality,
-        "docs_lang_id": q_docs_lang_id,
-        "docs_fingerprint": q_docs_fingerprint,
-        "docs_ngram_dedup": q_docs_ngram_dedup,
-        # -- r5-green fillers completing the 50-row window (the first
-        #    two have their oracle SQL touched by the r6 ADVICE fixes) --
-        "emb_diversity_sample": q_emb_diversity_sample,
-        "docs_bpe_merges": q_docs_bpe_merges,
-        "docs_unigram_lm": q_docs_unigram_lm,
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "emb_near_dup_ivf": q_emb_near_dup_ivf,
-        "emb_near_dup": q_emb_near_dup,
-        "emb_ann_recall": q_emb_ann_recall,
-        "emb_kmeans_assign": q_emb_kmeans_assign,
-        "mm_metadata": q_mm_metadata,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_features": q_mm_features,
-        "olap_rollup": olap.nation_revenue_rollup,
-        # ---- tail (positions 51+): every query below has a green r5
-        # driver row (CORRECTNESS_r05.json) in UNCHANGED formulation,
-        # so losing them to the 50-row cap costs no cross-round
-        # evidence ----
+        # -- stalest evidence: the entire r6 tail (last driver row r5) --
         "cdc_route_fanout": q_route_fanout,
         "cdc_envelope_roundtrip": q_envelope_roundtrip,
         "cdc_partition_key": q_partition_key,
@@ -743,6 +684,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_order_count_dist": olap.order_count_distribution,
         "olap_cardinality": olap.event_type_cardinality,
         "olap_funnel": olap.signup_purchase_funnel,
+        # -- r6-green, but touched this round: fresh evidence wanted --
+        "olap_pricing_summary": olap.pricing_summary,
+        "olap_top_customers": olap.top_revenue_customers,
+        "olap_nation_volume": olap.nation_order_volume,
+        "docs_incremental_dedup": q_docs_incremental_dedup,
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "mm_metadata": q_mm_metadata,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_features": q_mm_features,
+        "docs_bpe_merges": q_docs_bpe_merges,
+        # -- r6-green fillers completing the 50-row window --
+        "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ann_ivf": q_emb_ann_ivf,
+        "emb_ann_topk": q_emb_ann_topk,
+        "emb_ann_recall": q_emb_ann_recall,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "emb_near_dup_ivf": q_emb_near_dup_ivf,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_kmeans_assign": q_emb_kmeans_assign,
+        "emb_diversity_sample": q_emb_diversity_sample,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
+        "docs_unigram_lm": q_docs_unigram_lm,
+        "olap_topk_per_priority": olap.top_orders_per_priority,
+        "olap_spend_deciles": olap.customer_spend_deciles,
+        # ---- tail (positions 51+): every query below has a green r6
+        # driver row (CORRECTNESS_r06.json) in UNCHANGED formulation,
+        # so losing them to the 50-row cap costs no cross-round
+        # evidence ----
+        "olap_value_bands": olap.value_band_totals,
+        "docs_edit_dedup": q_docs_edit_dedup,
+        "cdc_snapshot_diff": q_cdc_snapshot_diff,
+        "cdc_state_as_of": q_cdc_state_as_of,
+        "cdc_gap_check": q_cdc_gap_check,
+        "olap_table_profile": olap.table_profile,
+        "olap_quantiles_approx": olap.event_value_quantiles_approx_check,
+        "olap_cardinality_approx": olap.event_type_cardinality_approx_check,
+        "docs_minhash_dedup": q_docs_minhash_dedup,
+        "docs_simhash": q_docs_simhash,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
+        "docs_dedup_survivors": q_docs_dedup_survivors,
+        "docs_curate": q_docs_curate,
+        "docs_pii_redact": q_docs_pii_redact,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_weighted_mix": q_docs_weighted_mix,
+        "docs_repetition": q_docs_repetition,
+        "docs_contamination": q_docs_contamination,
+        "cdc_update_pairs": q_cdc_update_pairs,
+        "docs_vocab_topk": q_docs_vocab_topk,
+        "docs_tfidf": q_docs_tfidf,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_quality": q_docs_quality,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_ngram_dedup": q_docs_ngram_dedup,
+        "olap_rollup": olap.nation_revenue_rollup,
     }
 
 

@@ -27,48 +27,51 @@ def test_no_orphan_oracles():
 
 
 def test_driver_window_order_is_stable():
-    # The driver records exactly the first 50 entries; the r6 rotation
-    # puts (a) the 3 money queries that hashed red in r5 and were
-    # reformulated to fixed-point BIGINT, (b) the 7 queries whose
-    # output int widths were aligned this round, and (c) the entire
-    # 27-query r5 tail (stalest evidence, last driver row r4) inside
-    # that window. Pin the window boundary so an accidental reorder is
-    # a test failure, not a silently-lost round of driver evidence.
+    # The driver records exactly the first 50 entries; the r7 rotation
+    # puts (a) the entire 27-query r6 tail (stalest evidence, last
+    # driver row r5) and (b) the 9 queries whose implementation or
+    # testbed this round touches (money-guard olap trio,
+    # docs_incremental_dedup, docs_dup_clusters, the mm_* trio,
+    # docs_bpe_merges) inside that window. Pin the window boundary so
+    # an accidental reorder is a test failure, not a silently-lost
+    # round of driver evidence.
     order = list(E.queries())
     assert len(order) == 77
-    reformulated_r6 = {
-        # r5 hash-red, now fixed-point BIGINT money
+    touched_r7 = {
+        # fixed-point runtime guard added to the money pipeline
         "olap_pricing_summary",
         "olap_top_customers",
         "olap_nation_volume",
-        # int32 -> int64 output alignment
+        # per-batch store writes folded
         "docs_incremental_dedup",
-        "emb_ann_lsh",
-        "emb_ann_ivf",
-        "emb_ann_topk",
-        "olap_topk_per_priority",
-        "olap_spend_deciles",
-        "olap_value_bands",
+        # star-contraction path for high-diameter graphs
+        "docs_dup_clusters",
+        # testbed gains real PNG/JPEG blobs; metadata parses headers
+        "mm_metadata",
+        "mm_frame_sample",
+        "mm_features",
+        # persist-tier lineage cut fixed
+        "docs_bpe_merges",
     }
     import json
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
-    r5 = json.loads((repo / "CORRECTNESS_r05.json").read_text())
-    # r5 tail = every live query the r5 driver pass did NOT record
-    stale_r5_tail = {n for n in order if n not in r5}
-    assert len(stale_r5_tail) == 27
+    r6 = json.loads((repo / "CORRECTNESS_r06.json").read_text())
+    # r6 tail = every live query the r6 driver pass did NOT record
+    stale_r6_tail = {n for n in order if n not in r6}
+    assert len(stale_r6_tail) == 27
     first50 = set(order[:50])
-    assert (reformulated_r6 | stale_r5_tail) <= first50, sorted(
-        (reformulated_r6 | stale_r5_tail) - first50
+    assert (touched_r7 | stale_r6_tail) <= first50, sorted(
+        (touched_r7 | stale_r6_tail) - first50
     )
-    # every tail entry must carry a green r5 driver row in unchanged
+    # every tail entry must carry a green r6 driver row in unchanged
     # formulation — losing it to the 50-row cap then costs no
     # cross-round evidence
-    tail_without_r5_row = [
-        n for n in order[50:] if not r5.get(n, {}).get("hash_match")
+    tail_without_r6_row = [
+        n for n in order[50:] if not r6.get(n, {}).get("hash_match")
     ]
-    assert not tail_without_r5_row, tail_without_r5_row
+    assert not tail_without_r6_row, tail_without_r6_row
 
 
 def test_staged_queue_is_disjoint_and_oracle_complete():
