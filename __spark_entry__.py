@@ -608,31 +608,52 @@ def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the batch that dropped it. First-seen-wins across batches is
     the checked property: a batch-0 casualty never blocks a batch-1
     doc. The result is checkpointed so the temp store can be deleted
-    before the driver collects. n_store_buckets=16 here (not the
+    before the driver collects. n_store_buckets=8 here (not the
     production 64): the parameter is pruning-granularity layout only —
     the pair output is identical for any value — and sf-scale batches
     pay per-output-directory write overhead 64 buckets can't amortize
-    (measured 10.9s -> 7.5s at sf0.1)."""
+    (measured 10.9s -> 7.5s at sf0.1 for 64 -> 16, another ~0.4s for
+    16 -> 8 after the r7 one-materialization restructure)."""
     import shutil
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from outboxx_spark.dataops.incremental import (
-        incremental_minhash_dedup_batch,
+        commit_dedup_batch,
+        prepare_dedup_batch,
         read_dedup_pairs,
     )
+    from outboxx_spark.dataops.util import conf_override
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     half = docs.count() // 2
     root = tempfile.mkdtemp(prefix="outboxx_incdedup_q_")
     try:
         store = f"{root}/store"
-        incremental_minhash_dedup_batch(
-            docs.filter(F.col("doc_id") < half), store, batch_id=0, n_store_buckets=16
-        )
-        incremental_minhash_dedup_batch(
-            docs.filter(F.col("doc_id") >= half), store, batch_id=1, n_store_buckets=16
-        )
-        return read_dedup_pairs(spark, store).localCheckpoint(eager=True)
+        # AQE off for the ingest window only: every ingest job is
+        # batch-sized and explicitly planned (hinted broadcasts,
+        # explicit bucket repartitions, partition-pruned store scans),
+        # so runtime re-planning buys nothing while its per-shuffle
+        # stage barrier costs ~0.6s across the ~10 small jobs at sf0.1.
+        # Production deliveries large enough for AQE's skew handling
+        # to matter simply skip this override.
+        with conf_override(spark, "spark.sql.adaptive.enabled", "false"):
+            # pipelined ingest (the operator's intended continuous-feed
+            # shape): delivery 1's store-independent preparation (the
+            # Arrow minhash pass) runs concurrently with delivery 0's
+            # store commit; commits stay in batch order
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                prep0 = prepare_dedup_batch(
+                    docs.filter(F.col("doc_id") < half), n_store_buckets=8
+                )
+                fut1 = pool.submit(
+                    prepare_dedup_batch,
+                    docs.filter(F.col("doc_id") >= half),
+                    n_store_buckets=8,
+                )
+                commit_dedup_batch(prep0, store, batch_id=0)
+                commit_dedup_batch(fut1.result(), store, batch_id=1)
+            return read_dedup_pairs(spark, store).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

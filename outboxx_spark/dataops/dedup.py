@@ -382,6 +382,46 @@ def lsh_band_buckets_from_sets(sets: DataFrame, sh_col: str = "sh") -> DataFrame
     )
 
 
+def lsh_band_arrays_from_sets(sets: DataFrame, sh_col: str = "sh") -> DataFrame:
+    """(doc_id, sh, bands): each doc's distinct-shingle set AND its 32
+    band signature strings assembled in ONE Arrow pass — the fused
+    frame the incremental store checkpoints once per batch instead of
+    checkpointing a sets frame and a buckets frame separately (two
+    jobs, two pandas passes over the same hashes; measured ~0.7s/batch
+    of pure overhead at sf0.1).
+
+    ``select(doc_id, posexplode(bands))`` over this frame is
+    bit-identical to ``lsh_band_buckets_from_sets(sets)`` (test-pinned:
+    same minima, same ``m0_m1_m2_m3`` assembly, same 0-based band
+    numbers), with ONE divergence by design: hash-less docs (null/empty
+    text) are KEPT here with an empty ``bands`` array — they produce no
+    bucket keys on explode (same dedup semantics: never candidates,
+    always survive) but must flow through to the store's docs tree,
+    which doubles as the survivor registry (``read_survivors``)."""
+    n_bands = N_MINHASHES // LSH_BAND_SIZE
+
+    @F.pandas_udf("array<string>")
+    def _bands_all(h_arrs: pd.Series) -> pd.Series:
+        out: list[list[str]] = [[] for _ in range(len(h_arrs))]
+        nonempty = [i for i, a in enumerate(h_arrs) if len(a)]
+        if nonempty:
+            mins = _perm_min_matrix(h_arrs.iloc[nonempty])
+            digits = mins.astype("U10")
+            for i, row in zip(nonempty, digits):
+                out[i] = [
+                    "_".join(row[b * LSH_BAND_SIZE : (b + 1) * LSH_BAND_SIZE])
+                    for b in range(n_bands)
+                ]
+        return pd.Series(out)
+
+    h_arr = F.array_compact(
+        F.transform(F.col(sh_col), lambda s: md5_hash60(s) % HASH_P)
+    )
+    return sets.select(
+        "doc_id", F.col(sh_col).alias("sh"), _bands_all(h_arr).alias("bands")
+    )
+
+
 def lsh_band_buckets(sigs: DataFrame) -> DataFrame:
     """(doc_id, band, sig): each signature banded into 32 bands of 4 —
     the LSH bucket keys. Shared by the batch self-join pair generator

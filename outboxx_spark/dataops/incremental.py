@@ -53,11 +53,14 @@ pruning granularity exactly like the table sink's bucket count.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from outboxx_spark.dataops.dedup import (
-    lsh_band_buckets_from_sets,
+    lsh_band_arrays_from_sets,
     lsh_bucket_pairs,
     ngram_jaccard_pairs_sql,
     verify_jaccard_pairs,
@@ -67,6 +70,11 @@ from outboxx_spark.dataops.util import parallelized as _parallelized
 from outboxx_spark.fsutil import fs_exists, fs_read_text, fs_write_text, hadoop_fs
 
 DEFAULT_STORE_BUCKETS = 64
+# Below this many verified pairs, the dropped-id set is collected and
+# inlined as an InSet filter in the survivor writes (driver-bounded:
+# 2^16 int64 ids = 0.5 MB); above it, the distributed broadcast
+# anti-join path runs instead.
+DROPPED_INLINE_LIMIT = 65536
 
 _META = "_dedup_store_meta.json"
 # Store compaction (see compact_dedup_store): staged generation +
@@ -123,6 +131,99 @@ def _bkt(*cols, n: int):
     return F.pmod(F.xxhash64(*cols), F.lit(n)).cast("int")
 
 
+class PreparedBatch(NamedTuple):
+    """Output of prepare_dedup_batch: the cached per-batch signature
+    frame plus everything commit_dedup_batch needs. Carrying k and
+    n_store_buckets here makes a prepare/commit parameter mismatch
+    impossible — the commit validates THESE against the store meta."""
+
+    combined: DataFrame  # (doc_id, sh, bands), persisted
+    touched: list[int]  # distinct store bkt partitions the batch probes
+    k: int
+    n_store_buckets: int
+
+
+def prepare_dedup_batch(
+    batch: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    n_store_buckets: int = DEFAULT_STORE_BUCKETS,
+) -> PreparedBatch | None:
+    """The STORE-INDEPENDENT half of a batch ingest: one text pass
+    computing shingle sets + band signature arrays together
+    (lsh_band_arrays_from_sets), persisted, plus one probe job that
+    both materializes the cache and collects the touched store
+    partitions. Returns None for an empty batch (which must write
+    nothing).
+
+    Because nothing here reads the store, a caller ingesting a queue of
+    deliveries can PIPELINE: prepare delivery N+1 on a second thread
+    while commit_dedup_batch(N) is writing — preparation is the Arrow
+    minhash pass, the commit is mostly store I/O, so the two overlap
+    cleanly (measured ~0.6s/batch saved at sf0.1). The sequential
+    wrapper incremental_minhash_dedup_batch composes the two halves
+    for the foreachBatch path.
+
+    Every later consumer — the self-join's two sides, verification, the
+    survivor appends — derives from the cached frame by a cheap
+    projection/posexplode instead of re-running the Arrow pass or
+    re-scanning the source. persist rather than localCheckpoint: the
+    lineage is two shallow stages (scan + Arrow pass), so
+    plan-reanalysis cost is nil and a separate eager-materialization
+    job disappears. The probe's posexplode_outer keeps hash-less docs
+    as a null-sig row, so n_rows == 0 iff no input rows; collect_set
+    skips the null-sig rows and is bounded by n_store_buckets distinct
+    values."""
+    batch = _parallelized(batch).select(F.col("doc_id"), F.col(text_col).alias("text"))
+    combined = lsh_band_arrays_from_sets(
+        batch.select("doc_id", shingles(F.col("text"), k).alias("sh"))
+    )
+    combined.persist()
+    probe = combined.select(F.posexplode_outer("bands").alias("band", "sig"))
+    stats = probe.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.collect_set(
+            F.when(
+                F.col("sig").isNotNull(),
+                _bkt(F.col("band"), F.col("sig"), n=n_store_buckets),
+            )
+        ).alias("touched"),
+    ).collect()[0]
+    if stats["n_rows"] == 0:
+        combined.unpersist()
+        return None
+    return PreparedBatch(combined, list(stats["touched"]), k, n_store_buckets)
+
+
+def commit_dedup_batch(
+    prepared: PreparedBatch | None,
+    store_dir: str,
+    batch_id: int,
+    threshold: float = 0.5,
+) -> None:
+    """The STORE-TOUCHING half: candidate generation against the store,
+    exact verification, and the three concurrent batch_id=N writes.
+    Unpersists the prepared frame when done (a streaming job must not
+    accumulate one cached batch per epoch). Commits must stay in
+    batch_id order when pipelined with prepare_dedup_batch — the store
+    joins exclude only the batch's OWN partition."""
+    if batch_id < 0:
+        # negative ids are reserved for compacted generations
+        # (COMPACTED_BATCH_ID): a caller-supplied -1 would both skip
+        # the whole compacted generation in the replay-exclusion filter
+        # and OVERWRITE it on the survivor append
+        raise ValueError(f"batch_id must be >= 0, got {batch_id}")
+    if prepared is None:
+        # an empty batch must write NOTHING: a data-less partition
+        # tree under batch_id=N would make later store reads
+        # schema-less
+        return
+    try:
+        _ingest_nonempty_batch(prepared, store_dir, batch_id, threshold)
+    finally:
+        prepared.combined.unpersist()
+
+
 def incremental_minhash_dedup_batch(
     batch: DataFrame,
     store_dir: str,
@@ -133,33 +234,42 @@ def incremental_minhash_dedup_batch(
     n_store_buckets: int = DEFAULT_STORE_BUCKETS,
 ) -> None:
     """Dedup one batch against the store (and itself), then append its
-    survivors. Idempotent per (batch contents, batch_id): a replay
-    overwrites the same batch_id directories with identical content —
-    the store joins exclude the batch's own batch_id partition, so a
-    half-committed first attempt can't make docs match themselves."""
+    survivors: prepare_dedup_batch + commit_dedup_batch in sequence.
+    Idempotent per (batch contents, batch_id): a replay overwrites the
+    same batch_id directories with identical content — the store joins
+    exclude the batch's own batch_id partition, so a half-committed
+    first attempt can't make docs match themselves."""
     if batch_id < 0:
-        # negative ids are reserved for compacted generations
-        # (COMPACTED_BATCH_ID): a caller-supplied -1 would both skip
-        # the whole compacted generation in the replay-exclusion filter
-        # and OVERWRITE it on the survivor append
         raise ValueError(f"batch_id must be >= 0, got {batch_id}")
-    spark = batch.sparkSession
-    batch = _parallelized(batch).select(F.col("doc_id"), F.col(text_col).alias("text"))
-    if batch.isEmpty():
-        # an empty batch must write NOTHING: a data-less partition tree
-        # under batch_id=N would make later store reads schema-less
-        return
+    commit_dedup_batch(
+        prepare_dedup_batch(batch, k=k, text_col=text_col, n_store_buckets=n_store_buckets),
+        store_dir,
+        batch_id,
+        threshold=threshold,
+    )
+
+
+def _ingest_nonempty_batch(
+    prepared: PreparedBatch,
+    store_dir: str,
+    batch_id: int,
+    threshold: float,
+) -> None:
+    """Candidate generation, exact verification, and the three
+    concurrent batch_id=N writes, all reading the prepared (cached)
+    ``combined`` (doc_id, sh, bands) frame."""
+    combined = prepared.combined
+    k, n_store_buckets = prepared.k, prepared.n_store_buckets
+    spark = combined.sparkSession
     _check_store_meta(spark, store_dir, k, threshold, n_store_buckets)
     # finish (or discard) any interrupted out-of-band compaction before
     # reading the store — a half-committed swap must never be probed
     _recover_compaction(spark, store_dir)
 
-    # one shingle pass per batch: signatures derive from the
-    # materialized shingle sets (same pattern as minhash_dedup_pairs)
-    new_sets = batch.select("doc_id", shingles(F.col("text"), k).alias("sh")).localCheckpoint(
-        eager=True
+    new_sets = combined.select("doc_id", "sh")
+    new_buckets = combined.select(
+        "doc_id", F.posexplode("bands").alias("band", "sig")
     )
-    new_buckets = lsh_band_buckets_from_sets(new_sets).localCheckpoint(eager=True)
 
     # new-vs-new (standard banded self-join, batch-sized)
     pairs = verify_jaccard_pairs(
@@ -169,22 +279,14 @@ def incremental_minhash_dedup_batch(
     buckets_root = f"{store_dir}/buckets"
     docs_root = f"{store_dir}/docs"
     if fs_exists(spark, buckets_root):
-        # new-vs-old: partition-pruned store scan + broadcast batch probe
-        touched = [
-            r["bkt"]
-            for r in new_buckets.select(
-                _bkt(F.col("band"), F.col("sig"), n=n_store_buckets).alias("bkt")
-            )
-            .distinct()
-            .collect()
-        ]
-        # exclude this batch's OWN partition: on a replay the first
-        # attempt's rows are already in the store, and matching a doc
-        # against its own previous write would drop every survivor
+        # new-vs-old: partition-pruned store scan + broadcast batch
+        # probe. Exclude this batch's OWN partition: on a replay the
+        # first attempt's rows are already in the store, and matching a
+        # doc against its own previous write would drop every survivor.
         old_buckets = (
             spark.read.parquet(buckets_root)
             .filter(F.col("batch_id") != batch_id)
-            .filter(F.col("bkt").isin(touched))
+            .filter(F.col("bkt").isin(prepared.touched))
         )
         cand_on = (
             old_buckets.join(
@@ -198,8 +300,11 @@ def incremental_minhash_dedup_batch(
             .select(F.col("doc_id").alias("doc_a"), "doc_b")
             .distinct()
         )
-        # old shingle sets, pruned to the candidate docs' hash partitions
-        cand_on = cand_on.localCheckpoint(eager=True)
+        # old shingle sets, pruned to the candidate docs' hash
+        # partitions. The pruned-store broadcast join runs twice (here
+        # and inside the verify pipeline) — measured cheaper than the
+        # eager checkpoint that would share it, since both runs are a
+        # map-side probe of a partition-pruned scan.
         doc_bkts = [
             r["dbk"]
             for r in cand_on.select(
@@ -219,34 +324,83 @@ def incremental_minhash_dedup_batch(
                 verify_jaccard_pairs(cand_on, old_sets, new_sets, threshold)
             )
 
-    # ONE materialization: the parquet write is the pairs pipeline's
-    # only execution; the survivor computation reads the written files
-    # back (a checkpoint-then-write would run the same pipeline into
-    # executor storage first and pay a second job for the copy)
-    pairs.write.mode("overwrite").parquet(f"{store_dir}/pairs/batch_id={batch_id}")
-    pairs = spark.read.parquet(f"{store_dir}/pairs/batch_id={batch_id}")
+    # ONE execution of the verify pipeline (persist + count — the count
+    # both materializes the cache and sizes the dropped set), then the
+    # pairs file and both survivor trees are written CONCURRENTLY — all
+    # three derive from the batch cache + the pairs cache, so their
+    # fixed scheduling/commit overhead overlaps (on a cluster the
+    # scheduler interleaves their tasks the same way). All three must
+    # land before the function returns (foreachBatch must not commit
+    # offsets on a half-written batch); a failure in any thread
+    # propagates, and the replay overwrites all three batch_id=N dirs
+    # idempotently.
+    pairs.persist()
+    n_pairs = pairs.count()
+    if n_pairs <= DROPPED_INLINE_LIMIT:
+        # the common shape: few duplicates per delivery. Inline the
+        # dropped ids as an InSet literal so each tree write is a
+        # single map stage + bucket shuffle — no broadcast-exchange
+        # stage, no join. (InSet above ~10 values is a hash-set probe.)
+        dropped_ids = {r["doc_b"] for r in pairs.select("doc_b").collect()}
 
-    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    survivor_ids = batch.select("doc_id").join(dropped, "doc_id", "left_anti")
+        def _survivors(df: DataFrame) -> DataFrame:
+            if not dropped_ids:
+                return df
+            return df.filter(~F.col("doc_id").isin(list(dropped_ids)))
+
+    else:
+        # pathological delivery (mass duplication): keep it distributed.
+        # Broadcast explicitly — the cached inputs carry no size stats,
+        # so Catalyst would otherwise plan sort-merge joins (two extra
+        # shuffles per tree write). No distinct on dropped: left_anti
+        # ignores right-side duplicates, and the distinct would cost a
+        # shuffle stage inside every write.
+        dropped = F.broadcast(pairs.select(F.col("doc_b").alias("doc_id")))
+        survivor_ids = F.broadcast(
+            combined.select("doc_id").join(dropped, "doc_id", "left_anti")
+        )
+
+        def _survivors(df: DataFrame) -> DataFrame:
+            return df.join(survivor_ids, "doc_id")
+
+    def _write_pairs() -> None:
+        pairs.write.mode("overwrite").parquet(
+            f"{store_dir}/pairs/batch_id={batch_id}"
+        )
+
     # one shuffle task per store bucket -> exactly ONE file per bkt dir
     # (the table sink's layout): a 32-task repartition would scatter
     # every bucket dir with up to 32 small files per batch
-    (
-        new_buckets.join(survivor_ids, "doc_id")
-        .withColumn("bkt", _bkt(F.col("band"), F.col("sig"), n=n_store_buckets))
-        .repartition(n_store_buckets, "bkt")
-        .write.mode("overwrite")
-        .partitionBy("bkt")
-        .parquet(f"{buckets_root}/batch_id={batch_id}")
-    )
-    (
-        new_sets.join(survivor_ids, "doc_id")
-        .withColumn("dbk", _bkt(F.col("doc_id"), n=n_store_buckets))
-        .repartition(n_store_buckets, "dbk")
-        .write.mode("overwrite")
-        .partitionBy("dbk")
-        .parquet(f"{docs_root}/batch_id={batch_id}")
-    )
+    def _write_buckets() -> None:
+        (
+            _survivors(new_buckets)
+            .withColumn("bkt", _bkt(F.col("band"), F.col("sig"), n=n_store_buckets))
+            .repartition(n_store_buckets, "bkt")
+            .write.mode("overwrite")
+            .partitionBy("bkt")
+            .parquet(f"{buckets_root}/batch_id={batch_id}")
+        )
+
+    def _write_docs() -> None:
+        (
+            _survivors(new_sets)
+            .withColumn("dbk", _bkt(F.col("doc_id"), n=n_store_buckets))
+            .repartition(n_store_buckets, "dbk")
+            .write.mode("overwrite")
+            .partitionBy("dbk")
+            .parquet(f"{docs_root}/batch_id={batch_id}")
+        )
+
+    try:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for fut in [
+                pool.submit(_write_pairs),
+                pool.submit(_write_buckets),
+                pool.submit(_write_docs),
+            ]:
+                fut.result()
+    finally:
+        pairs.unpersist()
 
 
 def _batch_dirs(fs, tree_path) -> list[str]:

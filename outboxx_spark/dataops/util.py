@@ -2,7 +2,32 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def conf_override(spark: SparkSession, key: str, value: str):
+    """Temporarily set a runtime SQL conf, restoring the previous value
+    (or unsetting) on exit. Session-global: callers must not assume
+    isolation from concurrently running queries — use it around a
+    bounded window of jobs that all want the override (e.g. the
+    incremental-dedup query disables AQE for its batch-sized,
+    explicitly-planned ingest jobs, where per-shuffle stage
+    materialization costs more than runtime re-planning saves)."""
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def parallelized(df: DataFrame) -> DataFrame:

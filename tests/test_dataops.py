@@ -233,6 +233,38 @@ def test_fused_band_buckets_equal_decomposed(spark, sf_dir):
     assert fused_pairs == reference_pairs
 
 
+def test_combined_band_arrays_equal_bucket_rows(spark, sf_dir):
+    # the one-checkpoint frame the incremental store materializes per
+    # batch: posexplode(bands) must reproduce lsh_band_buckets_from_sets
+    # exactly (existing store generations join on these values), and
+    # hash-less docs must be KEPT with empty bands — the docs tree
+    # doubles as the survivor registry, so dropping them there would
+    # lose survivors
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    sets_ = docs.select("doc_id", tx.shingles(F.col("text"), 3).alias("sh"))
+    combined = dd.lsh_band_arrays_from_sets(sets_)
+    exploded = {
+        (r.doc_id, r.band, r.sig)
+        for r in combined.select(
+            "doc_id", F.posexplode("bands").alias("band", "sig")
+        ).collect()
+    }
+    reference = {
+        (r.doc_id, r.band, r.sig)
+        for r in dd.lsh_band_buckets_from_sets(sets_).collect()
+    }
+    assert exploded == reference
+    # every input doc survives into the combined frame, sh intact
+    assert combined.count() == sets_.count()
+    # a null-text doc: empty bands, present in the frame
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "real text here for shingles")], "doc_id long, text string"
+    )
+    nsets = nulls.select("doc_id", tx.shingles(F.col("text"), 3).alias("sh"))
+    rows = {r.doc_id: r.bands for r in dd.lsh_band_arrays_from_sets(nsets).collect()}
+    assert rows[1] == [] and len(rows[2]) == dd.N_MINHASHES // dd.LSH_BAND_SIZE
+
+
 def test_minhash_signatures_contract_error():
     with pytest.raises(ValueError, match="pass df or index"):
         dd.minhash_signatures()
