@@ -237,7 +237,9 @@ def repetition_features_sql(n: int = 2, table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame, max_iter: int = 25, on_unconverged: str = "contract"
+) -> DataFrame:
     """Near-dup pairs -> (doc_id, cluster_id = min doc_id in component).
 
     Iterative min-label propagation: each round, every node adopts the
@@ -247,11 +249,16 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     rounds. Each round is one shuffle-on-node join; ``localCheckpoint``
     cuts the lineage so plan size stays constant across rounds.
 
-    Raises ``RuntimeError`` if propagation has not converged within
-    ``max_iter`` rounds (a component whose min-node eccentricity
-    exceeds the budget) — returning partial labels would silently
-    diverge from the transitive-closure oracle. For extreme-diameter
-    graphs raise ``max_iter`` or use large-star/small-star contraction."""
+    A component whose min-node eccentricity exceeds ``max_iter`` (a
+    chain-shaped graph — rare for near-dup output, but a 100 TB corpus
+    will eventually produce one) falls back per ``on_unconverged``:
+
+    - ``"contract"`` (default): alternating large-star/small-star
+      contraction (`_star_contraction_labels`) — O(log^2 n) rounds
+      worst-case regardless of diameter, same output contract.
+    - ``"raise"``: the pre-r7 fail-stop, for callers that want a
+      shallow-graph invariant enforced rather than silently paying the
+      contraction rounds."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -301,12 +308,81 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # Conservative: labels that changed on the FINAL round may in
         # fact have reached the fixpoint, but certifying that costs the
         # same join as another round — so treat it as unconverged.
+        if on_unconverged == "contract":
+            labels.unpersist()
+            return _star_contraction_labels(edges)
         raise RuntimeError(
             f"dup_clusters: min-label propagation not certified converged in "
             f"{max_iter} rounds ({changed} labels changed on the last round); "
-            f"raise max_iter"
+            f"raise max_iter or use on_unconverged='contract'"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): per round every node hooks its larger neighbors
+    (large-star), then its smaller neighbors (small-star), onto the
+    minimum of its neighborhood. Converges to a disjoint union of flat
+    stars centered at each component's minimum id in O(log^2 n) rounds
+    REGARDLESS of diameter — the deep-graph fallback behind
+    dup_clusters' shallow-graph propagation fast path.
+
+    ``edges`` is the both-direction (src, dst) frame; output matches
+    dup_clusters' contract: (doc_id, cluster_id = component min) for
+    every node with at least one pair. ``max_rounds`` is a safety net
+    far above the mathematical bound (2^64-node graphs), not a tunable."""
+    # canonical undirected edge set, one row per {a < b}
+    cur = (
+        edges.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # large-star: for each node u, every LARGER neighbor v hooks to
+        # m = min(N(u) + {u}); m <= u < v keeps pairs canonical
+        both = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = both.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.least(F.col("u"), F.col("mn")).alias("a"), F.col("v").alias("b")
+            )
+            .distinct()
+        )
+        # small-star: orient edges larger -> smaller; every smaller
+        # neighbor v of u (and u itself) hooks to m = min(N_smaller(u))
+        oriented = large.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        hooked = oriented.join(smins, "u")
+        nxt = (
+            hooked.filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .unionAll(hooked.select(F.col("m").alias("a"), F.col("u").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = nxt.exceptAll(cur).unionAll(cur.exceptAll(nxt)).isEmpty()
+        cur.unpersist()
+        cur = nxt
+        if converged:
+            # fixpoint = flat stars: every edge is (component_min, node)
+            return (
+                cur.select(F.col("b").alias("doc_id"), F.col("a").alias("cluster_id"))
+                .unionAll(
+                    cur.select(F.col("a").alias("doc_id"), F.col("a").alias("cluster_id"))
+                )
+                .distinct()
+            )
+    raise RuntimeError(
+        f"star contraction not converged in {max_rounds} rounds — "
+        "impossible for any graph with < 2^64 nodes; corrupted edge input?"
+    )
 
 
 def dup_clusters_sql(pairs_sql: str) -> str:
