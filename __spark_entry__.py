@@ -28,6 +28,7 @@ from outboxx_spark.dataops.bpe import bpe_merges_sql, bpe_train
 from outboxx_spark.dataops.incremental import incremental_dedup_pairs_sql
 from outboxx_spark.dataops.multimodal import (
     MM_FEATURES_SQL,
+    MM_METADATA_SQL,
     attach_blobs,
     decode_features_long,
 )
@@ -506,14 +507,15 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary blob column + typed metadata."""
-    blobs = attach_blobs(read_table(spark, sf_dir, "documents"))
-    return blobs.select(
-        "doc_id",
-        F.col("media_meta.media_type").alias("media_type"),
-        F.col("media_meta.n_bytes").alias("n_bytes"),
-        F.col("media_meta.digest").alias("digest"),
-    )
+    """Multimodal metadata with REAL header decode: the testbed
+    synthesizes a deterministic text/PNG/JPEG blob mix, and the
+    operator parses width/height back out of the PNG IHDR / JPEG SOF
+    bytes (pure Python, no image library). The oracle recomputes the
+    dimensions arithmetically from doc_id, so a hash match proves the
+    byte-level encode -> header-parse round-trip."""
+    from outboxx_spark.dataops.multimodal import media_metadata, synth_media_blobs
+
+    return media_metadata(synth_media_blobs(read_table(spark, sf_dir, "documents")))
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -972,11 +974,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(substring(text, CAST(fi * 64 + 1 AS BIGINT), 64)) AS BIGINT) AS frame_len,
                md5(substring(text, CAST(fi * 64 + 1 AS BIGINT), 64)) AS frame_md5
         FROM frames""",
-        "mm_metadata": """
-        SELECT doc_id, 'text/plain' AS media_type,
-               octet_length(encode(text)) AS n_bytes,
-               md5(text) AS digest
-        FROM documents""",
+        "mm_metadata": MM_METADATA_SQL,
         # -- promoted from the r4 staging queue --
         "docs_unigram_lm": tx.unigram_lm_scores_sql(),
         "emb_diversity_sample": sim.diversity_sample_sql(),

@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 
-The container has no image/audio libraries, so the *decode* step is
-stubbed (deterministic fake features, clearly marked; real decoders are
-gated behind import-try and raise NotImplementedError). The Spark-side
-plumbing — schema, batch shape, partitioning, UDF signatures — is real
-and tested: swap ``_fake_decode`` for a PIL/librosa call and nothing
-else changes.
+Metadata extraction is REAL: ``parse_image_dims`` reads PNG IHDR and
+JPEG SOF headers in pure Python (no image library), and
+``media_metadata`` runs it as an Arrow-batched UDF. Only the *feature*
+decode (pixel decode + model embedding) is stubbed — the container has
+no image/audio libraries, so ``_fake_decode`` stands in (deterministic,
+clearly marked; the real slot is gated behind import-try and raises
+NotImplementedError). The Spark-side plumbing — schema, batch shape,
+partitioning, UDF signatures — is real and tested: swap ``_fake_decode``
+for a PIL/librosa call and nothing else changes.
 
 Scale: blobs ride executor-side only (never collect), mapInPandas
 streams Arrow batches so peak memory is one batch of blobs per task;
@@ -31,8 +34,61 @@ MEDIA_META_SCHEMA = T.StructType(
         T.StructField("media_type", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("digest", T.StringType(), False),
+        # parsed from the blob's own header bytes (PNG IHDR / JPEG SOF);
+        # null for non-image payloads
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
     ]
 )
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers that carry dimensions: baseline (C0),
+# extended/progressive/lossless (C1-C3), differential + arithmetic
+# variants (C5-C7, C9-CB, CD-CF). C4/C8/CC are DHT/JPG/DAC, not SOF.
+_JPEG_SOF_MARKERS = frozenset(
+    list(range(0xC0, 0xC4)) + list(range(0xC5, 0xC8))
+    + list(range(0xC9, 0xCC)) + list(range(0xCD, 0xD0))
+)
+
+
+def parse_image_dims(blob: bytes) -> tuple[str, int, int] | None:
+    """Pure-Python image header sniffing — no image library needed.
+    Returns (media_type, width, height) for PNG (IHDR chunk) and JPEG
+    (marker walk to the first SOFn segment), None for anything else or
+    for truncated/corrupt headers. CRCs are not validated: dimension
+    extraction reads declared header fields, same as file(1)/exiftool."""
+    if blob[:8] == _PNG_SIG:
+        # signature + IHDR length/type at 8..16, width/height at 16..24
+        if len(blob) >= 24 and blob[12:16] == b"IHDR":
+            w = int.from_bytes(blob[16:20], "big")
+            h = int.from_bytes(blob[20:24], "big")
+            return ("image/png", w, h)
+        return None
+    if blob[:2] == b"\xff\xd8":
+        pos = 2
+        n = len(blob)
+        while pos + 4 <= n:
+            if blob[pos] != 0xFF:
+                return None  # marker desync: not a parseable JPEG
+            marker = blob[pos + 1]
+            if marker == 0xFF:
+                pos += 1  # fill bytes before a marker are legal
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                pos += 2  # standalone markers carry no length field
+                continue
+            seg_len = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF_MARKERS:
+                if pos + 9 > n:
+                    return None
+                h = int.from_bytes(blob[pos + 5 : pos + 7], "big")
+                w = int.from_bytes(blob[pos + 7 : pos + 9], "big")
+                return ("image/jpeg", w, h)
+            pos += 2 + seg_len
+        return None
+    return None
 
 
 def attach_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -49,6 +105,129 @@ def attach_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.md5(blob).alias("digest"),  # md5 of the raw bytes
         ).alias("media_meta"),
     )
+
+
+# Testbed media-blob synthesis (synth_media_blobs + the oracle mirror):
+# deterministic per-doc media mix keyed on doc_id % 3 — 0: raw utf-8
+# payload, 1: a PNG whose signature + IHDR are byte-exact (zeroed CRC;
+# header parsers don't validate CRCs), 2: a JPEG with real APP0 + SOF0
+# segments. Dimensions derive from doc_id so the DuckDB oracle can
+# check the Spark-side HEADER PARSE arithmetically: Spark reads
+# width/height back out of the bytes, the oracle recomputes them from
+# doc_id — a hash match proves the round-trip.
+_PNG_HDR_HEX = "89504E470D0A1A0A0000000D49484452"  # sig + IHDR len/type
+_PNG_TAIL_HEX = "080200000000000000"  # depth 8, RGB, std flags, zero CRC
+_JPEG_PRE_HEX = (
+    "FFD8"  # SOI
+    "FFE000104A46494600010100000100010000"  # APP0: JFIF 1.1, 1x1 density
+    "FFC0001108"  # SOF0: len 17, precision 8
+)
+_JPEG_POST_HEX = "03011100021101031101"  # 3 components, std sampling
+
+
+def _dims(doc_id):
+    w = F.lit(16) + F.pmod(doc_id, F.lit(240))
+    h = F.lit(16) + F.pmod(doc_id * F.lit(3), F.lit(240))
+    return w.cast("long"), h.cast("long")
+
+
+def synth_media_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Testbed: (doc_id, blob) with a deterministic text/PNG/JPEG mix.
+    Image blobs carry a byte-exact header (dimensions encoded big-endian
+    exactly as the formats declare) followed by the doc's utf-8 text as
+    payload, so sizes and digests stay doc-specific."""
+    doc_id = F.col("doc_id")
+    w, h = _dims(doc_id)
+    payload = F.encode(F.col(text_col), "utf-8")
+    png = F.concat(
+        F.unhex(
+            F.concat(
+                F.lit(_PNG_HDR_HEX),
+                F.lpad(F.hex(w), 8, "0"),
+                F.lpad(F.hex(h), 8, "0"),
+                F.lit(_PNG_TAIL_HEX),
+            )
+        ),
+        payload,
+    )
+    jpeg = F.concat(
+        F.unhex(
+            F.concat(
+                F.lit(_JPEG_PRE_HEX),
+                F.lpad(F.hex(h), 4, "0"),
+                F.lpad(F.hex(w), 4, "0"),
+                F.lit(_JPEG_POST_HEX),
+            )
+        ),
+        payload,
+    )
+    kind = F.pmod(doc_id, F.lit(3))
+    blob = F.when(kind == 1, png).when(kind == 2, jpeg).otherwise(payload)
+    return docs.select("doc_id", blob.alias("blob"))
+
+
+def media_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Typed metadata for an opaque binary column: size and digest are
+    JVM expressions; media type + dimensions come from parse_image_dims
+    over an Arrow-batched pandas UDF (the real decode boundary —
+    blobs never leave the executors). Unsniffable payloads report
+    application/octet-stream with null dimensions. The digest is
+    md5(hex(blob)) — defined over the hex encoding so the DuckDB mirror
+    (md5 is VARCHAR-only there) computes the identical value."""
+
+    @F.pandas_udf("media_type string, width long, height long")
+    def _sniff(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blobs:
+            parsed = parse_image_dims(bytes(b))
+            rows.append(
+                parsed if parsed else ("application/octet-stream", None, None)
+            )
+        return pd.DataFrame(rows, columns=["media_type", "width", "height"])
+
+    blob = F.col(blob_col)
+    return df.select(
+        "doc_id",
+        _sniff(blob).alias("p"),
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+        F.md5(F.encode(F.hex(blob), "utf-8")).alias("digest"),
+    ).select(
+        "doc_id",
+        F.col("p.media_type").alias("media_type"),
+        "n_bytes",
+        "digest",
+        F.col("p.width").alias("width"),
+        F.col("p.height").alias("height"),
+    )
+
+
+MM_METADATA_SQL = f"""
+WITH m AS (
+  SELECT doc_id, doc_id % 3 AS kind,
+         16 + doc_id % 240 AS w, 16 + (doc_id * 3) % 240 AS h,
+         encode(text) AS payload
+  FROM documents
+),
+blobs AS (
+  SELECT doc_id, kind, w, h,
+    CASE kind
+      WHEN 1 THEN unhex('{_PNG_HDR_HEX}' || printf('%08X', w)
+                        || printf('%08X', h) || '{_PNG_TAIL_HEX}') || payload
+      WHEN 2 THEN unhex('{_JPEG_PRE_HEX}' || printf('%04X', h)
+                        || printf('%04X', w) || '{_JPEG_POST_HEX}') || payload
+      ELSE payload
+    END AS blob
+  FROM m
+)
+SELECT doc_id,
+       CASE kind WHEN 1 THEN 'image/png' WHEN 2 THEN 'image/jpeg'
+            ELSE 'application/octet-stream' END AS media_type,
+       octet_length(blob) AS n_bytes,
+       md5(hex(blob)) AS digest,
+       CAST(CASE WHEN kind = 0 THEN NULL ELSE w END AS BIGINT) AS width,
+       CAST(CASE WHEN kind = 0 THEN NULL ELSE h END AS BIGINT) AS height
+FROM blobs
+"""
 
 
 def _fake_decode(blob: bytes) -> np.ndarray:

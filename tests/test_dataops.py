@@ -351,8 +351,68 @@ def test_frame_sample_shapes(spark):
 
 
 def test_real_decode_is_gated():
+    # the gate now covers FEATURE decode only — metadata (width/height)
+    # parses real headers without any library (parse_image_dims)
     with pytest.raises(NotImplementedError):
         real_image_decode(b"\x89PNG")
+
+
+def test_parse_image_dims_handcrafted():
+    from outboxx_spark.dataops.multimodal import parse_image_dims
+
+    # a fully valid 1x1 PNG (real encoder output, correct CRCs)
+    png_1x1 = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452000000010000000108020000009077"
+        "53de0000000c49444154789c63f8cfc0000000030001"
+        "a25ad5ca0000000049454e44ae426082"
+    )
+    assert parse_image_dims(png_1x1) == ("image/png", 1, 1)
+    # JPEG: SOI + APP0 + DQT (skipped via its length) + SOF0 with
+    # height 0x0120=288, width 0x00F0=240
+    jpeg = (
+        bytes.fromhex("FFD8")
+        + bytes.fromhex("FFE000104A46494600010100000100010000")
+        + bytes.fromhex("FFDB0005" + "00" * 3)  # arbitrary skippable segment
+        + bytes.fromhex("FFC00011" + "08" + "0120" + "00F0" + "03011100021101031101")
+        + b"entropy-coded payload"
+    )
+    assert parse_image_dims(jpeg) == ("image/jpeg", 240, 288)
+    # JPEG with standalone restart marker + fill bytes before SOF
+    jpeg2 = (
+        bytes.fromhex("FFD8") + bytes.fromhex("FFD0") + bytes.fromhex("FFFF")
+        + bytes.fromhex("FFC1000B" + "08" + "0002" + "0003" + "01011100")
+    )
+    assert parse_image_dims(jpeg2) == ("image/jpeg", 3, 2)
+    # non-images and truncated/corrupt headers -> None
+    assert parse_image_dims(b"plain text") is None
+    assert parse_image_dims(b"\x89PNG\r\n\x1a\n0000IDAT") is None  # no IHDR
+    assert parse_image_dims(png_1x1[:20]) is None  # truncated IHDR
+    assert parse_image_dims(b"\xff\xd8junk") is None  # marker desync
+
+
+def test_synth_blobs_roundtrip_through_parser(spark, sf_dir):
+    # the oracle checks this arithmetically; pin it directly too — the
+    # parsed dimensions must equal the formulas the blobs were built
+    # from, for every media kind
+    from outboxx_spark.dataops.multimodal import media_metadata, synth_media_blobs
+
+    docs = read_table(spark, sf_dir, "documents").limit(30)
+    meta = media_metadata(synth_media_blobs(docs)).collect()
+    assert {r["media_type"] for r in meta} == {
+        "application/octet-stream", "image/png", "image/jpeg",
+    }
+    for r in meta:
+        kind = r["doc_id"] % 3
+        if kind == 0:
+            assert r["width"] is None and r["height"] is None
+        else:
+            assert r["width"] == 16 + r["doc_id"] % 240
+            assert r["height"] == 16 + (r["doc_id"] * 3) % 240
+    # output conforms to the declared metadata schema columns
+    out_cols = media_metadata(synth_media_blobs(docs)).columns
+    from outboxx_spark.dataops.multimodal import MEDIA_META_SCHEMA
+
+    assert [f.name for f in MEDIA_META_SCHEMA] == [c for c in out_cols if c != "doc_id"]
 
 
 def test_lang_id_deterministic_argmax(spark):
@@ -510,6 +570,66 @@ def test_dup_clusters_transitive(spark):
     )
     out = {r["doc_id"]: r["cluster_id"] for r in cu.dup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dup_clusters_deep_chain_contracts(spark):
+    # a 40-node chain (diameter 39 > the 25-round propagation budget)
+    # must converge via the star-contraction fallback and still match
+    # the transitive closure: every node labeled with the chain min
+    from outboxx_spark.dataops import curation as cu
+
+    chain = [(i, i + 1) for i in range(100, 140)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["cluster_id"] for r in cu.dup_clusters(pairs).collect()}
+    assert out == {i: 100 for i in range(100, 141)}
+    # the pre-r7 fail-stop remains available for shallow-graph invariants
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="not certified converged"):
+        cu.dup_clusters(pairs, on_unconverged="raise")
+
+
+def test_star_contraction_matches_union_find(spark):
+    # randomized graphs (chains, stars, cliques, forests) against a
+    # driver-side union-find: the contraction path must agree exactly
+    import random
+
+    from outboxx_spark.dataops import curation as cu
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(2, 60)
+        edges = {
+            tuple(sorted(rng.sample(range(1000, 1000 + n), 2)))
+            for _ in range(rng.randint(1, 2 * n))
+        }
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in parent}
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a long, doc_b long"
+        )
+        both = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in cu._star_contraction_labels(both).collect()
+        }
+        assert got == expected, f"trial {trial}"
 
 
 def test_repetition_counts_hand_checked(spark):
