@@ -48,6 +48,11 @@ from pyspark.sql import functions as F
 # (bpe_segment): each round adds one nested fold expression, and both
 # the analyzer and codegen degrade superlinearly past a few dozen.
 _LINEAGE_CUT = 8
+# Persist tier: every _PERSIST_CUT_FACTOR-th _LINEAGE_CUT
+# materialization also truncates the logical plan (a hard cut) —
+# bounds plan depth at _LINEAGE_CUT * _PERSIST_CUT_FACTOR folds while
+# keeping recompute-from-scan fault tolerance within each window.
+_PERSIST_CUT_FACTOR = 4
 
 
 def _chars(word: Column) -> Column:
@@ -101,19 +106,34 @@ def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _materialize_vocab(df: DataFrame) -> DataFrame:
+def _materialize_vocab(df: DataFrame, hard_cut: bool = False) -> DataFrame:
     """Vocab-table materialization through the dedup corpus tier
     (``dedup.CORPUS_MATERIALIZE``): ``"persist"`` -> DISK_ONLY with
     lineage intact — an executor loss recomputes from the corpus scan
     (the 1000-executor profile) — otherwise eager localCheckpoint
     (fastest; restart-on-loss; the local default). The merge rounds
     REQUIRE a real materialization (each round's fold nests the plan),
-    so tier ``"none"`` also checkpoints rather than skipping."""
+    so tier ``"none"`` also checkpoints rather than skipping.
+
+    ``hard_cut`` (persist tier only; requested every
+    ``_LINEAGE_CUT * _PERSIST_CUT_FACTOR`` merge rounds) TRUNCATES the
+    logical plan as well: persist alone keeps lineage, so each merge
+    round otherwise nests another fold and a 10^4-merge training run
+    grows Catalyst analysis cost per round until the driver
+    stack-overflows on plan traversal. Uses a reliable checkpoint when
+    ``spark.sparkContext.setCheckpointDir`` was called (lineage cut AND
+    executor-loss-safe), else localCheckpoint — accepting that a loss
+    inside the window since the last cut restarts from that cut rather
+    than the corpus scan, the standard checkpoint-interval tradeoff."""
     from outboxx_spark.dataops import dedup as _dd
 
     if _dd.CORPUS_MATERIALIZE == "persist":
         from pyspark import StorageLevel
 
+        if hard_cut:
+            if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+                return df.checkpoint(eager=True)
+            return df.localCheckpoint(eager=True)
         df = df.persist(StorageLevel.DISK_ONLY)
         df.count()  # eager, like the checkpoint branch
         return df
@@ -199,8 +219,11 @@ def bpe_train(
     # the new vocab, runs the (eager) pair-count action against it, and
     # unpersists the previous round's copy — executor storage stays
     # O(1) vocab copies however many rounds run. Every _LINEAGE_CUT
-    # rounds the vocab is localCheckpointed instead, so the logical
-    # plan (one nested fold per round otherwise) stays bounded too.
+    # rounds the vocab is re-materialized through the tier, and every
+    # _PERSIST_CUT_FACTOR-th such materialization takes a HARD lineage
+    # cut (see _materialize_vocab) — so the logical plan (one nested
+    # fold per round otherwise) stays bounded under every tier,
+    # including persist.
     vocab = _materialize_vocab(word_vocab(df, text_col))
     if mode == "driver" or (mode == "auto" and vocab.count() <= driver_vocab_limit):
         rows = vocab.collect()
@@ -226,7 +249,10 @@ def bpe_train(
             _merge_pair(F.col("syms"), best["a"], best["b"]).alias("syms"), "n"
         )
         if (round_i + 1) % _LINEAGE_CUT == 0:
-            new_vocab = _materialize_vocab(new_vocab)
+            new_vocab = _materialize_vocab(
+                new_vocab,
+                hard_cut=(round_i + 1) % (_LINEAGE_CUT * _PERSIST_CUT_FACTOR) == 0,
+            )
         else:
             new_vocab = new_vocab.cache()
             new_vocab.count()  # materialize before dropping the parent
