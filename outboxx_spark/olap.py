@@ -20,6 +20,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from outboxx_spark.sources.tables import read_table
+from pyspark.sql import Column
+
+
+def money_units(expr: Column, unit_scale: int, what: str) -> Column:
+    """Exact fixed-point scaling with a runtime domain guard: scale an
+    exact-decimal expression to BIGINT units, RAISING on any row whose
+    scaled value is non-integral. The fixed-point formulation rests on
+    a data-domain invariant (prices carry 2 fractional digits,
+    price*discount 4) — if a corpus violates it, Spark's decimal->long
+    cast truncates while DuckDB's CAST rounds (pinned as a negative
+    test in test_olap_extra.py), so totals would diverge SILENTLY.
+    Fail-stop instead, same rule as the partition-key null guard
+    (operators/keys.py). Cost: one decimal comparison per row, inside
+    whole-stage codegen."""
+    scaled = expr * unit_scale if unit_scale != 1 else expr
+    as_long = scaled.cast("long")
+    return F.when(scaled == as_long, as_long).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"fixed-point domain violated for {what}: "
+                "%s is not integral at the declared scale",
+                scaled.cast("string"),
+            )
+        ).cast("long")
+    )
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,13 +62,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact AND representation-stable in every client. Headroom: the
     scale-4 disc sum at SF100 is ~2e17, x40 inside int64."""
     li = read_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(20,4)").cast("long")
-    price_cents = (F.col("l_extendedprice").cast("decimal(20,4)") * 100).cast("long")
-    disc_price_u4 = (
+    qty = money_units(F.col("l_quantity").cast("decimal(20,4)"), 1, "l_quantity")
+    price_cents = money_units(
+        F.col("l_extendedprice").cast("decimal(20,4)"), 100, "l_extendedprice"
+    )
+    disc_price_u4 = money_units(
         F.col("l_extendedprice").cast("decimal(20,4)")
-        * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)"))
-        * 10000
-    ).cast("long")
+        * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")),
+        10000,
+        "l_extendedprice*(1-l_discount)",
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -91,11 +119,12 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> Data
     # representation-stable. The r5 DECIMAL(38,8) output hashed red at
     # the driver (Decimal objects vs duckdb's float64 pandas coercion)
     # even with byte-identical values; int64 ranks AND hashes stably.
-    rev_u4 = (
+    rev_u4 = money_units(
         F.col("l_extendedprice").cast("decimal(20,4)")
-        * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)"))
-        * 10000
-    ).cast("long")
+        * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")),
+        10000,
+        "l_extendedprice*(1-l_discount)",
+    )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -145,9 +174,11 @@ def nation_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             # integer cents — exact (prices carry 2 fractional digits)
             # and client-representation-stable; see pricing_summary
-            F.sum((F.col("o_totalprice").cast("decimal(20,4)") * 100).cast("long")).alias(
-                "total_cents"
-            ),
+            F.sum(
+                money_units(
+                    F.col("o_totalprice").cast("decimal(20,4)"), 100, "o_totalprice"
+                )
+            ).alias("total_cents"),
         )
     )
 

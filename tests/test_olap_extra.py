@@ -195,3 +195,28 @@ def test_fixed_point_money_conversion_cross_engine_exact(spark):
     # engines diverge silently.
     assert spark_u([2.675]) == [267]
     assert duck_u([2.675]) == [268]
+
+
+def test_money_units_guard_fail_stops_on_domain_violation(spark):
+    """The production money pipeline must not reach the silent
+    truncate-vs-round divergence above: money_units raises on any row
+    whose scaled decimal is non-integral, and passes valid rows
+    through exactly."""
+    from outboxx_spark import olap
+
+    def run(values):
+        sdf = spark.createDataFrame([(v,) for v in values], "v double")
+        return [
+            r["u"]
+            for r in sdf.select(
+                olap.money_units(
+                    F.col("v").cast("decimal(20,4)"), 100, "v"
+                ).alias("u")
+            ).collect()
+        ]
+
+    assert run([0.01, 2.67, 99999999999.99]) == [1, 267, 9999999999999]
+    import pytest
+
+    with pytest.raises(Exception, match="fixed-point domain violated"):
+        run([2.675])
