@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import re
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,17 +63,24 @@ def parallelized(df: DataFrame) -> DataFrame:
             fs, p, _ = hadoop_fs(spark, f)
             total_bytes += fs.getFileStatus(p).getLen()
         raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-        digits = "".join(ch for ch in raw if ch.isdigit())
-        max_split = int(digits) if digits else 134217728
-        if raw.rstrip("bB").endswith(("k", "K")):
-            max_split *= 1024
-        elif raw.rstrip("bB").endswith(("m", "M")):
-            max_split *= 1024 * 1024
-        elif raw.rstrip("bB").endswith(("g", "G")):
-            max_split *= 1024 * 1024 * 1024
+        # strict parse: integer + optional one-letter binary suffix
+        # (Spark's own byte-string grammar). Any other spelling — a
+        # fractional "0.5g", a future unit — must take the fallback
+        # path below, NOT silently mis-parse to a wrong byte count by
+        # gluing together whatever digits appear in the string.
+        m = re.fullmatch(r"\s*(\d+)\s*([kKmMgG]?)[bB]?\s*", raw)
+        if not m:
+            raise ValueError(f"unrecognized maxPartitionBytes: {raw!r}")
+        max_split = int(m.group(1)) * {
+            "": 1, "k": 1024, "m": 1024**2, "g": 1024**3,
+        }[m.group(2).lower()]
     except Exception:
         # size probe failed: fall back to the file-count heuristic
         return df.repartition(target)
+    # Heuristic, not an exact split count: the real scan packing also
+    # folds in spark.sql.files.openCostInBytes and bytesPerCore, so
+    # this can over- or under-estimate by a partition or two — fine for
+    # a "don't reshuffle what is already wide" check.
     if total_bytes >= target * max_split:
         return df  # the scan already splits into >= target partitions
     return df.repartition(target)
