@@ -442,6 +442,26 @@ def main() -> None:
         "detail": "bench_detail.json",
     }
 
+    # Cross-round drift guard (r7): diff this run — full per-query
+    # table AND extra.* sub-metrics, direction-aware — against the
+    # previous round's committed bench_detail snapshot, so a >20%
+    # adverse move (the unflagged r5->r6 tablesink/dedup_1x drift)
+    # lands in the round artifact instead of needing a manual diff.
+    # Only comparable at the same scale factor.
+    regressions: list[str] = []
+    try:
+        sys.path.insert(0, str(REPO / "tools"))
+        from bench_compare import PREV_ROUND, round_drift
+
+        if PREV_ROUND.exists():
+            prev = json.loads(PREV_ROUND.read_text())
+            if prev.get("sf") == sf:
+                regressions = round_drift(prev, timings, extra)
+            else:
+                regressions = [f"skipped: prev round at sf={prev.get('sf')}"]
+    except Exception as e:  # the guard must never sink the bench
+        regressions = [f"drift-check failed: {type(e).__name__}"]
+
     # Full per-query timings go to a separate committed file; the
     # PRINTED line must stay well under the driver's ~2 KB line-capture
     # buffer (r3's 68-query line overflowed it and recorded as
@@ -454,6 +474,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "extra": extra,
+        "regressions": regressions,
     }
     (REPO / "bench_detail.json").write_text(json.dumps(detail, indent=1) + "\n")
 
@@ -472,6 +493,12 @@ def main() -> None:
         "queries": {q: timings[q] for q in marquee if q in timings},
         "sf": sf,
         "extra": extra,
+        # capped for the line budget; the full list is in the detail file
+        "regressions": (
+            regressions[:6] + [f"+{len(regressions) - 6} more"]
+            if len(regressions) > 6
+            else regressions
+        ),
     }
     spark.stop()
     # The printed line must stay under the driver's ~2 KB capture

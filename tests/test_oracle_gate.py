@@ -70,3 +70,43 @@ def test_canon_type_classes():
     assert canon_type("int") == canon_type("INTEGER") == "int32"
     assert canon_type("long") == canon_type("BIGINT") == "int64"
     assert canon_type("real") == "float32"
+
+
+def test_one_sided_columns_are_findings():
+    # the standalone type gate must flag a column only one engine
+    # produces (main() FAILs on name mismatch first, but a direct
+    # caller comparing unvalidated schemas relies on this)
+    out = type_findings({"a": "bigint", "x": "bigint"}, {"a": "BIGINT"})
+    assert [(f[0], f[3]) for f in out] == [
+        ("x", "column missing from oracle schema")
+    ]
+    out = type_findings({"a": "bigint"}, {"a": "BIGINT", "y": "VARCHAR"})
+    assert [(f[0], f[3]) for f in out] == [
+        ("y", "column missing from spark schema")
+    ]
+
+
+def test_round_drift_direction_aware():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from bench_compare import round_drift
+
+    prev = {
+        "queries": {"q_slow": 1.0, "q_fast": 1.0, "q_tiny": 0.05},
+        "extra": {
+            "x_per_sec": 100000,
+            "y_sec": 2.0,
+            "z_ratio": 2.0,
+            "n_files": 768,  # counter: never a drift
+        },
+    }
+    cur_q = {"q_slow": 1.5, "q_fast": 0.4, "q_tiny": 5.0}
+    cur_e = {"x_per_sec": 70000, "y_sec": 1.0, "z_ratio": 2.1, "n_files": 4}
+    out = round_drift(prev, cur_q, cur_e)
+    # q_slow +50% flagged; q_fast improved: not flagged; q_tiny below
+    # the jitter floor: not flagged; throughput -30% flagged; y_sec
+    # improved: not flagged; ratio +5% inside tolerance; counter skipped
+    assert out == ["q_slow 1.0->1.5", "x_per_sec 100000->70000"]
+    assert round_drift(prev, dict(prev["queries"]), dict(prev["extra"])) == []

@@ -18,8 +18,48 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 BASELINE = REPO / "tests" / "benchmarks" / "baseline.json"
+# the previous ROUND's full bench_detail.json, committed at rotation
+# time — the cross-round drift guard (r7 ask: the r5->r6
+# tablesink/dedup_1x moves had no automated flag)
+PREV_ROUND = REPO / "tests" / "benchmarks" / "prev_round_detail.json"
 TOLERANCE = 2.0  # x slower than baseline = regression (local timing noise is real)
 MIN_SECONDS = 1.0  # ignore sub-second queries (jitter-dominated)
+
+# Cross-round drift thresholds (the judge's manual-diff rules, automated)
+DRIFT_TOLERANCE = 1.2  # >20% adverse move = flagged
+DRIFT_MIN_SECONDS = 0.2  # sub-0.2s timings are jitter-dominated
+
+
+def round_drift(prev: dict, queries: dict, extra: dict) -> list[str]:
+    """Adverse >20% moves of the current run vs the previous round's
+    bench_detail artifact, direction-aware: per-query and *_sec/*_ratio
+    metrics are worse when HIGHER, *_per_sec throughput is worse when
+    LOWER. Counters (file counts, event totals, n_queries) are config,
+    not performance — skipped. Returns compact 'name old->new' strings;
+    an empty list means no sub-metric drifted beyond tolerance."""
+    out = []
+    for name, old in sorted((prev.get("queries") or {}).items()):
+        new = queries.get(name)
+        if (
+            isinstance(old, (int, float))
+            and isinstance(new, (int, float))
+            and old >= DRIFT_MIN_SECONDS
+            and new > old * DRIFT_TOLERANCE
+        ):
+            out.append(f"{name} {old}->{new}")
+    for k, old in sorted((prev.get("extra") or {}).items()):
+        new = (extra or {}).get(k)
+        if not isinstance(old, (int, float)) or not isinstance(new, (int, float)):
+            continue
+        if k.endswith("_per_sec"):
+            worse = old > 0 and new < old / DRIFT_TOLERANCE
+        elif k.endswith("_sec") or k.endswith("_ratio"):
+            worse = old >= DRIFT_MIN_SECONDS and new > old * DRIFT_TOLERANCE
+        else:
+            continue  # counters/config, not a performance metric
+        if worse:
+            out.append(f"{k} {old}->{new}")
+    return out
 
 
 def run_bench() -> dict:
@@ -56,6 +96,16 @@ def main() -> int:
         else:
             print(f"OK    {name}: {ref}s -> {sec}s")
     print(f"total: {base['value']}s -> {result['value']}s")
+    # cross-round drift (bench.py embeds the same diff in its output;
+    # repeated here so a local bench_compare run shows it too)
+    if PREV_ROUND.exists():
+        detail = json.loads((REPO / "bench_detail.json").read_text())
+        for d in round_drift(
+            json.loads(PREV_ROUND.read_text()),
+            detail.get("queries") or {},
+            detail.get("extra") or {},
+        ):
+            print(f"DRIFT {d}")
     return 1 if failures else 0
 
 

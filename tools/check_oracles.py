@@ -81,10 +81,20 @@ def type_findings(sp_types: dict, ora_types: dict) -> list:
     tuples; empty means the schemas are representation-stable through
     both client materializations. Split out so tests can pin the exact
     r5 escape (DECIMAL on both sides — classes matched, driver hashed
-    red) as a finding forever."""
+    red) as a finding forever.
+
+    A column present on only ONE side is itself a finding: main()
+    happens to FAIL on column-name mismatch before calling this, but
+    the function is exported as the standalone type gate, and a caller
+    comparing unvalidated schemas must not get an empty findings list
+    for a column the other engine doesn't even produce."""
     out = []
-    for c in sorted(sp_types):
+    for c in sorted(set(sp_types) | set(ora_types)):
         if c not in ora_types:
+            out.append((c, sp_types[c], None, "column missing from oracle schema"))
+            continue
+        if c not in sp_types:
+            out.append((c, None, ora_types[c], "column missing from spark schema"))
             continue
         s, o = canon_type(sp_types[c]), canon_type(ora_types[c])
         for side, cls in (("spark", s), ("oracle", o)):
