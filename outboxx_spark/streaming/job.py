@@ -54,6 +54,8 @@ def kafka_writer_options(bootstrap_servers: str) -> dict[str, str]:
         "kafka.batch.size": "262144",
         "kafka.delivery.timeout.ms": "30000",
         "kafka.request.timeout.ms": "15000",
+        # fail-fast on startup, same as the reference
+        "kafka.socket.connection.setup.timeout.ms": "10000",
     }
 
 
