@@ -457,6 +457,31 @@ def main() -> None:
             prev = json.loads(PREV_ROUND.read_text())
             if prev.get("sf") == sf:
                 regressions = round_drift(prev, timings, extra)
+                # Noise rejection: a flagged per-query move can be a
+                # host-load window that spanned all three interleaved
+                # passes (observed ±20-30% ambient). Re-run just the
+                # flagged queries once more, keep the min, re-diff —
+                # a real regression survives its fourth sample, a
+                # spike does not. (extra.* probes are not re-run;
+                # their flags stand as measured.)
+                flagged = [
+                    r.split(" ")[0] for r in regressions if r.split(" ")[0] in qs
+                ]
+                for name in flagged:
+                    try:
+                        t0 = time.perf_counter()
+                        qs[name](spark, sf_dir).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        timings[name] = round(
+                            min(timings[name], time.perf_counter() - t0), 4
+                        )
+                        gc.collect()
+                    except Exception:
+                        pass
+                if flagged:
+                    total = round(sum(timings.values()), 4)
+                    regressions = round_drift(prev, timings, extra)
             else:
                 regressions = [f"skipped: prev round at sf={prev.get('sf')}"]
     except Exception as e:  # the guard must never sink the bench

@@ -379,3 +379,55 @@ def test_parallelized_spreads_small_files_but_not_large_splittable_ones(spark, t
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
     # under the default split size the file is one partition -> spread
     assert "REPARTITION_BY_NUM" in _plan(parallelized(df))
+
+
+def test_media_metadata_is_one_arrow_pass_with_jvm_size_digest(spark, sf_dir):
+    # metadata extraction must cost exactly ONE Python boundary (the
+    # header sniff); size and digest stay JVM-side expressions so the
+    # blob crosses into Arrow once, not three times
+    from outboxx_spark.dataops.multimodal import media_metadata, synth_media_blobs
+    from outboxx_spark.sources.tables import read_table
+
+    import re
+
+    df = media_metadata(synth_media_blobs(read_table(spark, sf_dir, "documents")))
+    plan = _plan(df)
+    # one Arrow node in the detail sections (each node appears once in
+    # the tree header and once as "(n) ArrowEvalPython" detail)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "octet_length" in plan and "md5" in plan  # JVM-side
+
+
+def test_incremental_survivor_writes_inline_small_dropped_set(spark, tmp_path):
+    # the common-shape fast path: with few verified pairs the survivor
+    # filter must be an inlined InSet predicate — a single map stage per
+    # tree write, no join, no broadcast exchange. Captured from the REAL
+    # commit path by spying on the writer.
+    import pyspark.sql.readwriter as rw
+
+    from outboxx_spark.dataops.incremental import incremental_minhash_dedup_batch
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared shingle text body number {i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    captured = {}
+    real = rw.DataFrameWriter.parquet
+
+    def spy(self, path, **kw):
+        if "/buckets/" in path or "/docs/" in path:
+            captured[path.split("/")[-2].split("=")[0] or path] = _plan(self._df)
+        return real(self, path, **kw)
+
+    rw.DataFrameWriter.parquet = spy
+    try:
+        incremental_minhash_dedup_batch(
+            docs, str(tmp_path / "store"), batch_id=0, n_store_buckets=4
+        )
+    finally:
+        rw.DataFrameWriter.parquet = real
+    assert captured, "no tree writes captured"
+    for where, plan in captured.items():
+        assert "Join" not in plan, f"{where}: survivor filter became a join"
+        assert "BroadcastExchange" not in plan, where
