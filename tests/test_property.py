@@ -384,3 +384,30 @@ def test_perm_min_matrix_invariant_under_any_chunk_budget(lens, budget):
     finally:
         dd.PERM_CHUNK_BUDGET = prev
     assert np.array_equal(got, expected)
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=300, deadline=None)
+def test_parse_image_dims_total_on_arbitrary_bytes(blob):
+    # the sniffer ingests untrusted blob bytes inside an executor UDF:
+    # it must be TOTAL — any input returns None or a well-formed triple,
+    # never raises, never loops
+    from outboxx_spark.dataops.multimodal import parse_image_dims
+
+    out = parse_image_dims(blob)
+    if out is not None:
+        mt, w, h = out
+        assert mt in ("image/png", "image/jpeg")
+        assert isinstance(w, int) and isinstance(h, int)
+        assert 0 <= w <= 0xFFFFFFFF and 0 <= h <= 0xFFFFFFFF
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_parse_image_dims_total_on_jpeg_prefixed_bytes(tail):
+    # bias the fuzz into the marker-walk branch: SOI + arbitrary tail
+    from outboxx_spark.dataops.multimodal import parse_image_dims
+
+    out = parse_image_dims(b"\xff\xd8" + tail)
+    if out is not None:
+        assert out[0] == "image/jpeg"
