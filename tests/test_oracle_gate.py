@@ -110,3 +110,28 @@ def test_round_drift_direction_aware():
     # improved: not flagged; ratio +5% inside tolerance; counter skipped
     assert out == ["q_slow 1.0->1.5", "x_per_sec 100000->70000"]
     assert round_drift(prev, dict(prev["queries"]), dict(prev["extra"])) == []
+
+
+def test_round_drift_normalizes_host_speed():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from bench_compare import round_drift
+
+    # 12 queries all +25% = a host-speed phase, not 12 regressions:
+    # reported as one host_factor entry, no per-query flags — except
+    # the one query that moved beyond the host factor
+    prev = {
+        "queries": {f"q{i}": 1.0 for i in range(12)},
+        "extra": {"x_per_sec": 100000, "y_sec": 2.0, "r_ratio": 2.0},
+    }
+    cur_q = {f"q{i}": 1.25 for i in range(12)}
+    cur_q["q3"] = 1.8  # genuinely worse than the host shift
+    cur_e = {"x_per_sec": 80000, "y_sec": 2.4, "r_ratio": 2.3}
+    out = round_drift(prev, cur_q, cur_e)
+    # x_per_sec -20% and y_sec +20% are inside host*tolerance;
+    # r_ratio is host-invariant and +15% is inside plain tolerance
+    assert out == ["host_factor 1.25", "q3 1.0->1.8"]
+    # identical run: no host factor, nothing flagged
+    assert round_drift(prev, dict(prev["queries"]), dict(prev["extra"])) == []

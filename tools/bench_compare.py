@@ -32,19 +32,53 @@ DRIFT_MIN_SECONDS = 0.2  # sub-0.2s timings are jitter-dominated
 
 def round_drift(prev: dict, queries: dict, extra: dict) -> list[str]:
     """Adverse >20% moves of the current run vs the previous round's
-    bench_detail artifact, direction-aware: per-query and *_sec/*_ratio
-    metrics are worse when HIGHER, *_per_sec throughput is worse when
-    LOWER. Counters (file counts, event totals, n_queries) are config,
-    not performance — skipped. Returns compact 'name old->new' strings;
-    an empty list means no sub-metric drifted beyond tolerance."""
+    bench_detail artifact, direction-aware: per-query and *_sec metrics
+    are worse when HIGHER, *_per_sec throughput is worse when LOWER,
+    within-run *_ratio metrics cancel host speed and compare directly.
+    Counters (file counts, event totals, n_queries) are config, not
+    performance — skipped.
+
+    Host-speed normalization: this host's ambient speed swings ±20-30%
+    over tens of minutes, moving EVERY timing together (observed: a run
+    with 16 'regressions' on untouched queries, all at the same ratio).
+    The median new/old ratio across all matched queries is a paired-
+    sample estimate of that global factor; per-query and *_sec drift is
+    judged RELATIVE to it, and when it departs from 1.0 it is reported
+    as a leading 'host_factor' entry — the explanation for why absolute
+    numbers moved. Clamped to [0.75, 1.5]: a swing beyond that range is
+    not credible as pure host speed and should surface as real drift.
+
+    Returns compact 'name old->new' strings; empty means nothing
+    drifted beyond tolerance relative to host speed."""
+    pq = prev.get("queries") or {}
+    ratios = sorted(
+        new / old
+        for name, old in pq.items()
+        for new in [queries.get(name)]
+        if isinstance(old, (int, float))
+        and isinstance(new, (int, float))
+        and old >= DRIFT_MIN_SECONDS
+        and new > 0
+    )
+    host = 1.0
+    if len(ratios) >= 10:  # need a population for a stable median
+        mid = len(ratios) // 2
+        med = (
+            ratios[mid]
+            if len(ratios) % 2
+            else (ratios[mid - 1] + ratios[mid]) / 2
+        )
+        host = min(1.5, max(0.75, med))
     out = []
-    for name, old in sorted((prev.get("queries") or {}).items()):
+    if abs(host - 1.0) > 0.1:
+        out.append(f"host_factor {host:.2f}")
+    for name, old in sorted(pq.items()):
         new = queries.get(name)
         if (
             isinstance(old, (int, float))
             and isinstance(new, (int, float))
             and old >= DRIFT_MIN_SECONDS
-            and new > old * DRIFT_TOLERANCE
+            and new > old * host * DRIFT_TOLERANCE
         ):
             out.append(f"{name} {old}->{new}")
     for k, old in sorted((prev.get("extra") or {}).items()):
@@ -52,9 +86,12 @@ def round_drift(prev: dict, queries: dict, extra: dict) -> list[str]:
         if not isinstance(old, (int, float)) or not isinstance(new, (int, float)):
             continue
         if k.endswith("_per_sec"):
-            worse = old > 0 and new < old / DRIFT_TOLERANCE
-        elif k.endswith("_sec") or k.endswith("_ratio"):
+            worse = old > 0 and new < old / (host * DRIFT_TOLERANCE)
+        elif k.endswith("_ratio"):
+            # ratio of two same-run timings: host speed cancels
             worse = old >= DRIFT_MIN_SECONDS and new > old * DRIFT_TOLERANCE
+        elif k.endswith("_sec"):
+            worse = old >= DRIFT_MIN_SECONDS and new > old * host * DRIFT_TOLERANCE
         else:
             continue  # counters/config, not a performance metric
         if worse:
