@@ -333,3 +333,35 @@ def test_store_with_data_but_no_meta_fails_closed(spark, tmp_path):
         incremental_minhash_dedup_batch(
             _docs_df(spark, [DOC_D]), store, batch_id=1, k=1
         )
+
+
+def test_pipelined_prepare_commit_equals_sequential(spark, tmp_path):
+    """The prepare/commit split exists so delivery N+1's preparation can
+    overlap delivery N's commit — pipelined execution must produce the
+    byte-identical store state the sequential wrapper produces, with
+    batch 1 still deduped against batch 0's survivors."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from outboxx_spark.dataops.incremental import (
+        commit_dedup_batch,
+        prepare_dedup_batch,
+    )
+
+    b0, b1 = [DOC_A, DOC_B], [DOC_C, DOC_D]
+    seq = str(tmp_path / "seq")
+    incremental_minhash_dedup_batch(_docs_df(spark, b0), seq, batch_id=0, k=1)
+    incremental_minhash_dedup_batch(_docs_df(spark, b1), seq, batch_id=1, k=1)
+
+    pipe = str(tmp_path / "pipe")
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        prep0 = prepare_dedup_batch(_docs_df(spark, b0), k=1)
+        fut1 = pool.submit(prepare_dedup_batch, _docs_df(spark, b1), k=1)
+        commit_dedup_batch(prep0, pipe, batch_id=0)
+        commit_dedup_batch(fut1.result(), pipe, batch_id=1)
+
+    for reader in (read_survivors, read_dedup_pairs):
+        a = {tuple(r) for r in reader(spark, seq).collect()}
+        b = {tuple(r) for r in reader(spark, pipe).collect()}
+        assert a == b, reader.__name__
+    # C still dropped-against-B-free: the store held survivors only
+    assert {r.doc_id for r in read_survivors(spark, pipe).collect()} == {1, 3, 4}
