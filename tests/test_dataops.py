@@ -941,6 +941,46 @@ def test_bpe_train_and_segment_on_corpus(spark, sf_dir):
     assert seg.filter(F.array_contains("pieces", merged_tok)).count() > 0
 
 
+def test_bpe_persist_tier_plan_depth_bounded(spark, monkeypatch):
+    """Persist-tier regression (r7 ADVICE): DISK_ONLY persist keeps
+    lineage, so without the periodic hard cut each merge round nested
+    another fold and 10^4-merge runs would grow Catalyst analysis cost
+    per round (eventually a driver StackOverflow). Pin the mechanism
+    (hard_cut truncates the plan; plain persist does not) and run a
+    training crossing several hard cuts with the constants shrunk."""
+    from outboxx_spark.dataops import bpe
+
+    prev = dd.CORPUS_MATERIALIZE
+    dd.CORPUS_MATERIALIZE = "persist"
+    try:
+        base = spark.createDataFrame(
+            [(["a", "b"], 3)], "syms array<string>, n long"
+        )
+        deep = bpe._materialize_vocab(base)
+        for _ in range(10):
+            deep = deep.select(F.col("syms"), (F.col("n") + 0).alias("n"))
+        depth_before = deep._jdf.queryExecution().logical().toString().count("\n")
+        kept = bpe._materialize_vocab(deep)
+        assert (
+            kept._jdf.queryExecution().logical().toString().count("\n")
+            >= depth_before
+        ), "plain persist should keep lineage (recompute-from-scan tier)"
+        cut = bpe._materialize_vocab(deep, hard_cut=True)
+        assert (
+            cut._jdf.queryExecution().logical().toString().count("\n") < 3
+        ), "hard cut must truncate the logical plan"
+        # end-to-end: shrink the cadence so 8 rounds cross 4 hard cuts;
+        # rules must match the driver-local reference exactly
+        monkeypatch.setattr(bpe, "_LINEAGE_CUT", 1)
+        monkeypatch.setattr(bpe, "_PERSIST_CUT_FACTOR", 2)
+        texts = ["low lower lowest low low", "new newer newest new news"]
+        docs = _docs(spark, [(i, t) for i, t in enumerate(texts)])
+        got = bpe.bpe_train(docs, n_merges=8, mode="distributed")
+        assert got == _bpe_python(texts, n_merges=8)
+    finally:
+        dd.CORPUS_MATERIALIZE = prev
+
+
 @pytest.mark.parametrize(
     "texts",
     [
