@@ -53,10 +53,40 @@ _JPEG_SOF_MARKERS = frozenset(
 
 def parse_image_dims(blob: bytes) -> tuple[str, int, int] | None:
     """Pure-Python image header sniffing — no image library needed.
-    Returns (media_type, width, height) for PNG (IHDR chunk) and JPEG
-    (marker walk to the first SOFn segment), None for anything else or
+    Returns (media_type, width, height) for PNG (IHDR chunk), JPEG
+    (marker walk to the first SOFn segment), GIF (logical screen
+    descriptor), and BMP (BITMAPINFOHEADER), None for anything else or
     for truncated/corrupt headers. CRCs are not validated: dimension
-    extraction reads declared header fields, same as file(1)/exiftool."""
+    extraction reads declared header fields, same as file(1)/exiftool.
+
+    Collision caveat, inherent to magic-byte sniffing: a NON-image blob
+    that happens to begin with a valid magic sniffs as that type. The
+    PNG/JPEG magics contain bytes no UTF-8 text can start with, and the
+    BMP branch demands exact DIB header sizes (little-endian NULs ASCII
+    cannot produce), but an ASCII payload literally starting 'GIF89a'
+    will sniff as GIF — as it does in every magic-based tool."""
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        # logical screen descriptor: width/height u16 LE at bytes 6..10
+        if len(blob) >= 10:
+            w = int.from_bytes(blob[6:8], "little")
+            h = int.from_bytes(blob[8:10], "little")
+            return ("image/gif", w, h)
+        return None
+    if blob[:2] == b"BM":
+        # BITMAPINFOHEADER family: DIB header size at 14 must be one of
+        # the exact known sizes — an EXACT match (not >=) so the two-byte
+        # 'BM' magic cannot false-positive on ASCII text, whose bytes can
+        # never produce the required NULs in a little-endian u32 < 128.
+        # Signed i32 LE width/height at 18/22; height < 0 = top-down row
+        # order, dimensions are |height|.
+        if len(blob) >= 26 and int.from_bytes(blob[14:18], "little") in (
+            40, 52, 56, 108, 124,
+        ):
+            w = int.from_bytes(blob[18:22], "little", signed=True)
+            h = int.from_bytes(blob[22:26], "little", signed=True)
+            if w >= 0:
+                return ("image/bmp", w, abs(h))
+        return None
     if blob[:8] == _PNG_SIG:
         # signature + IHDR length/type at 8..16, width/height at 16..24
         if len(blob) >= 24 and blob[12:16] == b"IHDR":

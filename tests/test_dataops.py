@@ -383,11 +383,25 @@ def test_parse_image_dims_handcrafted():
         + bytes.fromhex("FFC1000B" + "08" + "0002" + "0003" + "01011100")
     )
     assert parse_image_dims(jpeg2) == ("image/jpeg", 3, 2)
+    # GIF logical screen descriptor (u16 little-endian dims)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00\x00\x00"
+    assert parse_image_dims(gif) == ("image/gif", 320, 200)
+    # BMP BITMAPINFOHEADER; negative height = top-down rows, dims are abs
+    import struct
+
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, 320, -240, 1, 24)
+    )
+    assert parse_image_dims(bmp) == ("image/bmp", 320, 240)
     # non-images and truncated/corrupt headers -> None
     assert parse_image_dims(b"plain text") is None
     assert parse_image_dims(b"\x89PNG\r\n\x1a\n0000IDAT") is None  # no IHDR
     assert parse_image_dims(png_1x1[:20]) is None  # truncated IHDR
     assert parse_image_dims(b"\xff\xd8junk") is None  # marker desync
+    assert parse_image_dims(b"GIF89a") is None  # truncated GIF
+    assert parse_image_dims(b"BM" + b"\x00" * 10) is None  # truncated BMP
 
 
 def test_synth_blobs_roundtrip_through_parser(spark, sf_dir):

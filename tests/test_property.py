@@ -397,9 +397,9 @@ def test_parse_image_dims_total_on_arbitrary_bytes(blob):
     out = parse_image_dims(blob)
     if out is not None:
         mt, w, h = out
-        assert mt in ("image/png", "image/jpeg")
+        assert mt in ("image/png", "image/jpeg", "image/gif", "image/bmp")
         assert isinstance(w, int) and isinstance(h, int)
-        assert 0 <= w <= 0xFFFFFFFF and 0 <= h <= 0xFFFFFFFF
+        assert 0 <= w <= 0xFFFFFFFF and 0 <= h <= 0x100000000
 
 
 @given(st.binary(max_size=200))
