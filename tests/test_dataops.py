@@ -1035,3 +1035,21 @@ def test_ngram_pairs_apply_default_df_cap(spark):
     }
     assert (1, 2) in uncapped
     assert (1, 2) not in capped
+
+
+def test_conf_override_restores_on_exception(spark):
+    from outboxx_spark.dataops.util import conf_override
+
+    key = "spark.sql.adaptive.enabled"
+    before = spark.conf.get(key)
+    with pytest.raises(RuntimeError, match="boom"):
+        with conf_override(spark, key, "false"):
+            assert spark.conf.get(key) == "false"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
+    # unknown-before keys are unset again, not left behind
+    k2 = "spark.outboxx.test.ephemeral"
+    with conf_override(spark, k2, "1"):
+        assert spark.conf.get(k2) == "1"
+    with pytest.raises(Exception):
+        spark.conf.get(k2)
