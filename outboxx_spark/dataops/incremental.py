@@ -179,19 +179,26 @@ def prepare_dedup_batch(
         batch.select("doc_id", shingles(F.col("text"), k).alias("sh"))
     )
     combined.persist()
-    probe = combined.select(F.posexplode_outer("bands").alias("band", "sig"))
-    stats = probe.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.collect_set(
-            F.when(
-                F.col("sig").isNotNull(),
-                _bkt(F.col("band"), F.col("sig"), n=n_store_buckets),
-            )
-        ).alias("touched"),
-    ).collect()[0]
-    if stats["n_rows"] == 0:
+    try:
+        probe = combined.select(F.posexplode_outer("bands").alias("band", "sig"))
+        stats = probe.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.collect_set(
+                F.when(
+                    F.col("sig").isNotNull(),
+                    _bkt(F.col("band"), F.col("sig"), n=n_store_buckets),
+                )
+            ).alias("touched"),
+        ).collect()[0]
+        if stats["n_rows"] == 0:
+            combined.unpersist()
+            return None
+    except Exception:
+        # a failed probe (corrupt input, cancelled job) must not leak
+        # the cached frame — only a SUCCESSFUL prepare hands ownership
+        # of the persist to commit_dedup_batch
         combined.unpersist()
-        return None
+        raise
     return PreparedBatch(combined, list(stats["touched"]), k, n_store_buckets)
 
 

@@ -209,7 +209,8 @@ def media_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     def _sniff(blobs: pd.Series) -> pd.DataFrame:
         rows = []
         for b in blobs:
-            parsed = parse_image_dims(bytes(b))
+            # null blobs sniff as unknown rather than crashing the task
+            parsed = parse_image_dims(bytes(b)) if b is not None else None
             rows.append(
                 parsed if parsed else ("application/octet-stream", None, None)
             )

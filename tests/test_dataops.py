@@ -1053,3 +1053,16 @@ def test_conf_override_restores_on_exception(spark):
         assert spark.conf.get(k2) == "1"
     with pytest.raises(Exception):
         spark.conf.get(k2)
+
+
+def test_media_metadata_null_blob_is_unknown_not_crash(spark):
+    from outboxx_spark.dataops.multimodal import media_metadata
+
+    df = spark.createDataFrame(
+        [(1, None), (2, bytearray(b"hello"))], "doc_id long, blob binary"
+    )
+    rows = {r.doc_id: r for r in media_metadata(df).collect()}
+    assert rows[1].media_type == "application/octet-stream"
+    assert rows[1].width is None and rows[1].n_bytes is None
+    assert rows[2].media_type == "application/octet-stream"
+    assert rows[2].n_bytes == 5
