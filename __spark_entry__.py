@@ -653,7 +653,19 @@ def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     docs.filter(F.col("doc_id") >= half),
                     n_store_buckets=8,
                 )
-                commit_dedup_batch(prep0, store, batch_id=0)
+                try:
+                    commit_dedup_batch(prep0, store, batch_id=0)
+                except BaseException:
+                    # batch 1 was prepared concurrently and only its
+                    # commit unpersists it — release the cache before
+                    # propagating, or it leaks for the session
+                    try:
+                        p1 = fut1.result()
+                        if p1 is not None:
+                            p1.combined.unpersist()
+                    except Exception:
+                        pass  # prepare itself failed: already unpersisted
+                    raise
                 commit_dedup_batch(fut1.result(), store, batch_id=1)
             return read_dedup_pairs(spark, store).localCheckpoint(eager=True)
     finally:

@@ -132,7 +132,18 @@ def _materialize_vocab(df: DataFrame, hard_cut: bool = False) -> DataFrame:
 
         if hard_cut:
             if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-                return df.checkpoint(eager=True)
+                # persist first: Dataset.checkpoint runs one job to
+                # compute and a SECOND to rewrite into the checkpoint
+                # dir — without the cache each hard cut computes the
+                # plan twice. Unpersist after; the checkpoint owns the
+                # data now. Checkpoint dirs accumulate for the session
+                # unless spark.cleaner.referenceTracking.cleanCheckpoints
+                # is enabled (note this in the deployment conf; ~1 dir
+                # per _LINEAGE_CUT * _PERSIST_CUT_FACTOR merge rounds).
+                df = df.persist(StorageLevel.DISK_ONLY)
+                out = df.checkpoint(eager=True)
+                df.unpersist()
+                return out
             return df.localCheckpoint(eager=True)
         df = df.persist(StorageLevel.DISK_ONLY)
         df.count()  # eager, like the checkpoint branch

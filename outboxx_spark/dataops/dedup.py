@@ -358,27 +358,14 @@ def lsh_band_buckets_from_sets(sets: DataFrame, sh_col: str = "sh") -> DataFrame
     ``pmod(xxhash64(band, sig))`` pruning stays stable). Measured at
     sf0.1: 1.52s -> 0.38s for the signatures+buckets stage — extracting
     128 array elements into columns and re-concatenating them in the
-    decomposed form cost ~4x the actual minhash arithmetic."""
-    n_bands = N_MINHASHES // LSH_BAND_SIZE
+    decomposed form cost ~4x the actual minhash arithmetic.
 
-    @F.pandas_udf("array<string>")
-    def _bands(h_arrs: pd.Series) -> pd.Series:
-        mins = _perm_min_matrix(h_arrs)
-        if not len(mins):
-            return pd.Series([], dtype=object)
-        digits = mins.astype("U10")  # HASH_P < 2^33 -> at most 10 digits
-        return pd.Series(
-            [
-                [
-                    "_".join(row[b * LSH_BAND_SIZE : (b + 1) * LSH_BAND_SIZE])
-                    for b in range(n_bands)
-                ]
-                for row in digits
-            ]
-        )
-
-    return _nonempty_hashes(sets, sh_col).select(
-        "doc_id", F.posexplode(_bands(F.col("ha"))).alias("band", "sig")
+    Since r7 this is a thin view over ``lsh_band_arrays_from_sets`` —
+    ONE definition of the band-assembly kernel; the explode drops the
+    hash-less docs (empty bands arrays) exactly as the old
+    ``_nonempty_hashes`` prefilter did."""
+    return lsh_band_arrays_from_sets(sets, sh_col).select(
+        "doc_id", F.posexplode("bands").alias("band", "sig")
     )
 
 
@@ -403,7 +390,10 @@ def lsh_band_arrays_from_sets(sets: DataFrame, sh_col: str = "sh") -> DataFrame:
     @F.pandas_udf("array<string>")
     def _bands_all(h_arrs: pd.Series) -> pd.Series:
         out: list[list[str]] = [[] for _ in range(len(h_arrs))]
-        nonempty = [i for i, a in enumerate(h_arrs) if len(a)]
+        # `a is not None`: a NULL sh array (possible when a caller
+        # bypasses shingles(), whose fallback never yields NULL) must
+        # degrade to empty bands, not TypeError the task
+        nonempty = [i for i, a in enumerate(h_arrs) if a is not None and len(a)]
         if nonempty:
             mins = _perm_min_matrix(h_arrs.iloc[nonempty])
             digits = mins.astype("U10")

@@ -165,10 +165,24 @@ def synth_media_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Testbed: (doc_id, blob) with a deterministic text/PNG/JPEG mix.
     Image blobs carry a byte-exact header (dimensions encoded big-endian
     exactly as the formats declare) followed by the doc's utf-8 text as
-    payload, so sizes and digests stay doc-specific."""
+    payload, so sizes and digests stay doc-specific.
+
+    Testbed canonicalization (mirrored byte-for-byte in the oracle SQL,
+    which decides media kind ARITHMETICALLY from doc_id while the
+    operator sniffs blob content): null text becomes the empty payload
+    (a null payload would null the whole image blob and sniff as
+    unknown), and a raw-text payload that happens to START with an
+    ASCII image magic ('GIF8', 'BM') gets one space prefixed so content
+    sniffing and the kind formula can never disagree. Production
+    callers hand media_metadata real blobs and skip this synthesis."""
     doc_id = F.col("doc_id")
     w, h = _dims(doc_id)
-    payload = F.encode(F.col(text_col), "utf-8")
+    safe_text = F.coalesce(F.col(text_col), F.lit(""))
+    safe_text = F.when(
+        safe_text.startswith("GIF8") | safe_text.startswith("BM"),
+        F.concat(F.lit(" "), safe_text),
+    ).otherwise(safe_text)
+    payload = F.encode(safe_text, "utf-8")
     png = F.concat(
         F.unhex(
             F.concat(
@@ -233,11 +247,19 @@ def media_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 
 
 MM_METADATA_SQL = f"""
-WITH m AS (
+WITH safe AS (
+  -- the testbed canonicalization, byte-for-byte (see synth_media_blobs)
+  SELECT doc_id,
+         CASE WHEN COALESCE(text, '') LIKE 'GIF8%'
+                OR COALESCE(text, '') LIKE 'BM%'
+              THEN ' ' || text ELSE COALESCE(text, '') END AS t
+  FROM documents
+),
+m AS (
   SELECT doc_id, doc_id % 3 AS kind,
          16 + doc_id % 240 AS w, 16 + (doc_id * 3) % 240 AS h,
-         encode(text) AS payload
-  FROM documents
+         encode(t) AS payload
+  FROM safe
 ),
 blobs AS (
   SELECT doc_id, kind, w, h,

@@ -32,18 +32,23 @@ def money_units(expr: Column, unit_scale: int, what: str) -> Column:
     cast truncates while DuckDB's CAST rounds (pinned as a negative
     test in test_olap_extra.py), so totals would diverge SILENTLY.
     Fail-stop instead, same rule as the partition-key null guard
-    (operators/keys.py). Cost: one decimal comparison per row, inside
-    whole-stage codegen."""
+    (operators/keys.py). NULL inputs pass through as NULL — aggregates
+    skip them, exactly as the unguarded cast did. Cost: one decimal
+    comparison per row, inside whole-stage codegen."""
     scaled = expr * unit_scale if unit_scale != 1 else expr
     as_long = scaled.cast("long")
-    return F.when(scaled == as_long, as_long).otherwise(
-        F.raise_error(
-            F.format_string(
-                f"fixed-point domain violated for {what}: "
-                "%s is not integral at the declared scale",
-                scaled.cast("string"),
-            )
-        ).cast("long")
+    return (
+        F.when(scaled.isNull(), F.lit(None).cast("long"))
+        .when(scaled == as_long, as_long)
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"fixed-point domain violated for {what}: "
+                    "%s is not integral at the declared scale",
+                    scaled.cast("string"),
+                )
+            ).cast("long")
+        )
     )
 
 

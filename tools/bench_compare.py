@@ -88,8 +88,10 @@ def round_drift(prev: dict, queries: dict, extra: dict) -> list[str]:
         if k.endswith("_per_sec"):
             worse = old > 0 and new < old / (host * DRIFT_TOLERANCE)
         elif k.endswith("_ratio"):
-            # ratio of two same-run timings: host speed cancels
-            worse = old >= DRIFT_MIN_SECONDS and new > old * DRIFT_TOLERANCE
+            # ratio of two same-run timings: host speed cancels, and a
+            # seconds-floor would be dimensionally meaningless — any
+            # positive ratio is comparable
+            worse = old > 0 and new > old * DRIFT_TOLERANCE
         elif k.endswith("_sec"):
             worse = old >= DRIFT_MIN_SECONDS and new > old * host * DRIFT_TOLERANCE
         else:
@@ -134,15 +136,22 @@ def main() -> int:
             print(f"OK    {name}: {ref}s -> {sec}s")
     print(f"total: {base['value']}s -> {result['value']}s")
     # cross-round drift (bench.py embeds the same diff in its output;
-    # repeated here so a local bench_compare run shows it too)
+    # repeated here so a local bench_compare run shows it too). Same
+    # same-scale-factor guard as bench.py: comparing an sf0.01 run to
+    # an sf0.1 snapshot would print every query as nonsense drift.
     if PREV_ROUND.exists():
         detail = json.loads((REPO / "bench_detail.json").read_text())
-        for d in round_drift(
-            json.loads(PREV_ROUND.read_text()),
-            detail.get("queries") or {},
-            detail.get("extra") or {},
-        ):
-            print(f"DRIFT {d}")
+        prev = json.loads(PREV_ROUND.read_text())
+        if prev.get("sf") != detail.get("sf"):
+            print(f"DRIFT skipped: prev round at sf={prev.get('sf')}, "
+                  f"this run at sf={detail.get('sf')}")
+        else:
+            for d in round_drift(
+                prev,
+                detail.get("queries") or {},
+                detail.get("extra") or {},
+            ):
+                print(f"DRIFT {d}")
     return 1 if failures else 0
 
 
