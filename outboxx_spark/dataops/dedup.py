@@ -347,44 +347,14 @@ def _perm_mins_udf():
     return _sig
 
 
-def lsh_band_buckets_from_sets(sets: DataFrame, sh_col: str = "sh") -> DataFrame:
-    """(doc_id, band, sig) LSH bucket keys straight from the
-    shingle-set table: the permuted minima AND the 32 band signature
-    strings are assembled in the same Arrow pass, then one posexplode.
-    Values are identical to ``lsh_band_buckets(
-    minhash_signatures_from_sets(sets))`` (test-pinned — same minima,
-    same ``m0_m1_m2_m3`` string assembly, same 0-based band numbers,
-    so existing incremental-store generations keep joining and
-    ``pmod(xxhash64(band, sig))`` pruning stays stable). Measured at
-    sf0.1: 1.52s -> 0.38s for the signatures+buckets stage — extracting
-    128 array elements into columns and re-concatenating them in the
-    decomposed form cost ~4x the actual minhash arithmetic.
-
-    Since r7 this is a thin view over ``lsh_band_arrays_from_sets`` —
-    ONE definition of the band-assembly kernel; the explode drops the
-    hash-less docs (empty bands arrays) exactly as the old
-    ``_nonempty_hashes`` prefilter did."""
-    return lsh_band_arrays_from_sets(sets, sh_col).select(
-        "doc_id", F.posexplode("bands").alias("band", "sig")
-    )
-
-
-def lsh_band_arrays_from_sets(sets: DataFrame, sh_col: str = "sh") -> DataFrame:
-    """(doc_id, sh, bands): each doc's distinct-shingle set AND its 32
-    band signature strings assembled in ONE Arrow pass — the fused
-    frame the incremental store checkpoints once per batch instead of
-    checkpointing a sets frame and a buckets frame separately (two
-    jobs, two pandas passes over the same hashes; measured ~0.7s/batch
-    of pure overhead at sf0.1).
-
-    ``select(doc_id, posexplode(bands))`` over this frame is
-    bit-identical to ``lsh_band_buckets_from_sets(sets)`` (test-pinned:
-    same minima, same ``m0_m1_m2_m3`` assembly, same 0-based band
-    numbers), with ONE divergence by design: hash-less docs (null/empty
-    text) are KEPT here with an empty ``bands`` array — they produce no
-    bucket keys on explode (same dedup semantics: never candidates,
-    always survive) but must flow through to the store's docs tree,
-    which doubles as the survivor registry (``read_survivors``)."""
+def _bands_all_udf():
+    """The ONE definition of the fused minhash band-assembly kernel:
+    an ``array<string>`` pandas UDF mapping a doc's shingle-hash array
+    to its 32 ``m0_m1_m2_m3`` band signature strings (empty array for
+    hash-less docs). Shared by ``lsh_band_arrays_from_sets`` (the
+    incremental store's checkpointed frame) and
+    ``lsh_band_buckets_from_sets`` (the batch pair generator), so the
+    two paths can never drift bit-wise."""
     n_bands = N_MINHASHES // LSH_BAND_SIZE
 
     @F.pandas_udf("array<string>")
@@ -404,11 +374,70 @@ def lsh_band_arrays_from_sets(sets: DataFrame, sh_col: str = "sh") -> DataFrame:
                 ]
         return pd.Series(out)
 
-    h_arr = F.array_compact(
+    return _bands_all
+
+
+def _hash_arr(sh_col: str) -> Column:
+    return F.array_compact(
         F.transform(F.col(sh_col), lambda s: md5_hash60(s) % HASH_P)
     )
+
+
+def lsh_band_buckets_from_sets(sets: DataFrame, sh_col: str = "sh") -> DataFrame:
+    """(doc_id, band, sig) LSH bucket keys straight from the
+    shingle-set table: the permuted minima AND the 32 band signature
+    strings are assembled in the same Arrow pass, then one posexplode.
+    Values are identical to ``lsh_band_buckets(
+    minhash_signatures_from_sets(sets))`` (test-pinned — same minima,
+    same ``m0_m1_m2_m3`` string assembly, same 0-based band numbers,
+    so existing incremental-store generations keep joining and
+    ``pmod(xxhash64(band, sig))`` pruning stays stable). Measured at
+    sf0.1: 1.52s -> 0.38s for the signatures+buckets stage — extracting
+    128 array elements into columns and re-concatenating them in the
+    decomposed form cost ~4x the actual minhash arithmetic.
+
+    The generator MUST explode the UDF expression directly, not a
+    named ``bands`` column from ``lsh_band_arrays_from_sets``: with a
+    plain attribute as the generator child, Catalyst's
+    InferFiltersFromGenerate adds ``size(bands) > 0 AND
+    isnotnull(bands)`` below the Generate, the alias substitutes the
+    UDF into that filter, and the extracted plan evaluates the whole
+    minhash kernel in TWO ArrowEvalPython nodes (r7's thin-view
+    regression: dedup_4x buckets stage 5.8s vs 1.2s at 4x sf0.1,
+    plan-pinned in tests/test_plans.py). With the UDF as the generator
+    child the rule skips inference (SPARK-33544) and the kernel runs
+    once. Hash-less docs yield an empty bands array — zero rows on
+    explode, exactly as the old ``_nonempty_hashes`` prefilter did."""
     return sets.select(
-        "doc_id", F.col(sh_col).alias("sh"), _bands_all(h_arr).alias("bands")
+        "doc_id",
+        F.posexplode(_bands_all_udf()(_hash_arr(sh_col))).alias("band", "sig"),
+    )
+
+
+def lsh_band_arrays_from_sets(sets: DataFrame, sh_col: str = "sh") -> DataFrame:
+    """(doc_id, sh, bands): each doc's distinct-shingle set AND its 32
+    band signature strings assembled in ONE Arrow pass — the fused
+    frame the incremental store checkpoints once per batch instead of
+    checkpointing a sets frame and a buckets frame separately (two
+    jobs, two pandas passes over the same hashes; measured ~0.7s/batch
+    of pure overhead at sf0.1).
+
+    ``select(doc_id, posexplode(bands))`` over this frame — AFTER
+    persisting/checkpointing it, which every store consumer does — is
+    bit-identical to ``lsh_band_buckets_from_sets(sets)`` (test-pinned:
+    same minima, same ``m0_m1_m2_m3`` assembly, same 0-based band
+    numbers), with ONE divergence by design: hash-less docs (null/empty
+    text) are KEPT here with an empty ``bands`` array — they produce no
+    bucket keys on explode (same dedup semantics: never candidates,
+    always survive) but must flow through to the store's docs tree,
+    which doubles as the survivor registry (``read_survivors``).
+    Exploding this frame UNMATERIALIZED re-runs the Arrow kernel twice
+    (see lsh_band_buckets_from_sets's docstring) — use that function
+    for the one-shot path."""
+    return sets.select(
+        "doc_id",
+        F.col(sh_col).alias("sh"),
+        _bands_all_udf()(_hash_arr(sh_col)).alias("bands"),
     )
 
 

@@ -354,6 +354,29 @@ def test_minhash_pairs_join_is_bucketed_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_band_kernel_runs_once_in_bucket_plan(spark, sf_dir):
+    # r7 regression pin: posexplode over a NAMED bands column let
+    # InferFiltersFromGenerate add size(bands)>0 below the Generate,
+    # and the extracted plan evaluated the fused minhash kernel in TWO
+    # ArrowEvalPython nodes (dedup_4x buckets stage 5.8s vs 1.2s at 4x
+    # sf0.1). The generator must take the UDF expression directly so
+    # the kernel runs exactly once.
+    from pyspark.sql import functions as F
+
+    from outboxx_spark.dataops import dedup as dd
+    from outboxx_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    sets_ = docs.select("doc_id", dd.shingles(F.col("text"), 3).alias("sh"))
+    plan = _plan(dd.lsh_band_buckets_from_sets(sets_))
+    # formatted output names each node twice (tree + detail section);
+    # count the unique "ArrowEvalPython (<id>)" node headers instead
+    import re
+
+    nodes = set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))
+    assert len(nodes) == 1, plan
+
+
 def test_parallelized_spreads_small_files_but_not_large_splittable_ones(spark, tmp_path):
     # parallelized() exists to spread a SMALL single-file corpus across
     # cores; a large single file is already split by the scan at
