@@ -673,80 +673,23 @@ def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order note (r7 rotation): the driver's correctness pass records
-    # exactly the FIRST 50 dict entries (proven r2-r6). The window
-    # carries, in priority order: (a) the entire 27-query r6 tail,
-    # whose newest driver evidence is r5 (the stalest on the board),
-    # (b) the 9 r6-green queries whose implementation or testbed this
-    # round touches (the 3 money queries gain a fixed-point runtime
-    # guard, docs_incremental_dedup's per-batch store writes are
-    # folded, docs_dup_clusters gains a star-contraction path for
-    # high-diameter graphs, the mm_* testbed gains real PNG/JPEG blobs
-    # and mm_metadata emits parsed width/height, docs_bpe_merges'
-    # persist-tier lineage cut is fixed), and (c) 13 r6-green fillers.
-    # The 27-query tail is exclusively r6-green in unchanged
-    # formulation, so the r6∪r7 union covers all 77 — the same
-    # invariant that held for r5∪r6. A cheap warm-up query stays
-    # first.
+    # Order note (r8 rotation): the driver's correctness pass records
+    # exactly the FIRST 50 dict entries (proven r2-r7). The window
+    # carries, in priority order: (a) the entire 27-query r7 tail,
+    # whose newest driver evidence is r6 (the stalest on the board),
+    # (b) the 3 in-window queries the round's changes touch beyond
+    # that tail -- tools/touched_queries.py derives the full touched
+    # set mechanically from changed modules + entry-function diffs +
+    # oracle hashes (the r7 band-kernel refactor proved hand-curated
+    # lists go stale), and the other 6 touched queries are dedup.py
+    # consumers already inside the r7 tail -- and (c) 19 r7-green
+    # fillers. The 27-query tail is exclusively r7-green in unchanged
+    # formulation, so the r7-or-r8 union gives every query a driver
+    # row no older than two rounds. A cheap warm-up query stays first.
     return {
         # -- warm-up --
         "cdc_tally": q_tally,
-        # -- stalest evidence: the entire r6 tail (last driver row r5) --
-        "cdc_route_fanout": q_route_fanout,
-        "cdc_envelope_roundtrip": q_envelope_roundtrip,
-        "cdc_partition_key": q_partition_key,
-        "cdc_update_projection": q_update_projection,
-        "cdc_read_optin": q_read_optin,
-        "cdc_dedup_boundary": q_dedup_boundary,
-        "cdc_snapshot_read": q_snapshot_read,
-        "cdc_type_mapping": q_type_mapping,
-        "cdc_toast_placeholder": q_toast_placeholder,
-        "cdc_lag": q_lag,
-        "cdc_pgoutput_roundtrip": q_pgoutput_roundtrip,
-        "cdc_datasource_feed": q_datasource_feed,
-        "cdc_json_ingest": q_json_ingest,
-        "cdc_windowed_tally": q_windowed_tally,
-        "cdc_sessions": q_sessions,
-        "cdc_materialize": q_materialize,
-        "olap_asof_enrich": q_asof_enrich,
-        "olap_value_quantiles": olap.event_value_quantiles,
-        "cdc_props_extract": q_props_extract,
-        "cdc_op_pivot": q_cdc_op_pivot,
-        "cdc_scd2": q_cdc_scd2,
-        "olap_trailing_spend": olap.customer_trailing_spend,
-        "olap_semi_join": olap.active_high_value_customers,
-        "olap_anti_join": olap.customers_without_orders,
-        "olap_order_count_dist": olap.order_count_distribution,
-        "olap_cardinality": olap.event_type_cardinality,
-        "olap_funnel": olap.signup_purchase_funnel,
-        # -- r6-green, but touched this round: fresh evidence wanted --
-        "olap_pricing_summary": olap.pricing_summary,
-        "olap_top_customers": olap.top_revenue_customers,
-        "olap_nation_volume": olap.nation_order_volume,
-        "docs_incremental_dedup": q_docs_incremental_dedup,
-        "docs_dup_clusters": q_docs_dup_clusters,
-        "mm_metadata": q_mm_metadata,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_features": q_mm_features,
-        "docs_bpe_merges": q_docs_bpe_merges,
-        # -- r6-green fillers completing the 50-row window --
-        "emb_ann_lsh": q_emb_ann_lsh,
-        "emb_ann_ivf": q_emb_ann_ivf,
-        "emb_ann_topk": q_emb_ann_topk,
-        "emb_ann_recall": q_emb_ann_recall,
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "emb_near_dup_ivf": q_emb_near_dup_ivf,
-        "emb_near_dup": q_emb_near_dup,
-        "emb_kmeans_assign": q_emb_kmeans_assign,
-        "emb_diversity_sample": q_emb_diversity_sample,
-        "docs_bpe_tokens": q_docs_bpe_tokens,
-        "docs_unigram_lm": q_docs_unigram_lm,
-        "olap_topk_per_priority": olap.top_orders_per_priority,
-        "olap_spend_deciles": olap.customer_spend_deciles,
-        # ---- tail (positions 51+): every query below has a green r6
-        # driver row (CORRECTNESS_r06.json) in UNCHANGED formulation,
-        # so losing them to the 50-row cap costs no cross-round
-        # evidence ----
+        # -- stalest evidence: the entire r7 tail (last driver row r6) --
         "olap_value_bands": olap.value_band_totals,
         "docs_edit_dedup": q_docs_edit_dedup,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -774,6 +717,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_ngram_dedup": q_docs_ngram_dedup,
         "olap_rollup": olap.nation_revenue_rollup,
+        # -- r7-green, but touched this round (band-kernel plan fix
+        #    propagates through dedup.py's importers): fresh evidence --
+        "docs_incremental_dedup": q_docs_incremental_dedup,
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_bpe_merges": q_docs_bpe_merges,
+        # -- r7-green fillers completing the 50-row window --
+        "cdc_route_fanout": q_route_fanout,
+        "cdc_envelope_roundtrip": q_envelope_roundtrip,
+        "cdc_partition_key": q_partition_key,
+        "cdc_update_projection": q_update_projection,
+        "cdc_read_optin": q_read_optin,
+        "cdc_dedup_boundary": q_dedup_boundary,
+        "cdc_snapshot_read": q_snapshot_read,
+        "cdc_type_mapping": q_type_mapping,
+        "cdc_toast_placeholder": q_toast_placeholder,
+        "cdc_lag": q_lag,
+        "cdc_pgoutput_roundtrip": q_pgoutput_roundtrip,
+        "cdc_datasource_feed": q_datasource_feed,
+        "cdc_json_ingest": q_json_ingest,
+        "cdc_windowed_tally": q_windowed_tally,
+        "cdc_sessions": q_sessions,
+        "cdc_materialize": q_materialize,
+        "olap_asof_enrich": q_asof_enrich,
+        "olap_value_quantiles": olap.event_value_quantiles,
+        "cdc_props_extract": q_props_extract,
+        # ---- tail (positions 51+): every query below has a green r7
+        # driver row (CORRECTNESS_r07.json) in UNCHANGED formulation
+        # (tools/touched_queries.py flags none of them), so losing
+        # them to the 50-row cap costs no cross-round evidence ----
+        "cdc_op_pivot": q_cdc_op_pivot,
+        "cdc_scd2": q_cdc_scd2,
+        "olap_trailing_spend": olap.customer_trailing_spend,
+        "olap_semi_join": olap.active_high_value_customers,
+        "olap_anti_join": olap.customers_without_orders,
+        "olap_order_count_dist": olap.order_count_distribution,
+        "olap_cardinality": olap.event_type_cardinality,
+        "olap_funnel": olap.signup_purchase_funnel,
+        "olap_pricing_summary": olap.pricing_summary,
+        "olap_top_customers": olap.top_revenue_customers,
+        "olap_nation_volume": olap.nation_order_volume,
+        "mm_metadata": q_mm_metadata,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_features": q_mm_features,
+        "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ann_ivf": q_emb_ann_ivf,
+        "emb_ann_topk": q_emb_ann_topk,
+        "emb_ann_recall": q_emb_ann_recall,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "emb_near_dup_ivf": q_emb_near_dup_ivf,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_kmeans_assign": q_emb_kmeans_assign,
+        "emb_diversity_sample": q_emb_diversity_sample,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
+        "docs_unigram_lm": q_docs_unigram_lm,
+        "olap_topk_per_priority": olap.top_orders_per_priority,
+        "olap_spend_deciles": olap.customer_spend_deciles,
     }
 
 

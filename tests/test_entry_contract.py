@@ -27,51 +27,90 @@ def test_no_orphan_oracles():
 
 
 def test_driver_window_order_is_stable():
-    # The driver records exactly the first 50 entries; the r7 rotation
-    # puts (a) the entire 27-query r6 tail (stalest evidence, last
-    # driver row r5) and (b) the 9 queries whose implementation or
-    # testbed this round touches (money-guard olap trio,
-    # docs_incremental_dedup, docs_dup_clusters, the mm_* trio,
-    # docs_bpe_merges) inside that window. Pin the window boundary so
-    # an accidental reorder is a test failure, not a silently-lost
-    # round of driver evidence.
+    # The driver records exactly the first 50 entries. Two invariants
+    # keep a round's driver evidence sound:
+    #   1. every query the driver did NOT record last round (the stale
+    #      tail) sits inside this round's window, and
+    #   2. every tail entry carries a green last-round driver row — so
+    #      losing it to the 50-row cap costs no cross-round evidence.
+    # Both are derived from the newest CORRECTNESS_r*.json, so the
+    # test self-updates when the driver writes the next round's file.
+    import json
+    import re
+    from pathlib import Path
+
     order = list(E.queries())
     assert len(order) == 77
-    touched_r7 = {
-        # fixed-point runtime guard added to the money pipeline
-        "olap_pricing_summary",
-        "olap_top_customers",
-        "olap_nation_volume",
-        # per-batch store writes folded
-        "docs_incremental_dedup",
-        # star-contraction path for high-diameter graphs
-        "docs_dup_clusters",
-        # testbed gains real PNG/JPEG blobs; metadata parses headers
-        "mm_metadata",
-        "mm_frame_sample",
-        "mm_features",
-        # persist-tier lineage cut fixed
-        "docs_bpe_merges",
-    }
-    import json
+    repo = Path(__file__).resolve().parent.parent
+    latest = max(
+        repo.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    prev = json.loads(latest.read_text())
+    stale_tail = {n for n in order if n not in prev}
+    first50 = set(order[:50])
+    assert stale_tail <= first50, sorted(stale_tail - first50)
+    tail_without_prev_row = [
+        n for n in order[50:] if not prev.get(n, {}).get("hash_match")
+    ]
+    assert not tail_without_prev_row, tail_without_prev_row
+
+
+def test_touched_queries_are_inside_driver_window():
+    # r7 lesson: a hand-curated "touched this round" list missed the
+    # band-kernel refactor's tail-query consumers, leaving three
+    # queries with silently-stale driver evidence. The touched set is
+    # now DERIVED — changed outboxx_spark modules since the round-base
+    # commit (reverse import closure), per-function source diffs of
+    # __spark_entry__.py, and oracle-SQL hash drift vs the committed
+    # snapshot — and every touched query must sit inside the 50-entry
+    # window so the driver re-records it this round.
+    import subprocess
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
-    r6 = json.loads((repo / "CORRECTNESS_r06.json").read_text())
-    # r6 tail = every live query the r6 driver pass did NOT record
-    stale_r6_tail = {n for n in order if n not in r6}
-    assert len(stale_r6_tail) == 27
-    first50 = set(order[:50])
-    assert (touched_r7 | stale_r6_tail) <= first50, sorted(
-        (touched_r7 | stale_r6_tail) - first50
+    sys.path.insert(0, str(repo / "tools"))
+    import touched_queries as tq
+
+    try:
+        base = tq.round_base_commit()
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        import pytest
+
+        pytest.skip(f"git history unavailable: {e}")
+    touched = tq.touched_queries(E, base)
+    window = set(list(E.queries())[:50])
+    outside = {n: sorted(r) for n, r in touched.items() if n not in window}
+    assert not outside, (
+        "queries touched since the last driver round are outside the "
+        f"50-entry window (rotate them in): {outside}"
     )
-    # every tail entry must carry a green r6 driver row in unchanged
-    # formulation — losing it to the 50-row cap then costs no
-    # cross-round evidence
-    tail_without_r6_row = [
-        n for n in order[50:] if not r6.get(n, {}).get("hash_match")
-    ]
-    assert not tail_without_r6_row, tail_without_r6_row
+
+
+def test_oracle_snapshot_is_current():
+    # The oracle-hash snapshot is the baseline the touched-query
+    # derivation compares against; a stale snapshot would flag every
+    # oracle as touched (fail loud), an un-regenerated one after a
+    # deliberate oracle change must be refreshed consciously via
+    # `python tools/touched_queries.py --snapshot` TOGETHER with
+    # rotating the affected queries into the window (the test above
+    # enforces the rotation half).
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    import touched_queries as tq
+
+    assert tq.ORACLE_SNAPSHOT.exists(), (
+        "run: python tools/touched_queries.py --snapshot"
+    )
+    drifted = tq.changed_oracles(E)
+    window = set(list(E.queries())[:50])
+    outside_window = drifted - window
+    assert not outside_window, (
+        "oracle SQL changed for out-of-window queries — rotate them "
+        f"into the window and re-snapshot: {sorted(outside_window)}"
+    )
 
 
 def test_staged_queue_is_disjoint_and_oracle_complete():
