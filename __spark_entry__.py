@@ -739,13 +739,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_windowed_tally": q_windowed_tally,
         "cdc_sessions": q_sessions,
         "cdc_materialize": q_materialize,
-        "olap_asof_enrich": q_asof_enrich,
-        "olap_value_quantiles": olap.event_value_quantiles,
-        "cdc_props_extract": q_props_extract,
+        # -- mm trio: touched late in the round (JPEG SOF bounds fix +
+        #    sign-safe pmod mirror in the metadata oracle) --
+        "mm_metadata": q_mm_metadata,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_features": q_mm_features,
         # ---- tail (positions 51+): every query below has a green r7
         # driver row (CORRECTNESS_r07.json) in UNCHANGED formulation
         # (tools/touched_queries.py flags none of them), so losing
         # them to the 50-row cap costs no cross-round evidence ----
+        "olap_asof_enrich": q_asof_enrich,
+        "olap_value_quantiles": olap.event_value_quantiles,
+        "cdc_props_extract": q_props_extract,
         "cdc_op_pivot": q_cdc_op_pivot,
         "cdc_scd2": q_cdc_scd2,
         "olap_trailing_spend": olap.customer_trailing_spend,
@@ -757,9 +762,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_pricing_summary": olap.pricing_summary,
         "olap_top_customers": olap.top_revenue_customers,
         "olap_nation_volume": olap.nation_order_volume,
-        "mm_metadata": q_mm_metadata,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_features": q_mm_features,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
         "emb_ann_topk": q_emb_ann_topk,

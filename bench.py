@@ -449,6 +449,10 @@ def main() -> None:
     # lands in the round artifact instead of needing a manual diff.
     # Only comparable at the same scale factor.
     regressions: list[str] = []
+    # names given a 4th sample by the noise-rejection re-run below —
+    # recorded in the detail artifact so a "min of 4" entry is
+    # distinguishable from the unflagged "min of 3" ones
+    resampled: list[str] = []
     try:
         sys.path.insert(0, str(REPO / "tools"))
         from bench_compare import PREV_ROUND, round_drift
@@ -467,6 +471,7 @@ def main() -> None:
                 flagged = [
                     r.split(" ")[0] for r in regressions if r.split(" ")[0] in qs
                 ]
+                resampled = flagged
                 for name in flagged:
                     try:
                         t0 = time.perf_counter()
@@ -500,6 +505,7 @@ def main() -> None:
         "sf": sf,
         "extra": extra,
         "regressions": regressions,
+        "resampled": resampled,
     }
     (REPO / "bench_detail.json").write_text(json.dumps(detail, indent=1) + "\n")
 

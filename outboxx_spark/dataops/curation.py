@@ -333,6 +333,16 @@ def _star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFram
     dup_clusters' contract: (doc_id, cluster_id = component min) for
     every node with at least one pair. ``max_rounds`` is a safety net
     far above the mathematical bound (2^64-node graphs), not a tunable."""
+    # A node whose ONLY pair is a self-pair (src == dst) has no edge in
+    # the canonical set below but still owns a singleton cluster — the
+    # propagation path and the recursive-CTE oracle both label it, so
+    # the fallback must too. This repo's pair generators enforce
+    # doc_a < doc_b (never emitting self-pairs), so the branch is for
+    # external callers; the anti-join below runs over an empty frame
+    # then.
+    self_only = edges.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("doc_id")
+    )
     # canonical undirected edge set, one row per {a < b}
     cur = (
         edges.filter(F.col("src") < F.col("dst"))
@@ -372,12 +382,19 @@ def _star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFram
         cur = nxt
         if converged:
             # fixpoint = flat stars: every edge is (component_min, node)
-            return (
+            labeled = (
                 cur.select(F.col("b").alias("doc_id"), F.col("a").alias("cluster_id"))
                 .unionAll(
                     cur.select(F.col("a").alias("doc_id"), F.col("a").alias("cluster_id"))
                 )
                 .distinct()
+            )
+            # singleton components seen only as self-pairs: label as
+            # their own cluster unless a real edge already labeled them
+            return labeled.unionByName(
+                self_only.distinct()
+                .join(labeled, "doc_id", "left_anti")
+                .select("doc_id", F.col("doc_id").alias("cluster_id"))
             )
     raise RuntimeError(
         f"star contraction not converged in {max_rounds} rounds — "

@@ -111,7 +111,12 @@ def parse_image_dims(blob: bytes) -> tuple[str, int, int] | None:
             if seg_len < 2:
                 return None
             if marker in _JPEG_SOF_MARKERS:
-                if pos + 9 > n:
+                # the SOF payload read below needs length(2) +
+                # precision(1) + height(2) + width(2); a declared
+                # segment shorter than 7 means those bytes belong to
+                # the NEXT segment, not to dimensions — reject rather
+                # than read past the declared boundary
+                if seg_len < 7 or pos + 9 > n:
                     return None
                 h = int.from_bytes(blob[pos + 5 : pos + 7], "big")
                 w = int.from_bytes(blob[pos + 7 : pos + 9], "big")
@@ -256,8 +261,12 @@ WITH safe AS (
   FROM documents
 ),
 m AS (
-  SELECT doc_id, doc_id % 3 AS kind,
-         16 + doc_id % 240 AS w, 16 + (doc_id * 3) % 240 AS h,
+  -- ((x % k) + k) % k mirrors Spark's pmod(): DuckDB's % follows the
+  -- sign of the dividend, so a negative doc_id would otherwise make
+  -- the two engines pick DIFFERENT media kinds for the same row
+  SELECT doc_id, ((doc_id % 3) + 3) % 3 AS kind,
+         16 + ((doc_id % 240) + 240) % 240 AS w,
+         16 + (((doc_id * 3) % 240) + 240) % 240 AS h,
          encode(t) AS payload
   FROM safe
 ),

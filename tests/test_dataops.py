@@ -402,6 +402,14 @@ def test_parse_image_dims_handcrafted():
     assert parse_image_dims(b"\xff\xd8junk") is None  # marker desync
     assert parse_image_dims(b"GIF89a") is None  # truncated GIF
     assert parse_image_dims(b"BM" + b"\x00" * 10) is None  # truncated BMP
+    # SOF whose DECLARED length is too short (< 7) to contain
+    # precision+height+width: the dimension bytes belong to the next
+    # segment even when enough raw bytes trail — must reject, not read
+    # past the declared boundary (r8 advisory fix)
+    short_sof = bytes.fromhex("FFD8") + bytes.fromhex(
+        "FFC00005" + "08" + "0120" + "00F0" + "03011100"
+    )
+    assert parse_image_dims(short_sof) is None
 
 
 def test_synth_blobs_roundtrip_through_parser(spark, sf_dir):
@@ -644,6 +652,54 @@ def test_star_contraction_matches_union_find(spark):
             for r in cu._star_contraction_labels(both).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_star_contraction_labels_self_pair_only_nodes(spark):
+    # A node whose only pair is a self-pair has no src<dst edge, but
+    # the propagation path and the recursive-CTE oracle both label it
+    # as its own singleton cluster — the fallback must agree instead
+    # of silently dropping it (r8 advisory fix). Latent for this
+    # repo's generators (they enforce doc_a < doc_b); pinned for
+    # external callers.
+    from outboxx_spark.dataops import curation as cu
+
+    edges = spark.createDataFrame(
+        # 7 is self-pair-only; 3 has a self-pair AND a real edge
+        [(7, 7), (3, 3), (1, 3), (3, 1)],
+        "src long, dst long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cu._star_contraction_labels(edges).collect()
+    }
+    assert got == {7: 7, 1: 1, 3: 1}
+
+
+def test_mm_metadata_oracle_agrees_on_negative_doc_ids(spark):
+    # Spark's pmod() is sign-safe while DuckDB's % follows the
+    # dividend's sign: for a negative doc_id the two engines used to
+    # pick DIFFERENT media kinds for the same row (r8 advisory fix —
+    # the oracle now mirrors pmod as ((x % k) + k) % k). Latent for
+    # the driver corpus (non-negative ids); pinned here with a
+    # negative-id frame through BOTH engines.
+    import duckdb
+    import pandas as pd_
+
+    from outboxx_spark.dataops import multimodal as mm
+
+    rows = [(i, f"doc text number {i}") for i in range(-7, 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["media_type"], r["width"], r["height"], r["digest"])
+        for r in mm.media_metadata(mm.synth_media_blobs(docs)).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd_.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        doc_id: (mt, w, h, dg)
+        for doc_id, mt, _n, dg, w, h in con.execute(mm.MM_METADATA_SQL).fetchall()
+    }
+    assert got == want
 
 
 def test_repetition_counts_hand_checked(spark):
