@@ -301,28 +301,61 @@ def _fake_decode(blob: bytes) -> np.ndarray:
     return np.array([c.mean() if len(c) else 0.0 for c in chunks])
 
 
-def decode_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+def decode_features(
+    df: DataFrame, blob_col: str = "blob", decoder: str = "fake"
+) -> DataFrame:
     """mapInPandas decode: Arrow batches in, (doc_id, features) out.
-    Batch shape preserved; memory bounded by the Arrow batch size."""
+    Batch shape preserved; memory bounded by the Arrow batch size.
+
+    ``decoder="fake"`` (default, always available) derives features
+    from byte statistics — the oracle-mirrored testbed path.
+    ``decoder="pixel"`` decodes REAL pixels via pillow for blobs that
+    sniff as images (per-band grayscale means; non-image payloads fall
+    back to the byte-statistic features so mixed corpora don't crash);
+    fails fast at plan-build time when pillow is absent rather than on
+    the executors mid-job."""
+    if decoder not in ("fake", "pixel"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "pixel" and not _pil_available():
+        raise NotImplementedError(
+            "decoder='pixel' requires PIL/pillow, not present in this "
+            "container (pip has no network route here, re-verified r8)"
+        )
     out_schema = "doc_id long, features array<double>"
+
+    def _one(b: bytes) -> np.ndarray:
+        if decoder == "pixel" and parse_image_dims(bytes(b)) is not None:
+            try:
+                return _pixel_features(bytes(b))
+            except Exception:
+                # a blob whose HEADER sniffs as an image but whose body
+                # is corrupt (or synthetic) must degrade to the
+                # byte-statistic features, not fail the task — at corpus
+                # scale one bad file cannot kill the job
+                return _fake_decode(b)
+        return _fake_decode(b)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "features": [_fake_decode(b) for b in pdf[blob_col]],
+                    "features": [_one(b) for b in pdf[blob_col]],
                 }
             )
 
     return df.select("doc_id", blob_col).mapInPandas(decode, out_schema)
 
 
-def decode_features_long(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+def decode_features_long(
+    df: DataFrame, blob_col: str = "blob", decoder: str = "fake"
+) -> DataFrame:
     """Exploded (doc_id, dim, value) view of :func:`decode_features` —
     hashable scalars only, so external comparators (and the driver's
-    canonicalizer) can sort/hash the result. Same information, long form."""
-    feats = decode_features(df, blob_col)
+    canonicalizer) can sort/hash the result. Same information, long form.
+    ``decoder`` passes through ("pixel" = real PIL pixels where the
+    environment provides pillow)."""
+    feats = decode_features(df, blob_col, decoder)
     return feats.select("doc_id", F.posexplode("features").alias("dim", "value")).select(
         "doc_id", F.col("dim").cast("long").alias("dim"), "value"
     )
@@ -368,15 +401,42 @@ GROUP BY s.doc_id, s.dim
 """
 
 
-def real_image_decode(blob: bytes):  # pragma: no cover - stub
-    """Real decoder slot. Raises until an image library is installed."""
+def _pil_available() -> bool:
     try:
         from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def real_image_decode(blob: bytes) -> np.ndarray:
+    """Real pixel decode: PIL-decode the blob into an (H, W) grayscale
+    uint8 array. Import-guarded — raises NotImplementedError where
+    pillow is absent (this sandbox: pip has no network route to any
+    index, re-verified r8), so callers can gate on :func:`_pil_available`
+    and keep the deterministic fake as the fallback."""
+    try:
+        from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
             "image decode requires PIL/pillow, not present in this container"
         ) from e
-    raise NotImplementedError("wire Image.open(io.BytesIO(blob)) here")
+    import io
+
+    with Image.open(io.BytesIO(blob)) as img:
+        return np.asarray(img.convert("L"), dtype=np.uint8)
+
+
+def _pixel_features(blob: bytes) -> np.ndarray:
+    """FEATURE_DIM floats from REAL pixels: grayscale-decode, split the
+    rows into FEATURE_DIM horizontal bands (numpy array_split — same
+    uneven-chunk convention as the fake), per-band mean intensity.
+    Deterministic (no resample kernels involved) so repeated runs and
+    both sides of a future oracle agree bit-wise."""
+    px = real_image_decode(blob).astype(np.float64).reshape(-1)
+    bands = np.array_split(px, FEATURE_DIM)
+    return np.array([b.mean() if len(b) else 0.0 for b in bands])
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 64, blob_col: str = "blob") -> DataFrame:

@@ -227,7 +227,10 @@ def _protobuf_available() -> bool:
     not _protobuf_available(),
     reason="transformWithState's Python state server requires protobuf, "
     "not installed in this container (the operator is implemented and "
-    "gated; applyInPandasWithState is the tested path here)",
+    "gated; applyInPandasWithState is the tested path here). "
+    "`pip install protobuf` re-attempted r8 2026-08-15: the sandbox "
+    "has no network route to any pypi index (NewConnectionError on "
+    "every retry), so vendoring via pip is impossible here",
 )
 def test_tws_materialize_converges_to_batch(spark, multi_file_feed, tmp_path):
     """transformWithStateInPandas variant must produce the same final
