@@ -241,6 +241,35 @@ def main() -> None:
     except Exception as e:  # the probe must never sink the bench
         print(f"# dedup scaleup probe failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # Deep-graph clustering probe: a 4096-node CHAIN (diameter 4095)
+    # forces dup_clusters past its shallow-graph propagation fast path
+    # into the O(log^2 n) large-star/small-star contraction fallback,
+    # so the fallback's per-round cost is tracked per round BEFORE a
+    # 100 TB corpus meets a high-diameter component. Single pass (the
+    # cost is round-count-dominated, ~Θ(log n) driver-latency-bound
+    # rounds — a min-of-2 would double a ~9s probe for noise the
+    # cross-round drift guard already absorbs).
+    dup_clusters_deep_sec = dup_clusters_deep_nodes = None
+    try:
+        from pyspark.sql import functions as SF
+
+        from outboxx_spark.dataops.curation import dup_clusters
+
+        n_chain = 4096
+        chain = spark.range(n_chain - 1).select(
+            SF.col("id").alias("doc_a"), (SF.col("id") + 1).alias("doc_b")
+        )
+        t0 = time.perf_counter()
+        labeled = dup_clusters(chain, max_iter=2, on_unconverged="contract")
+        n_labeled = labeled.filter(SF.col("cluster_id") == 0).count()
+        dup_clusters_deep_sec = round(time.perf_counter() - t0, 4)
+        if n_labeled != n_chain:  # one component, min id 0
+            raise AssertionError(f"chain clustering wrong: {n_labeled}")
+        dup_clusters_deep_nodes = n_chain
+    except Exception as e:  # the probe must never sink the bench
+        dup_clusters_deep_sec = None
+        print(f"# deep clusters probe failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     # Embedding scale-exponent probe (the dedup family's 4x probe,
     # applied to the embedding family): bucketed near-dup (LSH) and IVF
     # ANN at 1x and 4x the corpus. Copies are dimension-rotated so they
@@ -412,6 +441,8 @@ def main() -> None:
         "dedup_4x_time_ratio": (
             round(dedup_4x_sec / dedup_1x_sec, 2) if dedup_1x_sec and dedup_4x_sec else None
         ),
+        "dup_clusters_deep_sec": dup_clusters_deep_sec,
+        "dup_clusters_deep_nodes": dup_clusters_deep_nodes,
         "dedup_store_b1_sec": dedup_store_b1_sec,
         "dedup_store_b2_sec": dedup_store_b2_sec,
         "dedup_store_vs_4x_sec": dedup_store_vs_4x_sec,

@@ -350,6 +350,17 @@ def _star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFram
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # (Shrinking spark.sql.shuffle.partitions for the loop was tried
+    # and measured NEUTRAL at toy scale — 9.15s sized vs 8.54s at the
+    # session's 32 on a 4k chain, within host noise; AQE already
+    # coalesces the tiny shuffles, and at real scale the session
+    # default is the right size anyway. Not worth the conf juggling.)
+    return _star_contraction_loop(cur, cur.count(), self_only, max_rounds)
+
+
+def _star_contraction_loop(
+    cur: DataFrame, cur_count: int, self_only: DataFrame, max_rounds: int
+) -> DataFrame:
     for _ in range(max_rounds):
         # large-star: for each node u, every LARGER neighbor v hooks to
         # m = min(N(u) + {u}); m <= u < v keeps pairs canonical
@@ -377,9 +388,18 @@ def _star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFram
             .distinct()
             .localCheckpoint(eager=True)
         )
-        converged = nxt.exceptAll(cur).unionAll(cur.exceptAll(nxt)).isEmpty()
+        # Count-gated convergence: both frames are DISTINCT sets, so
+        # equality <=> same count AND nxt ⊆ cur. The count on the
+        # just-checkpointed frame is one tiny job; the exceptAll scan
+        # runs only on count-equal rounds (usually just the final one),
+        # replacing the every-round two-sided symmetric diff — neutral
+        # at toy scale (round latency dominates) but at a billion-edge
+        # frame it removes two full-edge-set shuffles from EVERY
+        # non-final round.
+        nxt_count = nxt.count()
+        converged = nxt_count == cur_count and nxt.exceptAll(cur).isEmpty()
         cur.unpersist()
-        cur = nxt
+        cur, cur_count = nxt, nxt_count
         if converged:
             # fixpoint = flat stars: every edge is (component_min, node)
             labeled = (
