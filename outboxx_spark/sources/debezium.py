@@ -1,0 +1,141 @@
+"""Debezium change-event ingestion: the off-the-shelf upstream path.
+
+This engine deliberately does not hold a Postgres replication slot
+(SURVEY §2.1 S2: an executor cannot own one), so in deployment a
+connector feeds Kafka and this engine drains the topic. The de-facto
+standard feeder is Debezium's Postgres connector; this module decodes
+its change-event JSON into the SAME flat event frame the repo's other
+sources produce (op/resource/lsn/commit_ts/data — the shape
+`sources/json_feed.parse_envelopes` and the pgoutput decoder emit), so
+everything downstream (routing R1, op filter R2, keying R3, envelope
+F1, dedup O4) runs unchanged against a real database's stream.
+
+Decode discipline mirrors the pgoutput decoder (S6,
+`sources/pgoutput.py`): row ops map c/u/d/r -> INSERT/UPDATE/DELETE/
+READ; known NON-row ops (t = truncate, m = logical message) are
+SKIPPED exactly like pgoutput's T/Y/O messages; anything else
+fail-stops the query via `raise_error` rather than silently dropping
+an event class (the reference's unknown-message policy). Delete
+tombstones (null Kafka value, emitted by Debezium after each delete
+for log compaction) must be filtered before parsing — `is_tombstone`
+is the predicate.
+
+Everything is JVM-side (`from_json` + column expressions): one parse,
+no Python in the hot path. The ``map<string,string>`` row images keep
+unknown tables flowing untyped (the RelationRegistry role), typed on
+demand by `json_feed.typed_projection`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Debezium Postgres connector payload (connector docs; envelope with
+# schemas.enable=false). With schemas.enable=true the same payload
+# nests under "payload" — parse_debezium handles both.
+PAYLOAD_SCHEMA = (
+    "before map<string,string>, after map<string,string>, op string, "
+    "ts_ms long, "
+    "source struct<version:string, connector:string, name:string, "
+    "ts_ms:long, snapshot:string, db:string, schema:string, table:string, "
+    "txId:long, lsn:long, xmin:long>"
+)
+
+_ROW_OPS = {"c": "INSERT", "u": "UPDATE", "d": "DELETE", "r": "READ"}
+_SKIP_OPS = ("t", "m")  # truncate / logical message: no row image
+
+
+def is_tombstone(value_col: Column) -> Column:
+    """Debezium emits a null-value record after each delete so log
+    compaction can drop the key; those carry no event and must be
+    filtered before from_json (which would yield an all-null struct
+    indistinguishable from a corrupt payload)."""
+    return value_col.isNull()
+
+
+def _mapped_op(op: Column) -> Column:
+    """c/u/d/r -> this repo's op vocabulary; t/m skipped upstream;
+    unknown fail-stops (same policy as the pgoutput decoder's unknown
+    message tag — dropping an unmodeled event class silently would
+    corrupt downstream tallies and dedup)."""
+    mapped = F.create_map(
+        *[F.lit(x) for kv in _ROW_OPS.items() for x in kv]
+    )[op]
+    return F.when(mapped.isNotNull(), mapped).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("debezium: unknown op "),
+                # null op = corrupt/non-Debezium payload (from_json
+                # nulled out) — name it instead of raising a null msg
+                F.coalesce(op, F.lit("<null: unparseable payload>")),
+            )
+        )
+    )
+
+
+def parse_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Debezium change-event JSON strings -> this repo's flat change
+    events: (op, source, resource, commit_ts, lsn_text, lsn, data).
+
+    - ``resource`` = source.schema '.' source.table (pgoutput
+      convention).
+    - ``lsn`` is Debezium's numeric u64 LSN verbatim; ``lsn_text`` is
+      its X/X rendering (inverse of json_feed's parse direction) so
+      envelopes serialized from either source agree.
+    - ``commit_ts`` = source.ts_ms (transaction commit wall-clock ms,
+      the connector's clock — NOT the PG-epoch µs the raw pgoutput
+      path carries; document, don't secretly rescale).
+    - ``data`` = after-image for INSERT/UPDATE/READ, before-image for
+      DELETE (REPLICA IDENTITY FULL upstream gives deletes a full row,
+      same requirement the reference imposes).
+    - Truncate/message events produce no row image and are skipped
+      (same as pgoutput T/Y/O); tombstones must be pre-filtered with
+      :func:`is_tombstone`.
+    """
+    raw = F.from_json(
+        F.col(value_col),
+        f"schema string, payload struct<{PAYLOAD_SCHEMA}>, {PAYLOAD_SCHEMA}",
+    )
+    # schemas.enable=true nests the payload; =false puts it at the top.
+    # from_json fills the absent variant with nulls — coalesce per field.
+    p = F.when(raw["payload"].isNotNull(), raw["payload"]).otherwise(
+        F.struct(
+            raw["before"].alias("before"),
+            raw["after"].alias("after"),
+            raw["op"].alias("op"),
+            raw["ts_ms"].alias("ts_ms"),
+            raw["source"].alias("source"),
+        )
+    )
+    # everything below the alias must reference p.*, not the original
+    # value column (it no longer exists after the select)
+    lsn = F.col("p.source.lsn")
+    lsn_text = F.concat(
+        F.upper(F.hex(F.shiftrightunsigned(lsn, 32))),
+        F.lit("/"),
+        F.upper(F.hex(lsn.bitwiseAND(F.lit(0xFFFFFFFF)))),
+    )
+    return (
+        df.filter(~is_tombstone(F.col(value_col)))
+        .select(p.alias("p"))
+        # null-SAFE skip: a null op (corrupt payload) must REACH
+        # _mapped_op's fail-stop, not vanish in a null isin filter
+        .filter(
+            F.col("p.op").isNull() | ~F.col("p.op").isin(*_SKIP_OPS)
+        )
+        .select(
+            _mapped_op(F.col("p.op")).alias("op"),
+            F.col("p.source.name").alias("source"),
+            F.concat_ws(
+                ".", F.col("p.source.schema"), F.col("p.source.table")
+            ).alias("resource"),
+            F.col("p.source.ts_ms").alias("commit_ts"),
+            lsn_text.alias("lsn_text"),
+            lsn.alias("lsn"),
+            F.when(F.col("p.op") == "d", F.col("p.before"))
+            .otherwise(F.col("p.after"))
+            .alias("data"),
+            F.col("p.source.snapshot").alias("snapshot"),
+        )
+    )

@@ -1,0 +1,137 @@
+"""Debezium change-event decoding (sources/debezium.py): fixture JSON
+through the real from_json path, pinning the op mapping, both envelope
+variants (schemas.enable true/false), delete before-images, tombstone
+and truncate/message handling, the LSN text rendering round-trip, and
+the fail-stop on unknown ops — the same decode discipline the pgoutput
+suite pins for S6."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from outboxx_spark.sources.debezium import is_tombstone, parse_debezium
+from outboxx_spark.sources.json_feed import typed_projection
+
+
+def _payload(op, before=None, after=None, lsn=24023128, ts=1700000000123,
+              table="users", snapshot="false"):
+    return {
+        "before": before,
+        "after": after,
+        "op": op,
+        "ts_ms": ts + 5,
+        "source": {
+            "version": "2.5.0.Final",
+            "connector": "postgresql",
+            "name": "pg-bench",
+            "ts_ms": ts,
+            "snapshot": snapshot,
+            "db": "bench",
+            "schema": "public",
+            "table": table,
+            "txId": 771,
+            "lsn": lsn,
+        },
+    }
+
+
+def _frame(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "value string")
+
+
+def test_row_ops_and_images(spark):
+    rows = [
+        json.dumps(_payload("c", after={"id": "1", "name": "ada"})),
+        json.dumps(_payload("u", before={"id": "1", "name": "ada"},
+                            after={"id": "1", "name": "grace"})),
+        json.dumps(_payload("d", before={"id": "1", "name": "grace"})),
+        json.dumps(_payload("r", after={"id": "2", "name": "linus"},
+                            snapshot="true")),
+    ]
+    out = parse_debezium(_frame(spark, rows)).collect()
+    assert [r["op"] for r in out] == ["INSERT", "UPDATE", "DELETE", "READ"]
+    # after-image for c/u/r, BEFORE-image for d
+    assert out[1]["data"]["name"] == "grace"
+    assert out[2]["data"]["name"] == "grace"
+    assert out[3]["data"]["name"] == "linus"
+    assert all(r["resource"] == "public.users" for r in out)
+    assert all(r["source"] == "pg-bench" for r in out)
+    assert out[3]["snapshot"] == "true"
+
+
+def test_schema_wrapped_envelope_decodes_identically(spark):
+    bare = json.dumps(_payload("c", after={"id": "9"}))
+    wrapped = json.dumps(
+        {"schema": {"type": "struct", "fields": []},
+         "payload": _payload("c", after={"id": "9"})}
+    )
+    a, b = parse_debezium(_frame(spark, [bare, wrapped])).collect()
+    assert a == b
+
+
+def test_numeric_values_arrive_as_strings(spark):
+    # Debezium emits typed JSON; the dynamic map coerces scalars to
+    # their text forms so the downstream typed_projection (S7/S9 role)
+    # owns the typing, same as the pgoutput path
+    row = json.dumps(_payload("c", after={"id": 7, "price": 1.5, "ok": True}))
+    parsed = parse_debezium(_frame(spark, [row]))
+    data = parsed.collect()[0]["data"]
+    assert data == {"id": "7", "price": "1.5", "ok": "true"}
+    typed = typed_projection(parsed, {"id": "long", "price": "double"}).collect()[0]
+    assert typed["id"] == 7 and typed["price"] == 1.5
+
+
+def test_lsn_text_matches_postgres_rendering(spark):
+    # 0x16E9058 -> "0/16E9058"; a >32-bit LSN splits X/X
+    rows = [
+        json.dumps(_payload("c", after={"id": "1"}, lsn=0x16E9058)),
+        json.dumps(_payload("c", after={"id": "2"}, lsn=(0xAB << 32) | 0x16E9058)),
+    ]
+    out = parse_debezium(_frame(spark, rows)).collect()
+    assert out[0]["lsn_text"] == "0/16E9058"
+    assert out[1]["lsn_text"] == "AB/16E9058"
+    assert out[0]["lsn"] == 0x16E9058
+
+
+def test_tombstones_truncates_and_messages_are_skipped(spark):
+    rows = _frame(
+        spark,
+        [
+            json.dumps(_payload("c", after={"id": "1"})),
+            None,  # delete tombstone
+            json.dumps(_payload("t")),  # truncate: no row image
+            json.dumps(_payload("m")),  # logical message
+        ],
+    )
+    out = parse_debezium(rows).collect()
+    assert len(out) == 1 and out[0]["op"] == "INSERT"
+
+
+def test_unknown_op_fail_stops(spark):
+    # pyspark 4 surfaces raise_error as SparkRuntimeException; match on
+    # the message to stay version-robust
+    rows = _frame(spark, [json.dumps(_payload("x", after={"id": "1"}))])
+    with pytest.raises(Exception, match="unknown op x"):
+        parse_debezium(rows).collect()
+
+
+def test_corrupt_payload_fail_stops_not_drops(spark):
+    # non-Debezium JSON nulls out under from_json; silently dropping it
+    # would under-count events downstream — the decoder must raise
+    rows = _frame(spark, ['{"not": "debezium"}'])
+    with pytest.raises(Exception, match="unparseable payload"):
+        parse_debezium(rows).collect()
+
+
+def test_is_tombstone_predicate(spark):
+    df = _frame(spark, ["{}", None]).select(
+        is_tombstone(F.col("value")).alias("t")
+    )
+    assert [r["t"] for r in df.collect()] == [False, True]
