@@ -200,6 +200,32 @@ def q_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment feed path: flat feed -> Debezium change-event JSON
+    (testbed encoder, bare-payload shape) -> parse_debezium -> typed
+    events. Oracle = the plain feed (encode∘decode must be identity on
+    every carried field, including the ms clock and READ snapshots —
+    unlike pgoutput, Debezium carries snapshot reads as op 'r')."""
+    from outboxx_spark.sources.debezium import (
+        encode_feed_as_debezium,
+        parse_debezium,
+    )
+
+    feed = read_feed(spark, sf_dir)
+    events = parse_debezium(encode_feed_as_debezium(feed))
+    return events.select(
+        "op",
+        "resource",
+        "lsn",
+        F.col("commit_ts").alias("commit_ts_ms"),
+        F.col("data")["user_id"].cast("long").alias("user_id"),
+        F.col("data")["event_type"].alias("event_type"),
+        F.col("data")["value"].cast("double").alias("value"),
+        F.col("data")["props"].alias("props"),
+        "snapshot",
+    )
+
+
 def q_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Spark 4 Python DataSource (format('outboxx_cdc')): its
     batch output must equal the native feed projection."""
@@ -738,7 +764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_json_ingest": q_json_ingest,
         "cdc_windowed_tally": q_windowed_tally,
         "cdc_sessions": q_sessions,
-        "cdc_materialize": q_materialize,
+        # -- new this round: Debezium deployment-feed roundtrip (first
+        #    driver evidence) --
+        "cdc_debezium_roundtrip": q_debezium_roundtrip,
         # -- mm trio: touched late in the round (JPEG SOF bounds fix +
         #    sign-safe pmod mirror in the metadata oracle) --
         "mm_metadata": q_mm_metadata,
@@ -748,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row (CORRECTNESS_r07.json) in UNCHANGED formulation
         # (tools/touched_queries.py flags none of them), so losing
         # them to the 50-row cap costs no cross-round evidence ----
+        "cdc_materialize": q_materialize,
         "olap_asof_enrich": q_asof_enrich,
         "olap_value_quantiles": olap.event_value_quantiles,
         "cdc_props_extract": q_props_extract,
@@ -844,6 +873,12 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT op, resource, lsn, commit_ts, user_id, event_type, value, props
         FROM feed WHERE op != 'READ'""",
+        "cdc_debezium_roundtrip": ORACLE_FEED_CTE
+        + """
+        SELECT op, resource, lsn, commit_ts * 1000 AS commit_ts_ms,
+               user_id, event_type, value, props,
+               CASE WHEN op = 'READ' THEN 'true' ELSE 'false' END AS snapshot
+        FROM feed""",
         "cdc_datasource_feed": ORACLE_FEED_CTE
         + " SELECT op, resource, lsn, commit_ts, user_id, event_type, value, props FROM feed",
         "cdc_json_ingest": ORACLE_FEED_CTE

@@ -46,6 +46,54 @@ _ROW_OPS = {"c": "INSERT", "u": "UPDATE", "d": "DELETE", "r": "READ"}
 _SKIP_OPS = ("t", "m")  # truncate / logical message: no row image
 
 
+_REV_OPS = {v: k for k, v in _ROW_OPS.items()}
+
+
+def encode_feed_as_debezium(feed: DataFrame) -> DataFrame:
+    """Testbed encoder: the flat feed -> Debezium change-event JSON
+    strings (bare payload, schemas.enable=false shape), the analog of
+    `pgoutput.encode_feed_as_pgoutput` for the Debezium path. One
+    JVM-side to_json per event: op mapped back to c/u/d/r, the row
+    image carried as `after` (before for DELETE — the REPLICA IDENTITY
+    FULL convention the stand's tables set), source.ts_ms =
+    commit_ts*1000 (Debezium's ms clock), snapshot='true' on READ.
+    Values are stringified BEFORE serialization so the dynamic
+    map<string,string> read-back is byte-identical (Spark's
+    double->string cast is shortest-round-trip, so casting back
+    recovers the exact double)."""
+    op_short = F.create_map(
+        *[F.lit(x) for kv in _REV_OPS.items() for x in kv]
+    )[F.col("op")]
+    image = F.create_map(
+        F.lit("user_id"), F.col("user_id").cast("string"),
+        F.lit("event_type"), F.col("event_type"),
+        F.lit("value"), F.col("value").cast("string"),
+        F.lit("props"), F.col("props"),
+    )
+    is_delete = F.col("op") == "DELETE"
+    payload = F.struct(
+        F.when(is_delete, image).alias("before"),
+        F.when(~is_delete, image).alias("after"),
+        op_short.alias("op"),
+        (F.col("commit_ts") * 1000 + 5).alias("ts_ms"),
+        F.struct(
+            F.lit("2.7.0.Final").alias("version"),
+            F.lit("postgresql").alias("connector"),
+            F.lit("pg-bench").alias("name"),
+            (F.col("commit_ts") * 1000).alias("ts_ms"),
+            F.when(F.col("op") == "READ", F.lit("true"))
+            .otherwise(F.lit("false"))
+            .alias("snapshot"),
+            F.lit("bench").alias("db"),
+            F.split_part(F.col("resource"), F.lit("."), F.lit(1)).alias("schema"),
+            F.split_part(F.col("resource"), F.lit("."), F.lit(2)).alias("table"),
+            F.col("lsn").alias("txId"),
+            F.col("lsn").alias("lsn"),
+        ).alias("source"),
+    )
+    return feed.select(F.to_json(payload).alias("value"))
+
+
 def is_tombstone(value_col: Column) -> Column:
     """Debezium emits a null-value record after each delete so log
     compaction can drop the key; those carry no event and must be
