@@ -377,6 +377,26 @@ def test_band_kernel_runs_once_in_bucket_plan(spark, sf_dir):
     assert len(nodes) == 1, plan
 
 
+def test_debezium_decode_is_jvm_only(spark, sf_dir):
+    # The deployment feed decode must stay inside codegen (one
+    # from_json, column expressions) — a Python eval node in this path
+    # would put an interpreter round-trip on every Kafka record
+    from outboxx_spark.sources.debezium import (
+        encode_feed_as_debezium,
+        parse_debezium,
+    )
+    from outboxx_spark.sources.feed import read_feed
+
+    events = parse_debezium(encode_feed_as_debezium(read_feed(spark, sf_dir)))
+    plan = _plan(events)
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    # formatted output tags codegen'd nodes "[codegen id : N]";
+    # to_json/from_json themselves are CodegenFallback expressions but
+    # the surrounding projects stay in whole-stage spans
+    assert "codegen id" in plan
+
+
 def test_parallelized_spreads_small_files_but_not_large_splittable_ones(spark, tmp_path):
     # parallelized() exists to spread a SMALL single-file corpus across
     # cores; a large single file is already split by the scan at
