@@ -120,6 +120,31 @@ def test_staged_queue_is_disjoint_and_oracle_complete():
     assert not (set(staged_q) & live), "staged name collides with queries()"
 
 
+def test_touched_tool_sees_constant_and_function_changes():
+    # unit-level pin of the derivation's three entry-file signals:
+    # function-body diffs, module-constant diffs, and the co_names
+    # reference walk that ties constants to queries
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import touched_queries as tq
+
+    old = "SNAP = 1\ndef q_a(s, d):\n    return SNAP\ndef q_b(s, d):\n    return 2\n"
+    new = "SNAP = 9\ndef q_a(s, d):\n    return SNAP\ndef q_b(s, d):\n    return 2\n"
+    assert tq._entry_assign_sources(old) == {"SNAP": "SNAP = 1"}
+    old_fns = tq._entry_fn_sources(old)
+    new_fns = tq._entry_fn_sources(new)
+    assert old_fns["q_b"] == new_fns["q_b"] and old_fns["q_a"] == new_fns["q_a"]
+    # the constant changed, the functions did not
+    assert tq._entry_assign_sources(new)["SNAP"] == "SNAP = 9"
+    # reference walk: q_a reads SNAP, q_b does not
+    ns: dict = {}
+    exec(compile(new, "<entry>", "exec"), ns)
+    _mods, _helpers, refs_a = tq.query_module_deps(ns["q_a"], ns)
+    _mods, _helpers, refs_b = tq.query_module_deps(ns["q_b"], ns)
+    assert "SNAP" in refs_a and "SNAP" not in refs_b
+
+
 def test_all_callables():
     for name, fn in {**E.queries(), **E.queries_staged()}.items():
         assert callable(fn), name
