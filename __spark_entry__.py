@@ -212,7 +212,13 @@ def q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     feed = read_feed(spark, sf_dir)
-    events = parse_debezium(encode_feed_as_debezium(feed))
+    # Materialize the testbed encode: it stands in for the Kafka broker
+    # (deployment input is materialized bytes by definition), and
+    # leaving it lazy lets the decoder's pushed-down skip filter
+    # re-run the to_json ENCODER per reference (measured 4.8s -> 2.3s
+    # at sf0.1, rebuild-per-pass including this checkpoint)
+    enc = encode_feed_as_debezium(feed).localCheckpoint(eager=True)
+    events = parse_debezium(enc)
     return events.select(
         "op",
         "resource",

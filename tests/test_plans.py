@@ -395,6 +395,16 @@ def test_debezium_decode_is_jvm_only(spark, sf_dir):
     # to_json/from_json themselves are CodegenFallback expressions but
     # the surrounding projects stay in whole-stage spans
     assert "codegen id" in plan
+    # Bounded JSON parses per record: inlining the payload-coalesce
+    # CASE into every output column re-evaluated the CodegenFallback
+    # from_json per column (7 plan instances, ~4.8s bench). The staged
+    # projection keeps ONE parse in the Project; the skip filter's
+    # single-reference predicate still gets pushed below it by
+    # substitution, where SimplifyExtractValueOps expands `.op` into
+    # the CASE's three branches — 3 copies in the Filter condition
+    # (<=2 evaluate per row via short-circuit), 4 in the plan total.
+    # A regression to per-output-column inlining would read 7+.
+    assert plan.count("from_json") <= 4, plan.count("from_json")
 
 
 def test_parallelized_spreads_small_files_but_not_large_splittable_ones(spark, tmp_path):
