@@ -22,16 +22,25 @@ ENVELOPE_SCHEMA = (
 def parse_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
     """JSON envelope strings -> flat change events. ``lsn`` returns in
     Postgres text form (X/X) exactly as serialized; ``lsn_numeric``
-    recovers the u64 for offset arithmetic/dedup."""
-    e = F.from_json(F.col(value_col), ENVELOPE_SCHEMA)
-    return df.select(
-        e["op"].alias("op"),
-        e["meta"]["source"].alias("source"),
-        e["meta"]["resource"].alias("resource"),
-        e["meta"]["timestamp"].alias("commit_ts"),
-        e["meta"]["lsn"].alias("lsn_text"),
-        _lsn_from_text(e["meta"]["lsn"]).alias("lsn"),
-        e["data"].alias("data"),
+    recovers the u64 for offset arithmetic/dedup.
+
+    Staged projection, deliberately: from_json is CodegenFallback, so
+    inlining ``e`` into all seven output columns re-parses the JSON
+    document per column (the r8 Debezium-decode lesson,
+    `sources/debezium.py`); aliasing the parse first pins ONE parse per
+    row — CollapseProject keeps the split because merging would
+    duplicate a non-cheap expression."""
+    parsed = df.select(
+        F.from_json(F.col(value_col), ENVELOPE_SCHEMA).alias("e")
+    )
+    return parsed.select(
+        F.col("e.op").alias("op"),
+        F.col("e.meta.source").alias("source"),
+        F.col("e.meta.resource").alias("resource"),
+        F.col("e.meta.timestamp").alias("commit_ts"),
+        F.col("e.meta.lsn").alias("lsn_text"),
+        _lsn_from_text(F.col("e.meta.lsn")).alias("lsn"),
+        F.col("e.data").alias("data"),
     )
 
 
