@@ -309,8 +309,46 @@ def dup_clusters(
         # fact have reached the fixpoint, but certifying that costs the
         # same join as another round — so treat it as unconverged.
         if on_unconverged == "contract":
+            # SEEDED contraction (r8): don't discard the propagation
+            # rounds already paid — contract the LABEL QUOTIENT graph
+            # (one supernode per current label, edges between distinct
+            # labels) and map members back through their label. At
+            # scale this is the difference between the first — and
+            # most expensive — contraction rounds running on the full
+            # edge set vs the already-shrunk quotient (each
+            # propagation round at least halves chain components'
+            # supernode count; duplicate quotient edges collapse in
+            # the distinct). Equivalence with raw-edge contraction is
+            # random-graph-tested against union-find.
+            lab = labels.select("node", "label")
+            quotient = (
+                edges.join(
+                    lab.withColumnRenamed("node", "src").withColumnRenamed("label", "ls"),
+                    "src",
+                )
+                .join(
+                    lab.withColumnRenamed("node", "dst").withColumnRenamed("label", "ld"),
+                    "dst",
+                )
+                .filter(F.col("ls") != F.col("ld"))
+                .select(
+                    F.least("ls", "ld").alias("src"),
+                    F.greatest("ls", "ld").alias("dst"),
+                )
+            )
+            roots = _star_contraction_labels(quotient)
+            # labels whose group has no out-edge are their own root;
+            # eager checkpoint so `labels` can be unpersisted safely
+            out = (
+                lab.join(roots.withColumnRenamed("doc_id", "label"), "label", "left")
+                .select(
+                    F.col("node").alias("doc_id"),
+                    F.coalesce("cluster_id", "label").alias("cluster_id"),
+                )
+                .localCheckpoint(eager=True)
+            )
             labels.unpersist()
-            return _star_contraction_labels(edges)
+            return out
         raise RuntimeError(
             f"dup_clusters: min-label propagation not certified converged in "
             f"{max_iter} rounds ({changed} labels changed on the last round); "

@@ -701,6 +701,32 @@ def test_star_contraction_matches_union_find(spark):
         assert got == expected, f"trial {trial}"
 
 
+def test_seeded_fallback_on_multi_component_deep_graph(spark):
+    # r8: the fallback contracts the LABEL QUOTIENT graph (reusing the
+    # propagation rounds) instead of the raw edges. Pin the member ->
+    # label -> root mapping across multiple components: two deep
+    # chains plus one isolated pair, so quotient edges, the left-join
+    # root recovery, AND rootless singleton label groups all occur.
+    from outboxx_spark.dataops import curation as cu
+
+    rows = (
+        [(i, i + 1) for i in range(0, 40)]          # chain A: 0..40
+        + [(i, i + 1) for i in range(100, 140)]     # chain B: 100..140
+        + [(500, 501)]                               # isolated pair
+    )
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cu.dup_clusters(pairs, max_iter=2, on_unconverged="contract").collect()
+    }
+    want = (
+        {i: 0 for i in range(0, 41)}
+        | {i: 100 for i in range(100, 141)}
+        | {500: 500, 501: 500}
+    )
+    assert got == want
+
+
 def test_star_contraction_labels_self_pair_only_nodes(spark):
     # A node whose only pair is a self-pair has no src<dst edge, but
     # the propagation path and the recursive-CTE oracle both label it
