@@ -232,6 +232,25 @@ def q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient aggregation (operators/skew.py): salted two-phase
+    groupBy must equal the direct GROUP BY for algebraic aggregates —
+    the oracle IS the unsalted form. lsn (BIGINT) as the measure keeps
+    the sums exact across engines (float sums would be partial-order
+    dependent)."""
+    from outboxx_spark.operators.skew import salted_agg
+
+    feed = read_feed(spark, sf_dir)
+    return salted_agg(feed, ["resource", "op"], "lsn").select(
+        "resource",
+        "op",
+        F.col("n").alias("n_events"),
+        F.col("sum").alias("lsn_sum"),
+        F.col("min").alias("lsn_min"),
+        F.col("max").alias("lsn_max"),
+    )
+
+
 def q_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Spark 4 Python DataSource (format('outboxx_cdc')): its
     batch output must equal the native feed projection."""
@@ -769,10 +788,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_datasource_feed": q_datasource_feed,
         "cdc_json_ingest": q_json_ingest,
         "cdc_windowed_tally": q_windowed_tally,
-        "cdc_sessions": q_sessions,
-        # -- new this round: Debezium deployment-feed roundtrip (first
-        #    driver evidence) --
+        # -- new this round: Debezium deployment-feed roundtrip + the
+        #    salted skew-agg oracle (first driver evidence for both) --
         "cdc_debezium_roundtrip": q_debezium_roundtrip,
+        "cdc_skew_agg": q_skew_agg,
         # -- mm trio: touched late in the round (JPEG SOF bounds fix +
         #    sign-safe pmod mirror in the metadata oracle) --
         "mm_metadata": q_mm_metadata,
@@ -782,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row (CORRECTNESS_r07.json) in UNCHANGED formulation
         # (tools/touched_queries.py flags none of them), so losing
         # them to the 50-row cap costs no cross-round evidence ----
+        "cdc_sessions": q_sessions,
         "cdc_materialize": q_materialize,
         "olap_asof_enrich": q_asof_enrich,
         "olap_value_quantiles": olap.event_value_quantiles,
@@ -885,6 +905,12 @@ def oracle_sql() -> dict[str, str]:
                user_id, event_type, value, props,
                CASE WHEN op = 'READ' THEN 'true' ELSE 'false' END AS snapshot
         FROM feed""",
+        "cdc_skew_agg": ORACLE_FEED_CTE
+        + """
+        SELECT resource, op, COUNT(*) AS n_events,
+               CAST(SUM(lsn) AS BIGINT) AS lsn_sum,
+               MIN(lsn) AS lsn_min, MAX(lsn) AS lsn_max
+        FROM feed GROUP BY resource, op""",
         "cdc_datasource_feed": ORACLE_FEED_CTE
         + " SELECT op, resource, lsn, commit_ts, user_id, event_type, value, props FROM feed",
         "cdc_json_ingest": ORACLE_FEED_CTE
