@@ -130,6 +130,69 @@ def test_corrupt_payload_fail_stops_not_drops(spark):
         parse_debezium(rows).collect()
 
 
+def test_decode_total_on_adversarial_payloads(spark):
+    # Deployment surface: a Kafka topic can carry ANY bytes. The decode
+    # must be total — every payload either parses, is a designed skip
+    # (tombstone / t / m), or hits the DESIGNED fail-stop; no other
+    # exception class, no silent drop of row-op events. 400 seeded
+    # adversarial payloads in one job per outcome class.
+    import random
+
+    rng = random.Random(20260815)
+
+    def junk_value(depth=0):
+        kind = rng.randrange(7 if depth < 2 else 5)
+        if kind == 0:
+            return rng.randint(-(2**40), 2**40)
+        if kind == 1:
+            return rng.random() * 10**rng.randint(-3, 3)
+        if kind == 2:
+            return bool(rng.getrandbits(1))
+        if kind == 3:
+            return None
+        if kind == 4:
+            return "".join(chr(rng.randint(32, 0x2FA0)) for _ in range(rng.randint(0, 12)))
+        if kind == 5:
+            return [junk_value(depth + 1) for _ in range(rng.randint(0, 4))]
+        return {f"k{i}": junk_value(depth + 1) for i in range(rng.randint(0, 4))}
+
+    def payload_with_op(op):
+        base = {
+            "op": op,
+            "before": junk_value(1) if rng.getrandbits(1) else None,
+            "after": junk_value(1) if rng.getrandbits(1) else None,
+            "ts_ms": junk_value(),
+            "source": junk_value(),
+        }
+        for i in range(rng.randint(0, 3)):
+            base[f"extra{i}"] = junk_value()
+        return json.dumps(base)
+
+    # class 1: row/skip ops with arbitrary garbage in every other field
+    # -> must complete without raising (fields null out or coerce)
+    ok_rows = [payload_with_op(rng.choice("cudrtm")) for _ in range(200)]
+    out = parse_debezium(_frame(spark, ok_rows))
+    n = out.count()
+    assert 0 < n <= 200  # t/m dropped, the rest decoded
+    for r in out.collect():
+        assert r["op"] in ("INSERT", "UPDATE", "DELETE", "READ")
+
+    # class 2: non-JSON text, JSON without an op, wrong-typed op ->
+    # each must hit the designed fail-stop, not another exception
+    bad = (
+        ["".join(chr(rng.randint(32, 0x2FA0)) for _ in range(rng.randint(0, 30))) for _ in range(60)]
+        + [json.dumps({"not_op": junk_value()}) for _ in range(60)]
+        + [json.dumps({"op": x}) for x in (7, True, ["c"], {"v": "c"}, "z", "")]
+    )
+    # drop accidental valid-op strings the generator might produce
+    bad = [b for b in bad if not any(f'"op": "{o}"' in b for o in "cudrtm")]
+    for chunk in (bad[:60], bad[60:]):
+        if not chunk:
+            continue
+        with pytest.raises(Exception, match="unknown op|unparseable payload"):
+            parse_debezium(_frame(spark, chunk)).collect()
+
+
 def test_is_tombstone_predicate(spark):
     df = _frame(spark, ["{}", None]).select(
         is_tombstone(F.col("value")).alias("t")
