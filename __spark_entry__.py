@@ -774,15 +774,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_bpe_merges": q_docs_bpe_merges,
         # -- r7-green fillers completing the 50-row window --
-        "cdc_route_fanout": q_route_fanout,
-        "cdc_envelope_roundtrip": q_envelope_roundtrip,
-        "cdc_partition_key": q_partition_key,
-        "cdc_update_projection": q_update_projection,
-        "cdc_read_optin": q_read_optin,
-        "cdc_dedup_boundary": q_dedup_boundary,
-        "cdc_snapshot_read": q_snapshot_read,
-        "cdc_type_mapping": q_type_mapping,
-        "cdc_toast_placeholder": q_toast_placeholder,
         "cdc_lag": q_lag,
         "cdc_pgoutput_roundtrip": q_pgoutput_roundtrip,
         "cdc_datasource_feed": q_datasource_feed,
@@ -797,10 +788,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_metadata": q_mm_metadata,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_features": q_mm_features,
+        # -- emb block: similarity.py touched late in the round (the
+        #    double-evaluation fixes in kmeans_assign/diversity_sample
+        #    flag every query importing the module) --
+        "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ann_ivf": q_emb_ann_ivf,
+        "emb_ann_topk": q_emb_ann_topk,
+        "emb_ann_recall": q_emb_ann_recall,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "emb_near_dup_ivf": q_emb_near_dup_ivf,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_kmeans_assign": q_emb_kmeans_assign,
+        "emb_diversity_sample": q_emb_diversity_sample,
         # ---- tail (positions 51+): every query below has a green r7
         # driver row (CORRECTNESS_r07.json) in UNCHANGED formulation
         # (tools/touched_queries.py flags none of them), so losing
         # them to the 50-row cap costs no cross-round evidence ----
+        "cdc_route_fanout": q_route_fanout,
+        "cdc_envelope_roundtrip": q_envelope_roundtrip,
+        "cdc_partition_key": q_partition_key,
+        "cdc_update_projection": q_update_projection,
+        "cdc_read_optin": q_read_optin,
+        "cdc_dedup_boundary": q_dedup_boundary,
+        "cdc_snapshot_read": q_snapshot_read,
+        "cdc_type_mapping": q_type_mapping,
+        "cdc_toast_placeholder": q_toast_placeholder,
         "cdc_sessions": q_sessions,
         "cdc_materialize": q_materialize,
         "olap_asof_enrich": q_asof_enrich,
@@ -817,15 +829,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_pricing_summary": olap.pricing_summary,
         "olap_top_customers": olap.top_revenue_customers,
         "olap_nation_volume": olap.nation_order_volume,
-        "emb_ann_lsh": q_emb_ann_lsh,
-        "emb_ann_ivf": q_emb_ann_ivf,
-        "emb_ann_topk": q_emb_ann_topk,
-        "emb_ann_recall": q_emb_ann_recall,
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "emb_near_dup_ivf": q_emb_near_dup_ivf,
-        "emb_near_dup": q_emb_near_dup,
-        "emb_kmeans_assign": q_emb_kmeans_assign,
-        "emb_diversity_sample": q_emb_diversity_sample,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_unigram_lm": q_docs_unigram_lm,
         "olap_topk_per_priority": olap.top_orders_per_priority,

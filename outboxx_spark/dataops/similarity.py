@@ -1049,7 +1049,17 @@ def kmeans_assignments(
     matmul; the only shuffle is the final population count on a
     ``n_clusters``-value domain (map-side combinable)."""
     centroids = _train_corpus_centroids(emb, n_clusters, sample_size, id_col, vec_col)
-    assigned = ivf_assignments(emb, centroids, id_col, vec_col)
+    # Materialize the 2-column assignment once: it feeds BOTH the
+    # population count and the join's left side, and without the cut
+    # Catalyst plans two full scan+matmul branches (r8 plan audit: two
+    # parquet scans, four ArrowEvalPython nodes). The checkpoint is
+    # (vid, cluster) — tiny next to re-running the corpus matmul — and
+    # the corpus still never shuffles (the count aggregates to
+    # n_clusters values map-side; windowing by cluster instead would
+    # funnel the corpus through n_clusters reducers).
+    assigned = ivf_assignments(emb, centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
     return (
         assigned.join(F.broadcast(sizes), "cluster")
@@ -1144,12 +1154,18 @@ def diversity_sample(
             F.round(cosine(F.col("v"), F.col("c")), 6).alias("score"),
         )
     )
-    sizes = scored.groupBy("cluster").agg(F.count("*").alias("n"))
+    # The ranking window already shuffles by cluster, so the cluster
+    # population rides the SAME pass as an unordered count window —
+    # the previous groupBy+broadcast-join consumed `scored` twice and
+    # Catalyst planned the whole assignment+cosine twice (r8 plan
+    # audit: two scans, four ArrowEvalPython nodes). One consumer, one
+    # shuffle, one evaluation.
     quota = F.ceil(F.lit(float(fraction)) * F.col("n")).cast("int")
     w = W.partitionBy("cluster").orderBy(F.col("score").desc(), F.col("vid"))
+    w_all = W.partitionBy("cluster")
     return (
-        scored.join(F.broadcast(sizes), "cluster")
-        .withColumn("keep_rank", F.row_number().over(w))
+        scored.withColumn("keep_rank", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(w_all))
         .filter(F.col("keep_rank") <= quota)
         .select(F.col("vid").alias(id_col), "cluster", "keep_rank")
     )
