@@ -1,48 +1,110 @@
-"""Dump formatted physical plans for driver queries.
+"""Plan audit over the whole query surface: count the plan shapes that
+go quadratic or interpreter-bound at scale.
 
-Usage:
-    python tools/plan_audit.py [sf_dir] [query ...]
+For every ``__spark_entry__.queries()`` entry (built at sf0.001 — plans,
+not timings), report:
 
-With no query names, audits every entry in __spark_entry__.queries().
-Greppable output: each plan is delimited by '==== <name> ===='. Use it
-after changing an operator to confirm the plan shape (broadcasts,
-pushdown, codegen spans) is still the one SCALING.md claims.
+- **python eval nodes** (ArrowEvalPython / BatchEvalPython /
+  MapInPandas / FlatMapGroupsInPandas): more than the operator's
+  documented count usually means Catalyst re-planned a UDF branch
+  twice (the r8 kmeans/diversity finding: a frame consumed by two
+  downstream branches re-evaluates its whole UDF chain per branch).
+- **from_json / to_json occurrences**: CodegenFallback expressions are
+  re-evaluated per REFERENCE — per-column inlining or filter-pushdown
+  substitution multiplies full JSON parses (the r8 Debezium/envelope
+  findings; see sources/debezium.py docstrings).
+- **cartesian shapes** (CartesianProduct / BroadcastNestedLoopJoin):
+  legitimate only in the explicitly-gated brute-force baselines
+  (emb_near_dup / emb_ann_topk / emb_ann_recall exact arms,
+  olap_value_bands' tiny range-band dim, edit-dedup's length-band
+  dim); anything else is a scale bug.
+
+Run: ``python tools/plan_audit.py [sf_dir]`` — prints one line per
+query that exceeds the thresholds, then a summary. Exit code 0 always
+(an audit, not a gate): plans legitimately differ per operator; the
+output is for the human (or the next round's notes) to triage.
 """
 
 from __future__ import annotations
 
 import contextlib
 import io
+import re
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# documented gated baselines: BNLJ/cartesian is the point of the query
+CARTESIAN_OK = {
+    "emb_near_dup",
+    "emb_ann_topk",
+    "emb_ann_recall",
+    "olap_value_bands",
+    "docs_edit_dedup",
+}
 
-def main() -> None:
-    args = sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    names = args[1:]
+THRESHOLDS = {"py_nodes": 2, "from_json": 4, "to_json": 12, "cartesian": 0}
 
+
+def audit(sf_dir: str) -> dict[str, dict]:
     from outboxx_spark.session import get_spark
-
-    spark = get_spark("plan_audit")
-    spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E
 
-    qs = E.queries()
-    for name in names or qs:
-        print(f"==== {name} ====")
+    spark = get_spark("plan-audit")
+    out: dict[str, dict] = {}
+    for name, fn in E.queries().items():
         try:
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
-                qs[name](spark, sf_dir).explain("formatted")
-            print(buf.getvalue())
-        except Exception as e:  # keep auditing the rest
-            print(f"ERROR building plan: {e}")
-    spark.stop()
+                fn(spark, sf_dir).explain("formatted")
+            plan = buf.getvalue()
+            py_nodes = len(
+                set(
+                    re.findall(
+                        r"(ArrowEvalPython|BatchEvalPython|MapInPandas|"
+                        r"FlatMapGroupsInPandas) \((\d+)\)",
+                        plan,
+                    )
+                )
+            )
+            out[name] = {
+                "py_nodes": py_nodes,
+                "from_json": plan.count("from_json"),
+                "to_json": plan.count("to_json") + plan.count("StructsToJson"),
+                # each physical node prints twice in formatted output
+                # (tree + detail) — halve to a node count
+                "cartesian": (
+                    plan.count("CartesianProduct")
+                    + plan.count("BroadcastNestedLoopJoin")
+                )
+                // 2,
+            }
+        except Exception as e:  # noqa: BLE001 - audit must finish the sweep
+            out[name] = {"error": type(e).__name__}
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    report = audit(sf_dir)
+    flagged = 0
+    for name, d in report.items():
+        if "error" in d:
+            print(f"ERROR   {name}: {d['error']}")
+            flagged += 1
+            continue
+        reasons = [
+            f"{k}={v}"
+            for k, v in d.items()
+            if v > THRESHOLDS[k] and not (k == "cartesian" and name in CARTESIAN_OK)
+        ]
+        if reasons:
+            print(f"FLAG    {name}: {', '.join(reasons)}")
+            flagged += 1
+    print(f"audited {len(report)} queries, {flagged} flagged")
 
 
 if __name__ == "__main__":
