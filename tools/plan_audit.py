@@ -23,6 +23,12 @@ Run: ``python tools/plan_audit.py [sf_dir]`` — prints one line per
 query that exceeds the thresholds, then a summary. Exit code 0 always
 (an audit, not a gate): plans legitimately differ per operator; the
 output is for the human (or the next round's notes) to triage.
+
+``python tools/plan_audit.py --dump [sf_dir] [query ...]`` prints the
+full formatted plans instead (each delimited by ``==== <name> ====``)
+— use after changing an operator to confirm the plan shape
+(broadcasts, pushdown, codegen spans) is still the one SCALING.md
+claims.
 """
 
 from __future__ import annotations
@@ -87,8 +93,28 @@ def audit(sf_dir: str) -> dict[str, dict]:
     return out
 
 
+def dump(sf_dir: str, names: list[str]) -> None:
+    from outboxx_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark("plan-dump")
+    qs = E.queries()
+    for name in names or list(qs):
+        print(f"==== {name} ====")
+        qs[name](spark, sf_dir).explain("formatted")
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if a != "--dump"]
+    sf_dir = (
+        args.pop(0)
+        if args and args[0].startswith("/")
+        else "/root/testdata/sf0.001"
+    )
+    if "--dump" in sys.argv:
+        dump(sf_dir, args)
+        return
     report = audit(sf_dir)
     flagged = 0
     for name, d in report.items():
