@@ -145,6 +145,27 @@ def test_touched_tool_sees_constant_and_function_changes():
     assert "SNAP" in refs_a and "SNAP" not in refs_b
 
 
+def test_externally_defined_queries_carry_their_home_module():
+    # olap.* callables are referenced directly in queries(); their
+    # co_names resolve in olap.py's namespace, not the entry module's,
+    # and their home module must land in the dep set either way — or
+    # an olap.py edit would never flag its queries as touched (r8 fix)
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import touched_queries as tq
+
+    mods, _, _ = tq.query_module_deps(E.queries()["olap_pricing_summary"], vars(E))
+    assert "outboxx_spark.olap" in mods
+    # and every query must depend on at least one outboxx_spark module
+    empty = [
+        n
+        for n, fn in E.queries().items()
+        if not tq.query_module_deps(fn, vars(E))[0]
+    ]
+    assert not empty, f"queries with an empty module dep set: {empty}"
+
+
 def test_all_callables():
     for name, fn in {**E.queries(), **E.queries_staged()}.items():
         assert callable(fn), name
