@@ -193,6 +193,53 @@ def test_decode_total_on_adversarial_payloads(spark):
             parse_debezium(_frame(spark, chunk)).collect()
 
 
+def test_debezium_and_pgoutput_paths_agree_on_the_feed(spark):
+    # Cross-source invariant: the SAME feed pushed through the pgoutput
+    # binary path (encode_feed_as_pgoutput -> decode_stream) and the
+    # Debezium JSON path (encode_feed_as_debezium -> parse_debezium)
+    # must yield the same change events. Differences by design: the
+    # WAL path excludes READ rows (snapshots never ride the WAL) and
+    # stamps PG-epoch-derived seconds while Debezium carries the
+    # connector's ms clock (exactly x1000 in the testbed encoders).
+    from outboxx_spark.sources.debezium import (
+        encode_feed_as_debezium,
+        parse_debezium,
+    )
+    from outboxx_spark.sources.feed import read_feed
+    from outboxx_spark.sources.pgoutput import (
+        decode_stream,
+        encode_feed_as_pgoutput,
+    )
+
+    feed = read_feed(spark, "/root/testdata/sf0.001")
+    pg = {
+        (r["op"], r["resource"], r["lsn"]): (
+            r["commit_ts"],
+            dict(r["data"]),
+        )
+        for r in decode_stream(encode_feed_as_pgoutput(feed)).collect()
+    }
+    dbz = {
+        (r["op"], r["resource"], r["lsn"]): (
+            r["commit_ts"],
+            dict(r["data"]),
+        )
+        for r in parse_debezium(encode_feed_as_debezium(feed))
+        .filter(F.col("op") != "READ")
+        .collect()
+    }
+    assert pg.keys() == dbz.keys()
+    n_checked = 0
+    for k, (ts_s, data_pg) in pg.items():
+        ts_ms, data_dbz = dbz[k]
+        assert ts_ms == ts_s * 1000, k
+        # both row images stringify the same columns; pgoutput's NULL
+        # rendering and debezium's JSON null both surface as None
+        assert data_pg == data_dbz, k
+        n_checked += 1
+    assert n_checked > 0
+
+
 def test_is_tombstone_predicate(spark):
     df = _frame(spark, ["{}", None]).select(
         is_tombstone(F.col("value")).alias("t")
