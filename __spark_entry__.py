@@ -724,86 +724,21 @@ def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order note (r8 rotation): the driver's correctness pass records
-    # exactly the FIRST 50 dict entries (proven r2-r7). The window
-    # carries, in priority order: (a) the entire 27-query r7 tail,
-    # whose newest driver evidence is r6 (the stalest on the board),
-    # (b) the 3 in-window queries the round's changes touch beyond
-    # that tail -- tools/touched_queries.py derives the full touched
-    # set mechanically from changed modules + entry-function diffs +
-    # oracle hashes (the r7 band-kernel refactor proved hand-curated
-    # lists go stale), and the other 6 touched queries are dedup.py
-    # consumers already inside the r7 tail -- and (c) 19 r7-green
-    # fillers. The 27-query tail is exclusively r7-green in unchanged
-    # formulation, so the r7-or-r8 union gives every query a driver
-    # row no older than two rounds. A cheap warm-up query stays first.
+    # Order note (r9 rotation): the driver's correctness pass records
+    # exactly the FIRST 50 dict entries (proven r2-r8). The window
+    # carries, in priority order: (a) the entire 29-query r8 tail,
+    # whose newest driver evidence is r7 (the stalest on the board),
+    # (b) the in-window queries this round's changes touch --
+    # tools/touched_queries.py derives the touched set mechanically
+    # (changed modules + entry-function diffs + oracle hashes) -- and
+    # (c) r8-green fillers completing the 50. The tail is exclusively
+    # r8-green in unchanged formulation, so the r8-or-r9 union gives
+    # every query a driver row no older than two rounds. A cheap
+    # warm-up query stays first.
     return {
         # -- warm-up --
         "cdc_tally": q_tally,
-        # -- stalest evidence: the entire r7 tail (last driver row r6) --
-        "olap_value_bands": olap.value_band_totals,
-        "docs_edit_dedup": q_docs_edit_dedup,
-        "cdc_snapshot_diff": q_cdc_snapshot_diff,
-        "cdc_state_as_of": q_cdc_state_as_of,
-        "cdc_gap_check": q_cdc_gap_check,
-        "olap_table_profile": olap.table_profile,
-        "olap_quantiles_approx": olap.event_value_quantiles_approx_check,
-        "olap_cardinality_approx": olap.event_type_cardinality_approx_check,
-        "docs_minhash_dedup": q_docs_minhash_dedup,
-        "docs_simhash": q_docs_simhash,
-        "docs_simhash_pairs": q_docs_simhash_pairs,
-        "docs_dedup_survivors": q_docs_dedup_survivors,
-        "docs_curate": q_docs_curate,
-        "docs_pii_redact": q_docs_pii_redact,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_weighted_mix": q_docs_weighted_mix,
-        "docs_repetition": q_docs_repetition,
-        "docs_contamination": q_docs_contamination,
-        "cdc_update_pairs": q_cdc_update_pairs,
-        "docs_vocab_topk": q_docs_vocab_topk,
-        "docs_tfidf": q_docs_tfidf,
-        "docs_exact_dedup": q_docs_exact_dedup,
-        "docs_quality": q_docs_quality,
-        "docs_lang_id": q_docs_lang_id,
-        "docs_fingerprint": q_docs_fingerprint,
-        "docs_ngram_dedup": q_docs_ngram_dedup,
-        "olap_rollup": olap.nation_revenue_rollup,
-        # -- r7-green, but touched this round (band-kernel plan fix
-        #    propagates through dedup.py's importers): fresh evidence --
-        "docs_incremental_dedup": q_docs_incremental_dedup,
-        "docs_dup_clusters": q_docs_dup_clusters,
-        "docs_bpe_merges": q_docs_bpe_merges,
-        # -- r7-green fillers completing the 50-row window --
-        "cdc_lag": q_lag,
-        "cdc_pgoutput_roundtrip": q_pgoutput_roundtrip,
-        "cdc_datasource_feed": q_datasource_feed,
-        "cdc_json_ingest": q_json_ingest,
-        "cdc_windowed_tally": q_windowed_tally,
-        # -- new this round: Debezium deployment-feed roundtrip + the
-        #    salted skew-agg oracle (first driver evidence for both) --
-        "cdc_debezium_roundtrip": q_debezium_roundtrip,
-        "cdc_skew_agg": q_skew_agg,
-        # -- mm trio: touched late in the round (JPEG SOF bounds fix +
-        #    sign-safe pmod mirror in the metadata oracle) --
-        "mm_metadata": q_mm_metadata,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_features": q_mm_features,
-        # -- emb block: similarity.py touched late in the round (the
-        #    double-evaluation fixes in kmeans_assign/diversity_sample
-        #    flag every query importing the module) --
-        "emb_ann_lsh": q_emb_ann_lsh,
-        "emb_ann_ivf": q_emb_ann_ivf,
-        "emb_ann_topk": q_emb_ann_topk,
-        "emb_ann_recall": q_emb_ann_recall,
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "emb_near_dup_ivf": q_emb_near_dup_ivf,
-        "emb_near_dup": q_emb_near_dup,
-        "emb_kmeans_assign": q_emb_kmeans_assign,
-        "emb_diversity_sample": q_emb_diversity_sample,
-        # ---- tail (positions 51+): every query below has a green r7
-        # driver row (CORRECTNESS_r07.json) in UNCHANGED formulation
-        # (tools/touched_queries.py flags none of them), so losing
-        # them to the 50-row cap costs no cross-round evidence ----
+        # -- stalest evidence: the entire r8 tail (last driver row r7) --
         "cdc_route_fanout": q_route_fanout,
         "cdc_envelope_roundtrip": q_envelope_roundtrip,
         "cdc_partition_key": q_partition_key,
@@ -833,6 +768,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_lm": q_docs_unigram_lm,
         "olap_topk_per_priority": olap.top_orders_per_priority,
         "olap_spend_deciles": olap.customer_spend_deciles,
+        # -- r8-green, but touched (or planned-touched) this round:
+        #    debezium null-safe decode hardening, skew operators, and
+        #    the curation deep-probe trim flag their importers --
+        "cdc_debezium_roundtrip": q_debezium_roundtrip,
+        "cdc_skew_agg": q_skew_agg,
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_dedup_survivors": q_docs_dedup_survivors,
+        "docs_curate": q_docs_curate,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_weighted_mix": q_docs_weighted_mix,
+        "docs_contamination": q_docs_contamination,
+        # -- r8-green fillers completing the 50-row window --
+        "docs_pii_redact": q_docs_pii_redact,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_quality": q_docs_quality,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_minhash_dedup": q_docs_minhash_dedup,
+        "docs_incremental_dedup": q_docs_incremental_dedup,
+        "docs_ngram_dedup": q_docs_ngram_dedup,
+        "docs_simhash": q_docs_simhash,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
+        "docs_repetition": q_docs_repetition,
+        "docs_edit_dedup": q_docs_edit_dedup,
+        # ---- tail (positions 51+): every query below has a green r8
+        # driver row (CORRECTNESS_r08.json) in UNCHANGED formulation
+        # (tools/touched_queries.py flags none of them), so losing
+        # them to the 50-row cap costs no cross-round evidence ----
+        "cdc_lag": q_lag,
+        "cdc_pgoutput_roundtrip": q_pgoutput_roundtrip,
+        "cdc_datasource_feed": q_datasource_feed,
+        "cdc_json_ingest": q_json_ingest,
+        "cdc_windowed_tally": q_windowed_tally,
+        "cdc_update_pairs": q_cdc_update_pairs,
+        "cdc_snapshot_diff": q_cdc_snapshot_diff,
+        "cdc_state_as_of": q_cdc_state_as_of,
+        "cdc_gap_check": q_cdc_gap_check,
+        "olap_value_bands": olap.value_band_totals,
+        "olap_table_profile": olap.table_profile,
+        "olap_quantiles_approx": olap.event_value_quantiles_approx_check,
+        "olap_cardinality_approx": olap.event_type_cardinality_approx_check,
+        "olap_rollup": olap.nation_revenue_rollup,
+        "docs_vocab_topk": q_docs_vocab_topk,
+        "docs_tfidf": q_docs_tfidf,
+        "docs_bpe_merges": q_docs_bpe_merges,
+        "mm_metadata": q_mm_metadata,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_features": q_mm_features,
+        "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ann_ivf": q_emb_ann_ivf,
+        "emb_ann_topk": q_emb_ann_topk,
+        "emb_ann_recall": q_emb_ann_recall,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "emb_near_dup_ivf": q_emb_near_dup_ivf,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_kmeans_assign": q_emb_kmeans_assign,
+        "emb_diversity_sample": q_emb_diversity_sample,
     }
 
 

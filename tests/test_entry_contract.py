@@ -87,6 +87,52 @@ def test_touched_queries_are_inside_driver_window():
     )
 
 
+def test_round_base_commit_survives_untracked_newest(tmp_path):
+    # r8 judge finding: at the driver round boundary the newest
+    # CORRECTNESS_r*.json exists but is UNTRACKED — `git log -1 -- f`
+    # emits '' with exit 0, and the '' base crashed touched_queries()
+    # with CalledProcessError (exit 128 from `git diff ''`) instead of
+    # the designed rotate-these-queries assertion. The base derivation
+    # must fall back to the newest *committed* correctness file, and
+    # raise FileNotFoundError (the contract test's skip path) when no
+    # correctness file is committed at all.
+    import subprocess
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import touched_queries as tq
+
+    def git(*args):
+        return subprocess.run(
+            ["git", *args], cwd=tmp_path, capture_output=True,
+            text=True, check=True,
+        ).stdout.strip()
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{}")
+    git("add", "CORRECTNESS_r01.json")
+    git("commit", "-qm", "r1")
+    head = git("rev-parse", "HEAD")
+    # the boundary state: driver wrote r02, nothing committed it yet
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{}")
+    old_repo = tq.REPO
+    try:
+        tq.REPO = tmp_path
+        assert tq.round_base_commit() == head
+        # nothing committed at all -> FileNotFoundError, not a git crash
+        (tmp_path / "CORRECTNESS_r01.json").unlink()
+        git("rm", "-q", "--cached", "CORRECTNESS_r01.json")
+        git("commit", "-qm", "drop")
+        import pytest
+
+        with pytest.raises(FileNotFoundError):
+            tq.round_base_commit()
+    finally:
+        tq.REPO = old_repo
+
+
 def test_oracle_snapshot_is_current():
     # The oracle-hash snapshot is the baseline the touched-query
     # derivation compares against; a stale snapshot would flag every
