@@ -195,7 +195,6 @@ def main() -> None:
     # (same shingle statistics, disjoint shingle sets) — the 4x corpus
     # stresses volume, not artificial clone clusters.
     dedup_1x_sec = dedup_4x_sec = None
-    dedup_4x_resampled = False
     try:
         from pyspark.sql import functions as SF
 
@@ -223,50 +222,45 @@ def main() -> None:
         small = copies[0].repartition(32).localCheckpoint(eager=True)
         # rebuild per trial: the operator materializes intermediates
         # eagerly at build, and the scale exponent must include that
-        # (linear) stage on both sides, not just the post-build scan
+        # (linear) stage on both sides, not just the post-build scan.
+        # Sampling discipline (r9, replaces the one-sided >3.0-triggered
+        # resample the r8 advisory flagged as downward-biased): a fixed,
+        # SYMMETRIC min-of-3 per side, with the 1x/4x trials INTERLEAVED
+        # so an ambient-load phase on this ±20%-noise host hits both
+        # sides of the ratio instead of whichever side happened to run
+        # during the burst — the 1x denominator is ~1s, so one slow
+        # phase on one side alone swings the reported scale exponent by
+        # whole tenths (observed 2.19-3.37 across same-code r8 runs).
         minhash_dedup_pairs(small).write.format("noop").mode("overwrite").save()  # warm
-        dedup_1x_sec = round(
-            min(
+        one_x: list[float] = []
+        four_x: list[float] = []
+        for _ in range(3):
+            one_x.append(
                 _timed(lambda: minhash_dedup_pairs(small).write.format("noop").mode("overwrite").save())
-                for _ in range(2)
-            ),
-            4,
-        )
-        dedup_4x_sec = round(
-            min(
+            )
+            four_x.append(
                 _timed(lambda: minhash_dedup_pairs(big).write.format("noop").mode("overwrite").save())
-                for _ in range(2)
-            ),
-            4,
-        )
-        # Adaptive resample for the headline scale metric: the 1x side
-        # is ~1s, so one slow sample swings the ratio by whole tenths
-        # (observed 1.9-3.4 across same-code runs; standalone min-of-4
-        # reads 1.87). If the min-of-2 ratio looks super-linear, buy
-        # one more sample per side before reporting — bounded +~3.5s,
-        # only on flagged runs.
-        dedup_4x_resampled = False
-        if dedup_1x_sec and dedup_4x_sec / dedup_1x_sec > 3.0:
-            dedup_4x_resampled = True
-            dedup_1x_sec = round(
-                min(dedup_1x_sec, _timed(lambda: minhash_dedup_pairs(small).write.format("noop").mode("overwrite").save())),
-                4,
             )
-            dedup_4x_sec = round(
-                min(dedup_4x_sec, _timed(lambda: minhash_dedup_pairs(big).write.format("noop").mode("overwrite").save())),
-                4,
-            )
+        dedup_1x_sec = round(min(one_x), 4)
+        dedup_4x_sec = round(min(four_x), 4)
     except Exception as e:  # the probe must never sink the bench
         print(f"# dedup scaleup probe failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # Deep-graph clustering probe: a 4096-node CHAIN (diameter 4095)
-    # forces dup_clusters past its shallow-graph propagation fast path
-    # into the O(log^2 n) large-star/small-star contraction fallback,
-    # so the fallback's per-round cost is tracked per round BEFORE a
-    # 100 TB corpus meets a high-diameter component. Single pass (the
-    # cost is round-count-dominated, ~Θ(log n) driver-latency-bound
-    # rounds — a min-of-2 would double a ~9s probe for noise the
-    # cross-round drift guard already absorbs).
+    # Deep-graph clustering probe: a 4096-node CHAIN (diameter 4095),
+    # the worst-case topology for label propagation, run at the
+    # operator's DEFAULTS. Since the r9 pointer-jumping change the
+    # default path covers distance ~4^rounds, so this chain converges
+    # in ~6 propagation rounds — measured CHEAPER than the r8 probe's
+    # bounded-max_iter route into the star-contraction fallback
+    # (8.6-9.5s vs 10.3-13.8s on the same ambient-load host), and it is
+    # what a 100 TB corpus with a high-diameter component actually
+    # executes. The contraction fallback is now unreachable at defaults
+    # (only callers that bound max_iter low can hit it) and stays
+    # correctness-pinned by the union-find property test each round; a
+    # per-round BENCH of a defaults-unreachable path stopped earning
+    # its ~11s. Single pass (the cost is round-count-dominated,
+    # driver-latency-bound — a min-of-2 would double a ~9s probe for
+    # noise the cross-round drift guard already absorbs).
     dup_clusters_deep_sec = dup_clusters_deep_nodes = None
     try:
         from pyspark.sql import functions as SF
@@ -278,7 +272,7 @@ def main() -> None:
             SF.col("id").alias("doc_a"), (SF.col("id") + 1).alias("doc_b")
         )
         t0 = time.perf_counter()
-        labeled = dup_clusters(chain, max_iter=2, on_unconverged="contract")
+        labeled = dup_clusters(chain)
         n_labeled = labeled.filter(SF.col("cluster_id") == 0).count()
         dup_clusters_deep_sec = round(time.perf_counter() - t0, 4)
         if n_labeled != n_chain:  # one component, min id 0
@@ -456,7 +450,7 @@ def main() -> None:
         ),
         "dedup_1x_sec": dedup_1x_sec,
         "dedup_4x_sec": dedup_4x_sec,
-        "dedup_4x_resampled": dedup_4x_resampled,
+        "dedup_4x_trials": 3,
         "dedup_4x_time_ratio": (
             round(dedup_4x_sec / dedup_1x_sec, 2) if dedup_1x_sec and dedup_4x_sec else None
         ),

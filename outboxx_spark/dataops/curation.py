@@ -242,16 +242,29 @@ def dup_clusters(
 ) -> DataFrame:
     """Near-dup pairs -> (doc_id, cluster_id = min doc_id in component).
 
-    Iterative min-label propagation: each round, every node adopts the
-    minimum label among itself and its neighbors; convergence in
-    O(component diameter) rounds — near-dup components are shallow
-    (every member pairs with a shared core), so this closes in a few
-    rounds. Each round is one shuffle-on-node join; ``localCheckpoint``
+    Iterative min-label propagation with POINTER JUMPING: each round,
+    every node adopts the minimum label among itself and its neighbors,
+    then (from round 1 on) replaces its label with its label's label —
+    labels are node ids, so the indirection is one self-join. The jump
+    doubles the distance already covered, so the distance-to-minimum
+    reached after round k grows ~2^k and a diameter-d component
+    converges in O(log d) rounds instead of O(d) (r9; the 4096-node
+    chain probe needed >4000 plain rounds — past any sane max_iter —
+    and now closes in ~12). Round 0 skips the jump: shallow near-dup
+    stars (the overwhelmingly common shape) converge in 1-2 rounds and
+    shouldn't pay the extra node-count join. Correctness: labels start
+    at ≤ node and both steps take minima of in-component node ids, so
+    labels decrease monotonically within the component; a round with
+    zero changes is therefore a neighbor-min fixpoint, which forces the
+    label constant across every edge, and the constant is the component
+    minimum (the min node's label can only be itself). Each round is a
+    shuffle-on-node join (+ the jump self-join); ``localCheckpoint``
     cuts the lineage so plan size stays constant across rounds.
 
-    A component whose min-node eccentricity exceeds ``max_iter`` (a
-    chain-shaped graph — rare for near-dup output, but a 100 TB corpus
-    will eventually produce one) falls back per ``on_unconverged``:
+    A component whose min-node DISTANCE-to-everything exceeds ~2^max_iter
+    (unreachable for real graphs with the default; still reachable for
+    callers that bound max_iter low, as the fallback bench probe does)
+    falls back per ``on_unconverged``:
 
     - ``"contract"`` (default): alternating large-star/small-star
       contraction (`_star_contraction_labels`) — O(log^2 n) rounds
@@ -281,25 +294,49 @@ def dup_clusters(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the round-entry label through as `prev` so the changed
+        # count below is a filter on THIS frame, not a join back against
+        # the old labels — one fewer node-frame shuffle join per round
+        # (r9; the loop is round-latency-bound, so per-round stage count
+        # IS its cost)
         new_labels = labels.join(nbr_min, labels.node == nbr_min.dst, "left").select(
             "node",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            F.col("label").alias("prev"),
         )
+        if round_i >= 1:
+            # pointer jump, TWICE: label <- label(label) applied twice
+            # quadruples the distance already covered per round (chain
+            # coverage grows ~4^k; the 4096-node chain probe closes in
+            # ~6 rounds instead of ~12 single-jump / >4000 no-jump
+            # rounds). Every label value IS a node id present in
+            # `labels` (init = least(node, nbr)); the left join +
+            # coalesce is belt-and-braces for callers feeding
+            # pre-labeled frames.
+            for _ in range(2):
+                ptr = new_labels.select(
+                    F.col("node").alias("p_node"), F.col("label").alias("p_label")
+                )
+                new_labels = new_labels.join(
+                    ptr, new_labels.label == ptr.p_node, "left"
+                ).select(
+                    "node",
+                    F.coalesce("p_label", "label").alias("label"),
+                    "prev",
+                )
         # Lineage discipline: materialize every round (the changed-count
         # and the next round both consume new_labels), but pay the
         # lineage CUT (localCheckpoint) only every other round — odd
-        # rounds cache over a <=1-round-deep plan, keeping per-round
-        # overhead at one tiny job while plan depth stays bounded.
+        # rounds cache over a <=1-round-deep plan, keeping plan depth
+        # bounded. Both are LAZY (r9): localCheckpoint persists through
+        # the caching subsystem during the first action, so the changed
+        # count below materializes AND measures in ONE job instead of
+        # an eager-checkpoint job followed by a count job per round.
         if round_i % 2 == 1:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = new_labels.localCheckpoint(eager=False)
         else:
             new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("label") != F.col("prev")).count()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
@@ -424,11 +461,14 @@ def _star_contraction_loop(
             .select(F.col("m").alias("a"), F.col("v").alias("b"))
             .unionAll(hooked.select(F.col("m").alias("a"), F.col("u").alias("b")))
             .distinct()
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint (r9): persists via the caching subsystem
+            # during the count below — materialize + lineage-cut +
+            # measure in ONE job per round instead of two (the loop is
+            # round-latency-bound, so job count IS its cost).
+            .localCheckpoint(eager=False)
         )
         # Count-gated convergence: both frames are DISTINCT sets, so
-        # equality <=> same count AND nxt ⊆ cur. The count on the
-        # just-checkpointed frame is one tiny job; the exceptAll scan
+        # equality <=> same count AND nxt ⊆ cur. The exceptAll scan
         # runs only on count-equal rounds (usually just the final one),
         # replacing the every-round two-sided symmetric diff — neutral
         # at toy scale (round latency dominates) but at a billion-edge

@@ -651,11 +651,15 @@ def test_dup_clusters_deep_chain_contracts(spark):
     pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
     out = {r["doc_id"]: r["cluster_id"] for r in cu.dup_clusters(pairs).collect()}
     assert out == {i: 100 for i in range(100, 141)}
-    # the pre-r7 fail-stop remains available for shallow-graph invariants
+    # the pre-r7 fail-stop remains available for shallow-graph
+    # invariants. Since the r9 pointer-jumping change, distance covered
+    # grows ~2^rounds (this 40-hop chain converges within the default
+    # max_iter=25), so the unconverged state needs a deliberately low
+    # bound: 3 rounds cover ~14 hops < 40.
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="not certified converged"):
-        cu.dup_clusters(pairs, on_unconverged="raise")
+        cu.dup_clusters(pairs, max_iter=3, on_unconverged="raise")
 
 
 def test_star_contraction_matches_union_find(spark):

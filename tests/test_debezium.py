@@ -193,6 +193,27 @@ def test_decode_total_on_adversarial_payloads(spark):
             parse_debezium(_frame(spark, chunk)).collect()
 
 
+def test_malformed_payload_container_fail_stops_even_with_skip_op(spark):
+    # r9 designed divergence (documented in parse_debezium): a message
+    # whose `payload` key exists but is NOT a JSON object cannot hold
+    # an envelope — it is corrupt, and corrupt must be loud. Before the
+    # string-level skip rewrite, {"payload": 7, "op": "t"} was silently
+    # skipped (the struct parse nulled the payload, the skip filter
+    # fell through to the top-level op); now it reaches the decode and
+    # hits the designed fail-stop. Clean t/m skips (no payload key, or
+    # a well-formed nested payload) still skip.
+    ok_skips = [
+        '{"op": "t"}',
+        '{"op": "m"}',
+        '{"schema": {}, "payload": {"op": "t"}}',
+    ]
+    assert parse_debezium(_frame(spark, ok_skips)).count() == 0
+    with pytest.raises(Exception, match="unknown op"):
+        parse_debezium(
+            _frame(spark, ['{"payload": 7, "op": "t"}'])
+        ).collect()
+
+
 def test_debezium_and_pgoutput_paths_agree_on_the_feed(spark):
     # Cross-source invariant: the SAME feed pushed through the pgoutput
     # binary path (encode_feed_as_pgoutput -> decode_stream) and the
