@@ -25,6 +25,7 @@ from outboxx_spark.dataops import editdist as ed
 from outboxx_spark.dataops import similarity as sim
 from outboxx_spark.dataops import text as tx
 from outboxx_spark.dataops.bpe import bpe_merges_sql, bpe_train
+from outboxx_spark.dataops.chunking import chunk_documents_sql, pack_sequences_sql
 from outboxx_spark.dataops.incremental import incremental_dedup_pairs_sql
 from outboxx_spark.dataops.multimodal import (
     MM_FEATURES_SQL,
@@ -249,6 +250,52 @@ def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min").alias("lsn_min"),
         F.col("max").alias("lsn_max"),
     )
+
+
+def q_olap_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-resilient salted join (operators/skew.py salted_join):
+    scatter orders across 16 sub-keys, replicate the customer key map
+    per salt, join on (key, salt) — must equal the plain join, so the
+    oracle IS the unsalted SQL. BIGINT measures keep it order-exact."""
+    from outboxx_spark.olap import money_units
+    from outboxx_spark.operators.skew import salted_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    return (
+        salted_join(orders, cust, ["o_custkey"])
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                money_units(
+                    F.col("o_totalprice").cast("decimal(20,4)"), 100, "o_totalprice"
+                )
+            )
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+
+
+def q_docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (dataops/chunking.py): 64-token
+    chunks at stride 48, whitespace tokenization shared with the text
+    operators — shuffle-free (posexplode inside the scan stage)."""
+    from outboxx_spark.dataops.chunking import chunk_documents
+
+    return chunk_documents(read_table(spark, sf_dir, "documents"))
+
+
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-offset sequence packing over the chunk stream: shard by
+    doc_id, window cumsum, capacity-boundary assignment — one shuffle,
+    deterministic regardless of partitioning."""
+    from outboxx_spark.dataops.chunking import chunk_documents, pack_sequences
+
+    return pack_sequences(chunk_documents(read_table(spark, sf_dir, "documents")))
 
 
 def q_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,6 +820,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the curation deep-probe trim flag their importers --
         "cdc_debezium_roundtrip": q_debezium_roundtrip,
         "cdc_skew_agg": q_skew_agg,
+        # -- NEW this round (first driver evidence): salted hot-key
+        #    join, token-window chunking, sequence packing --
+        "olap_skew_join": q_olap_skew_join,
+        "docs_chunk": q_docs_chunk,
+        "docs_pack_sequences": q_docs_pack_sequences,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_dedup_survivors": q_docs_dedup_survivors,
         "docs_curate": q_docs_curate,
@@ -788,10 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_ngram_dedup": q_docs_ngram_dedup,
-        "docs_simhash": q_docs_simhash,
-        "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_repetition": q_docs_repetition,
-        "docs_edit_dedup": q_docs_edit_dedup,
         # ---- tail (positions 51+): every query below has a green r8
         # driver row (CORRECTNESS_r08.json) in UNCHANGED formulation
         # (tools/touched_queries.py flags none of them), so losing
@@ -813,6 +862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_topk": q_docs_vocab_topk,
         "docs_tfidf": q_docs_tfidf,
         "docs_bpe_merges": q_docs_bpe_merges,
+        "docs_simhash": q_docs_simhash,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
+        "docs_edit_dedup": q_docs_edit_dedup,
         "mm_metadata": q_mm_metadata,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_features": q_mm_features,
@@ -906,6 +958,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(lsn) AS BIGINT) AS lsn_sum,
                MIN(lsn) AS lsn_min, MAX(lsn) AS lsn_max
         FROM feed GROUP BY resource, op""",
+        # salted join == plain join: the oracle is the unsalted form
+        "olap_skew_join": """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(20,4)) * 100 AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey""",
+        "docs_chunk": chunk_documents_sql(),
+        "docs_pack_sequences": pack_sequences_sql(),
         "cdc_datasource_feed": ORACLE_FEED_CTE
         + " SELECT op, resource, lsn, commit_ts, user_id, event_type, value, props FROM feed",
         "cdc_json_ingest": ORACLE_FEED_CTE
