@@ -195,6 +195,60 @@ def test_unpublished_table_and_truncate_are_invisible_or_skipped(cluster, sql):
     ]
 
 
+def test_resume_after_disconnect_is_exactly_once_after_dedup(cluster, sql, spark):
+    # The reference's delivery contract on REAL infrastructure: logical
+    # decoding restarts at COMMIT granularity, so confirming receipt
+    # mid-transaction and dropping the connection makes the server
+    # resend the whole interrupted txn — at-least-once on the wire —
+    # and the engine's O4 dedup boundary (resource, lsn) collapses the
+    # redelivery to exactly-once (reference source.zig:219-223).
+    sql.query("CREATE TABLE public.resume_t (id bigint PRIMARY KEY, v text)")
+    sql.query("CREATE PUBLICATION pub_res FOR TABLE public.resume_t")
+    repl = PgWireClient(**cluster, replication="database")
+    repl.create_logical_slot("slot_res")
+    sql.query(
+        "INSERT INTO public.resume_t SELECT i, 'a' FROM generate_series(1,10) g(i)"
+    )
+    sql.query(
+        "INSERT INTO public.resume_t SELECT i, 'b' FROM generate_series(11,20) g(i)"
+    )
+    target = parse_lsn(sql.query("SELECT pg_current_wal_insert_lsn()")[0][0])
+    sql.query("INSERT INTO public.resume_t VALUES (999, 'marker')")
+
+    # pass 1: consume txn A fully + 3 rows of txn B, then drop the link
+    first: list = []
+    n_inserts = 0
+    for lsn, payload in repl.stream_pgoutput(
+        "slot_res", "pub_res", target, timeout=60.0
+    ):
+        first.append((lsn, payload))
+        n_inserts += payload[:1] == b"I"
+        if n_inserts == 13:
+            break
+    repl.close()
+
+    # pass 2: a fresh session resumes from the slot's confirmed point
+    repl2 = PgWireClient(**cluster, replication="database")
+    second = list(
+        repl2.stream_pgoutput("slot_res", "pub_res", target, timeout=60.0)
+    )
+    repl2.close()
+
+    frames = first + second
+    # txn A (confirmed behind us) is NOT resent; txn B is resent whole,
+    # so its first rows arrive twice — real at-least-once redelivery
+    i_frames = sum(1 for _, p in frames if p[:1] == b"I")
+    assert i_frames == 23, i_frames
+    # the engine's dedup boundary restores exactly-once
+    from outboxx_spark.operators.dedup import dedup_events
+
+    deduped = dedup_events(pull_slot_changes(spark, frames)).collect()
+    assert len(deduped) == 20
+    assert sorted(int(r["data"]["id"]) for r in deduped) == list(range(1, 21))
+    by_id = {r["data"]["id"]: r["data"]["v"] for r in deduped}
+    assert by_id["5"] == "a" and by_id["15"] == "b"
+
+
 def test_wire_client_simple_query_errors_fail_stop(cluster):
     c = PgWireClient(**cluster)
     try:
