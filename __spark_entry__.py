@@ -26,6 +26,8 @@ from outboxx_spark.dataops import similarity as sim
 from outboxx_spark.dataops import text as tx
 from outboxx_spark.dataops.bpe import bpe_merges_sql, bpe_train
 from outboxx_spark.dataops.chunking import chunk_documents_sql, pack_sequences_sql
+from outboxx_spark.dataops.segments import strip_boilerplate_sql
+from outboxx_spark.dataops.sharding import assign_shards_sql
 from outboxx_spark.dataops.incremental import incremental_dedup_pairs_sql
 from outboxx_spark.dataops.multimodal import (
     MM_FEATURES_SQL,
@@ -296,6 +298,59 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from outboxx_spark.dataops.chunking import chunk_documents, pack_sequences
 
     return pack_sequences(chunk_documents(read_table(spark, sf_dir, "documents")))
+
+
+def q_docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (dataops/segments.py): segments
+    repeated across >= 2 documents are stripped from every document —
+    two partial-aggregable groupBys + one broadcast join, CCNet-style."""
+    from outboxx_spark.dataops.segments import strip_boilerplate
+
+    return strip_boilerplate(
+        read_table(spark, sf_dir, "documents"), seg_len=3, min_docs=2
+    )
+
+
+def q_docs_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-balanced shard export (dataops/sharding.py):
+    global weighted cumsum via the two-pass bucket-offset technique —
+    must equal the oracle's single-node running sum bit-for-bit."""
+    from outboxx_spark.dataops.sharding import assign_shards
+    from outboxx_spark.dataops.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    return assign_shards(docs, F.size(tokens(F.col("text"))), target=512)
+
+
+def q_olap_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned point-in-interval range join (operators/rangejoin.py):
+    events against the top-5 purchase days' +/-12h windows — a pure
+    range predicate that would otherwise plan as BroadcastNestedLoop;
+    the binning rewrite makes it an equi-join on the day bucket.
+    Counts (BIGINT) keep the top-5 selection and output order-exact."""
+    from outboxx_spark.operators.rangejoin import range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    days = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "day")
+        .limit(5)
+    )
+    intervals = days.select(
+        F.col("day").alias("window_day"),
+        (F.unix_timestamp("day") - 43200).alias("w_start"),
+        (F.unix_timestamp("day") + 129600).alias("w_end"),
+    )
+    points = ev.select(
+        F.unix_timestamp("ts").alias("ets"), F.col("event_type").alias("etype")
+    )
+    return (
+        range_join(points, intervals, "ets", "w_start", "w_end", bucket=86400)
+        .groupBy("window_day", "etype")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
 
 
 def q_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,6 +880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_skew_join": q_olap_skew_join,
         "docs_chunk": q_docs_chunk,
         "docs_pack_sequences": q_docs_pack_sequences,
+        "docs_strip_boilerplate": q_docs_strip_boilerplate,
+        "docs_shard_assign": q_docs_shard_assign,
+        "olap_range_join": q_olap_range_join,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_dedup_survivors": q_docs_dedup_survivors,
         "docs_curate": q_docs_curate,
@@ -836,15 +894,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": q_docs_lang_id,
         "docs_quality": q_docs_quality,
         "docs_fingerprint": q_docs_fingerprint,
-        "docs_exact_dedup": q_docs_exact_dedup,
-        "docs_minhash_dedup": q_docs_minhash_dedup,
         "docs_incremental_dedup": q_docs_incremental_dedup,
-        "docs_ngram_dedup": q_docs_ngram_dedup,
         "docs_repetition": q_docs_repetition,
         # ---- tail (positions 51+): every query below has a green r8
         # driver row (CORRECTNESS_r08.json) in UNCHANGED formulation
         # (tools/touched_queries.py flags none of them), so losing
         # them to the 50-row cap costs no cross-round evidence ----
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_minhash_dedup": q_docs_minhash_dedup,
+        "docs_ngram_dedup": q_docs_ngram_dedup,
         "cdc_lag": q_lag,
         "cdc_pgoutput_roundtrip": q_pgoutput_roundtrip,
         "cdc_datasource_feed": q_datasource_feed,
@@ -968,6 +1026,32 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_nationkey""",
         "docs_chunk": chunk_documents_sql(),
         "docs_pack_sequences": pack_sequences_sql(),
+        "docs_strip_boilerplate": strip_boilerplate_sql(seg_len=3, min_docs=2),
+        "docs_shard_assign": assign_shards_sql(target=512),
+        # the oracle is the UNREWRITTEN range join (DuckDB plans the
+        # pure inequality predicate natively via IEJoin)
+        "olap_range_join": """
+        WITH days AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 COUNT(*) AS n
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        top5 AS (SELECT day FROM days ORDER BY n DESC, day LIMIT 5),
+        intervals AS (
+          SELECT day AS window_day,
+                 CAST(floor(epoch(day)) AS BIGINT) - 43200 AS w_start,
+                 CAST(floor(epoch(day)) AS BIGINT) + 129600 AS w_end
+          FROM top5
+        ),
+        points AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ets,
+                 event_type AS etype
+          FROM events
+        )
+        SELECT i.window_day, p.etype, COUNT(*) AS n_events
+        FROM points p JOIN intervals i
+          ON p.ets >= i.w_start AND p.ets <= i.w_end
+        GROUP BY i.window_day, p.etype""",
         "cdc_datasource_feed": ORACLE_FEED_CTE
         + " SELECT op, resource, lsn, commit_ts, user_id, event_type, value, props FROM feed",
         "cdc_json_ingest": ORACLE_FEED_CTE

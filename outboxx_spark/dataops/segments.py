@@ -1,0 +1,127 @@
+"""Corpus-level segment deduplication (boilerplate removal).
+
+The CCNet / RefinedWeb family of pretraining pipelines removes text
+units that repeat verbatim across many documents — navigation chrome,
+cookie banners, license footers — *before* document-level dedup, since
+shared boilerplate both wastes tokens and inflates document-similarity
+scores. The unit is a paragraph/line in production (newline split);
+this corpus has no newlines, so the segmenter is the repo's
+non-overlapping token window (:func:`chunk_documents` with
+``window == stride``), which keeps the operator exercised end-to-end
+and the segmentation identical across engines.
+
+Scale shape (100 TB):
+
+- Segment frequency is ONE logical pass: ``groupBy(segment, doc_id)``
+  then ``groupBy(segment)`` — both partial-aggregable, so the shuffle
+  carries already-combined (segment, doc) pairs, never raw rows.
+- The boilerplate set is tiny relative to the corpus (segments seen in
+  >= ``min_docs`` docs), so the strip join is a broadcast hash join;
+  no second shuffle of the corpus. At 100 TB, key the set on
+  ``xxhash64(segment)`` to shrink the broadcast — both sides of the
+  join are Spark-derived, so the hash never crosses engines. The
+  oracle joins on the segment string to stay bit-exact.
+- Reassembly is a per-document aggregate (collect kept segments, sort
+  by position, join) — shuffle on doc_id, partial-aggregable lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from outboxx_spark.dataops.chunking import chunk_documents, chunk_documents_sql
+
+
+def boilerplate_segments(
+    df: DataFrame, seg_len: int = 3, min_docs: int = 2
+) -> DataFrame:
+    """Segments appearing in >= ``min_docs`` DISTINCT documents.
+
+    Output: (segment, n_docs). Distinct-doc counting is staged as two
+    partial-aggregable groupBys instead of ``countDistinct`` so the
+    first shuffle ships combined (segment, doc_id) pairs.
+    """
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    segs = chunk_documents(df, window=seg_len, stride=seg_len).select(
+        "doc_id", F.col("chunk").alias("segment")
+    )
+    return (
+        segs.select("segment", "doc_id")
+        .distinct()
+        .groupBy("segment")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame, seg_len: int = 3, min_docs: int = 2
+) -> DataFrame:
+    """Remove cross-document repeated segments from every document.
+
+    Output: (doc_id, n_segments, n_boiler, clean_text) — clean_text is
+    the kept segments rejoined in position order ('' when everything
+    was boilerplate; the document never vanishes from the output).
+    """
+    segs = chunk_documents(df, window=seg_len, stride=seg_len).select(
+        "doc_id", F.col("chunk_id").alias("seg_id"), F.col("chunk").alias("segment")
+    )
+    boiler = F.broadcast(
+        boilerplate_segments(df, seg_len, min_docs).select(
+            "segment", F.lit(True).alias("_boiler")
+        )
+    )
+    flagged = segs.join(boiler, "segment", "left").select(
+        "doc_id",
+        "seg_id",
+        "segment",
+        F.coalesce("_boiler", F.lit(False)).alias("_boiler"),
+    )
+    # collect_list skips the NULLs the when() produces for boilerplate
+    # rows, so only kept segments reach the sort/join
+    kept = F.when(~F.col("_boiler"), F.struct("seg_id", "segment"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum(F.col("_boiler").cast("long")).cast("long").alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["segment"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def strip_boilerplate_sql(
+    seg_len: int = 3, min_docs: int = 2, table: str = "documents"
+) -> str:
+    """DuckDB mirror over the same chunking CTE. ``string_agg`` ignores
+    the NULLs the CASE produces for boilerplate segments and returns
+    NULL when nothing is kept — coalesced to '' to match Spark's
+    empty-array ``array_join``."""
+    return f"""
+    WITH segs AS (
+      SELECT doc_id, chunk_id AS seg_id, chunk AS segment
+      FROM ({chunk_documents_sql(seg_len, seg_len, table)})
+    ),
+    boiler AS (
+      SELECT segment FROM segs
+      GROUP BY segment HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    ),
+    flagged AS (
+      SELECT s.doc_id, s.seg_id, s.segment,
+             b.segment IS NOT NULL AS is_boiler
+      FROM segs s LEFT JOIN boiler b USING (segment)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           COALESCE(
+             string_agg(CASE WHEN NOT is_boiler THEN segment END, ' '
+                        ORDER BY seg_id), '') AS clean_text
+    FROM flagged
+    GROUP BY doc_id
+    """
