@@ -41,7 +41,7 @@ from outboxx_spark.operators.dedup import dedup_events
 from outboxx_spark.operators.routing import route, streams_dim
 from outboxx_spark.operators.tally import tally
 from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
-from outboxx_spark import olap
+from outboxx_spark import olap, olap_tpch
 from outboxx_spark.operators.asof import asof_join, asof_join_sql
 from outboxx_spark.operators.materialize import materialize, materialize_sql
 from outboxx_spark.operators.windows import (
@@ -350,6 +350,45 @@ def q_olap_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         range_join(points, intervals, "ets", "w_start", "w_end", bucket=86400)
         .groupBy("window_day", "etype")
         .agg(F.count("*").cast("long").alias("n_events"))
+    )
+
+
+def q_olap_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join (operators/rangejoin.py
+    interval_join): per-user daily activity spans against the top-5
+    purchase days' +/-12h windows. Pairs can share many day buckets;
+    the canonical-bucket predicate (bucket of greatest(start,start))
+    counts each pair exactly once without a DISTINCT shuffle."""
+    from outboxx_spark.operators.rangejoin import interval_join
+
+    ev = read_table(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        F.col("user_id").alias("uid"), F.date_trunc("day", "ts").alias("uday")
+    ).agg(
+        F.min(F.unix_timestamp("ts")).alias("a_start"),
+        F.max(F.unix_timestamp("ts")).alias("a_end"),
+    )
+    days = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "day")
+        .limit(5)
+    )
+    intervals = days.select(
+        F.col("day").alias("window_day"),
+        (F.unix_timestamp("day") - 43200).alias("w_start"),
+        (F.unix_timestamp("day") + 129600).alias("w_end"),
+    )
+    return (
+        interval_join(
+            spans.drop("uday"), intervals, ("a_start", "a_end"), ("w_start", "w_end"), 86400
+        )
+        .groupBy("window_day")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.countDistinct("uid").cast("long").alias("n_users"),
+        )
     )
 
 
@@ -883,6 +922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_strip_boilerplate": q_docs_strip_boilerplate,
         "docs_shard_assign": q_docs_shard_assign,
         "olap_range_join": q_olap_range_join,
+        "olap_interval_overlap": q_olap_interval_overlap,
+        "olap_shipping_priority": olap_tpch.shipping_priority,
+        "olap_local_supplier_volume": olap_tpch.local_supplier_revenue,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_dedup_survivors": q_docs_dedup_survivors,
         "docs_curate": q_docs_curate,
@@ -891,15 +933,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": q_docs_contamination,
         # -- r8-green fillers completing the 50-row window --
         "docs_pii_redact": q_docs_pii_redact,
-        "docs_lang_id": q_docs_lang_id,
-        "docs_quality": q_docs_quality,
-        "docs_fingerprint": q_docs_fingerprint,
         "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_repetition": q_docs_repetition,
         # ---- tail (positions 51+): every query below has a green r8
         # driver row (CORRECTNESS_r08.json) in UNCHANGED formulation
         # (tools/touched_queries.py flags none of them), so losing
         # them to the 50-row cap costs no cross-round evidence ----
+        "docs_lang_id": q_docs_lang_id,
+        "docs_quality": q_docs_quality,
+        "docs_fingerprint": q_docs_fingerprint,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "docs_ngram_dedup": q_docs_ngram_dedup,
@@ -1052,6 +1094,35 @@ def oracle_sql() -> dict[str, str]:
         FROM points p JOIN intervals i
           ON p.ets >= i.w_start AND p.ets <= i.w_end
         GROUP BY i.window_day, p.etype""",
+        # unrewritten interval-overlap join (inclusive both ends)
+        "olap_interval_overlap": """
+        WITH spans AS (
+          SELECT user_id AS uid,
+                 MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS a_start,
+                 MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS a_end
+          FROM events
+          GROUP BY user_id, date_trunc('day', ts)
+        ),
+        days AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 COUNT(*) AS n
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        top5 AS (SELECT day FROM days ORDER BY n DESC, day LIMIT 5),
+        intervals AS (
+          SELECT day AS window_day,
+                 CAST(floor(epoch(day)) AS BIGINT) - 43200 AS w_start,
+                 CAST(floor(epoch(day)) AS BIGINT) + 129600 AS w_end
+          FROM top5
+        )
+        SELECT i.window_day,
+               COUNT(*) AS n_spans,
+               COUNT(DISTINCT s.uid) AS n_users
+        FROM spans s JOIN intervals i
+          ON s.a_start <= i.w_end AND i.w_start <= s.a_end
+        GROUP BY i.window_day""",
+        "olap_shipping_priority": olap_tpch.SHIPPING_PRIORITY_SQL,
+        "olap_local_supplier_volume": olap_tpch.LOCAL_SUPPLIER_REVENUE_SQL,
         "cdc_datasource_feed": ORACLE_FEED_CTE
         + " SELECT op, resource, lsn, commit_ts, user_id, event_type, value, props FROM feed",
         "cdc_json_ingest": ORACLE_FEED_CTE

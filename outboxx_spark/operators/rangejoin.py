@@ -73,3 +73,54 @@ def range_join(
         how,
     )
     return joined.drop("_bkt")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_span: tuple[str, str],
+    right_span: tuple[str, str],
+    bucket: int,
+) -> DataFrame:
+    """Inner-join interval rows on OVERLAP: ``l_start <= r_end AND
+    r_start <= l_end`` (inclusive — two spans touching at one instant
+    overlap). Same binning rewrite as :func:`range_join`, with the
+    interval-interval twist: a pair can share MANY buckets, so each
+    pair is counted only in its CANONICAL bucket — the one containing
+    ``greatest(l_start, r_start)``, i.e. where the overlap begins.
+    Both sides of an overlapping pair necessarily cover that bucket
+    (the overlap's start is <= both ends), so the canonical-bucket
+    filter is a pushdown-friendly predicate, never a DISTINCT shuffle
+    over the multiplied pairs.
+
+    All four span columns must be integral and each side's span
+    non-negative (``start <= end``); ``bucket`` is in the same unit.
+    """
+    if bucket < 1:
+        raise ValueError(f"bucket must be >= 1, got {bucket}")
+    ls, le = left_span
+    rs, re_ = right_span
+    overlap_cols = set(left.columns) & set(right.columns)
+    if overlap_cols:
+        raise ValueError(f"ambiguous columns on both sides: {sorted(overlap_cols)}")
+    lt = left.withColumn(
+        "_lbkt",
+        F.explode(
+            F.sequence(F.expr(f"{ls} div {bucket}"), F.expr(f"{le} div {bucket}"))
+        ),
+    )
+    rt = right.withColumn(
+        "_rbkt",
+        F.explode(
+            F.sequence(F.expr(f"{rs} div {bucket}"), F.expr(f"{re_} div {bucket}"))
+        ),
+    )
+    joined = lt.join(
+        rt,
+        (lt["_lbkt"] == rt["_rbkt"])
+        & (F.col(ls) <= F.col(re_))
+        & (F.col(rs) <= F.col(le))
+        & (lt["_lbkt"] == F.expr(f"greatest({ls}, {rs}) div {bucket}")),
+        "inner",
+    )
+    return joined.drop("_lbkt", "_rbkt")

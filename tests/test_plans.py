@@ -512,3 +512,29 @@ def test_incremental_survivor_writes_inline_small_dropped_set(spark, tmp_path):
     for where, plan in captured.items():
         assert "Join" not in plan, f"{where}: survivor filter became a join"
         assert "BroadcastExchange" not in plan, where
+
+
+def test_q5_local_supplier_constraint_folds_into_join_key(spark, sf_dir):
+    # the c_nationkey = s_nationkey filter must become part of the
+    # supplier equi-join key, not a post-join Filter over the
+    # unconstrained (lineitem x supplier) pair stream
+    from outboxx_spark.olap_tpch import local_supplier_revenue
+
+    plan = _plan(local_supplier_revenue(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    join_keys = re.findall(r"\[l_suppkey#\d+L?, c_nationkey#\d+\]", plan)
+    assert join_keys, f"composite supplier join key not found:\n{plan[:2000]}"
+
+
+def test_q3_filters_push_to_scans(spark, sf_dir):
+    from outboxx_spark.olap_tpch import shipping_priority
+
+    plan = _plan(shipping_priority(spark, sf_dir))
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    # top-10 must be a bounded TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan

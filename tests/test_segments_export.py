@@ -21,7 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from outboxx_spark.dataops.segments import boilerplate_segments, strip_boilerplate
 from outboxx_spark.dataops.sharding import _KNUTH, _MOD, assign_shards
-from outboxx_spark.operators.rangejoin import range_join
+from outboxx_spark.operators.rangejoin import interval_join, range_join
 
 
 def _docs(spark, texts):
@@ -262,6 +262,68 @@ def test_range_join_validates(spark):
         range_join(p, i, "pts", "s", "e", bucket=1, how="outer")
     with pytest.raises(ValueError, match="ambiguous"):
         range_join(p, p.select(F.col("pid"), F.col("pts").alias("e")), "pts", "pid", "e", bucket=1)
+
+
+def _livs(spark, spans):
+    return spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(spans)], "lid long, ls long, le long"
+    )
+
+
+def _py_interval_join(lspans, rspans):
+    return sorted(
+        (li, ri)
+        for li, (ls, le) in enumerate(lspans)
+        for ri, (rs, re_) in enumerate(rspans)
+        if ls <= re_ and rs <= le
+    )
+
+
+def test_interval_join_matches_naive(spark):
+    rng = random.Random(13)
+    lspans, rspans = [], []
+    for _ in range(80):
+        s = rng.randint(0, 400)
+        lspans.append((s, s + rng.randint(0, 50)))
+    for _ in range(40):
+        s = rng.randint(0, 400)
+        rspans.append((s, s + rng.randint(0, 90)))
+    got = sorted(
+        (r["lid"], r["iid"])
+        for r in interval_join(
+            _livs(spark, lspans),
+            _ivs(spark, rspans).withColumnRenamed("iid", "iid")
+            .withColumnRenamed("s", "rs").withColumnRenamed("e", "re"),
+            ("ls", "le"),
+            ("rs", "re"),
+            bucket=23,
+        ).collect()
+    )
+    assert got == _py_interval_join(lspans, rspans)
+
+
+def test_interval_join_long_overlap_counts_once(spark):
+    # the pair shares 10 buckets; the canonical-bucket predicate must
+    # emit it exactly once
+    out = interval_join(
+        _livs(spark, [(0, 99)]),
+        _ivs(spark, [(50, 120)]).withColumnRenamed("s", "rs").withColumnRenamed("e", "re"),
+        ("ls", "le"),
+        ("rs", "re"),
+        bucket=10,
+    ).collect()
+    assert len(out) == 1
+
+
+def test_interval_join_touching_endpoints_inclusive(spark):
+    out = interval_join(
+        _livs(spark, [(0, 10), (20, 30)]),
+        _ivs(spark, [(10, 20)]).withColumnRenamed("s", "rs").withColumnRenamed("e", "re"),
+        ("ls", "le"),
+        ("rs", "re"),
+        bucket=7,
+    ).collect()
+    assert sorted(r["lid"] for r in out) == [0, 1]
 
 
 def test_range_join_plans_as_equi_join(spark):
