@@ -26,6 +26,7 @@ from outboxx_spark.dataops import similarity as sim
 from outboxx_spark.dataops import text as tx
 from outboxx_spark.dataops.bpe import bpe_merges_sql, bpe_train
 from outboxx_spark.dataops.chunking import chunk_documents_sql, pack_sequences_sql
+from outboxx_spark.dataops.pq import pq_topk_sql
 from outboxx_spark.dataops.segments import strip_boilerplate_sql
 from outboxx_spark.dataops.sharding import assign_shards_sql
 from outboxx_spark.dataops.incremental import incremental_dedup_pairs_sql
@@ -390,6 +391,16 @@ def q_olap_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("uid").cast("long").alias("n_users"),
         )
     )
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (dataops/pq.py): 32x-compressed
+    codes, per-query lookup tables, sequential-fold scoring — the
+    codebooks/LUTs are literals shared with the oracle, so ranks are
+    engine-exact."""
+    from outboxx_spark.dataops.pq import pq_topk
+
+    return pq_topk(read_table(spark, sf_dir, "embeddings"))
 
 
 def q_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,8 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_interval_overlap": q_olap_interval_overlap,
         "olap_shipping_priority": olap_tpch.shipping_priority,
         "olap_local_supplier_volume": olap_tpch.local_supplier_revenue,
+        "emb_pq_topk": q_emb_pq_topk,
         "docs_dup_clusters": q_docs_dup_clusters,
-        "docs_dedup_survivors": q_docs_dedup_survivors,
         "docs_curate": q_docs_curate,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_weighted_mix": q_docs_weighted_mix,
@@ -939,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row (CORRECTNESS_r08.json) in UNCHANGED formulation
         # (tools/touched_queries.py flags none of them), so losing
         # them to the 50-row cap costs no cross-round evidence ----
+        "docs_dedup_survivors": q_docs_dedup_survivors,
         "docs_lang_id": q_docs_lang_id,
         "docs_quality": q_docs_quality,
         "docs_fingerprint": q_docs_fingerprint,
@@ -1251,6 +1263,7 @@ def oracle_sql() -> dict[str, str]:
         + snapshot_diff_sql(),
         "olap_value_quantiles": olap.EVENT_VALUE_QUANTILES_SQL,
         "emb_ann_topk": sim.ann_bruteforce_topk_sql(n_queries=10, k=10),
+        "emb_pq_topk": pq_topk_sql(n_queries=10, topk=10),
         "emb_near_dup": sim.embedding_near_dup_pairs_sql(threshold=0.4),
         "emb_near_dup_lsh": sim.embedding_near_dup_planted_sql(threshold=0.8),
         "emb_near_dup_ivf": sim.embedding_near_dup_pairs_ivf_sql(threshold=0.4),
