@@ -26,7 +26,8 @@ from outboxx_spark.dataops import similarity as sim
 from outboxx_spark.dataops import text as tx
 from outboxx_spark.dataops.bpe import bpe_merges_sql, bpe_train
 from outboxx_spark.dataops.chunking import chunk_documents_sql, pack_sequences_sql
-from outboxx_spark.dataops.pq import pq_topk_sql
+from outboxx_spark.cohort import cohort_retention_sql
+from outboxx_spark.dataops.pq import ivf_pq_topk_sql, pq_topk_sql
 from outboxx_spark.dataops.segments import strip_boilerplate_sql
 from outboxx_spark.dataops.sharding import assign_shards_sql
 from outboxx_spark.dataops.incremental import incremental_dedup_pairs_sql
@@ -391,6 +392,25 @@ def q_olap_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("uid").cast("long").alias("n_users"),
         )
     )
+
+
+def q_emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (dataops/pq.py): coarse lists prune the
+    corpus, ADC over 8-byte codes ranks inside the probed lists, exact
+    cosine re-ranks the shortlist — the scan shape production ANN runs
+    at corpus scale."""
+    from outboxx_spark.dataops.pq import ivf_pq_topk
+
+    return ivf_pq_topk(read_table(spark, sf_dir, "embeddings"))
+
+
+def q_olap_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (cohort.py): first-purchase week cohorts
+    x weekly activity — two shuffles on user_id, integer week offsets,
+    exact distinct counts."""
+    from outboxx_spark.cohort import cohort_retention
+
+    return cohort_retention(read_table(spark, sf_dir, "events"))
 
 
 def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,20 +957,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_shipping_priority": olap_tpch.shipping_priority,
         "olap_local_supplier_volume": olap_tpch.local_supplier_revenue,
         "emb_pq_topk": q_emb_pq_topk,
+        "emb_ivf_pq_topk": q_emb_ivf_pq_topk,
+        "olap_cohort_retention": q_olap_cohort_retention,
         "docs_dup_clusters": q_docs_dup_clusters,
-        "docs_curate": q_docs_curate,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_weighted_mix": q_docs_weighted_mix,
         "docs_contamination": q_docs_contamination,
         # -- r8-green fillers completing the 50-row window --
         "docs_pii_redact": q_docs_pii_redact,
-        "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_repetition": q_docs_repetition,
         # ---- tail (positions 51+): every query below has a green r8
         # driver row (CORRECTNESS_r08.json) in UNCHANGED formulation
         # (tools/touched_queries.py flags none of them), so losing
         # them to the 50-row cap costs no cross-round evidence ----
         "docs_dedup_survivors": q_docs_dedup_survivors,
+        "docs_curate": q_docs_curate,
+        "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_lang_id": q_docs_lang_id,
         "docs_quality": q_docs_quality,
         "docs_fingerprint": q_docs_fingerprint,
@@ -1264,6 +1286,8 @@ def oracle_sql() -> dict[str, str]:
         "olap_value_quantiles": olap.EVENT_VALUE_QUANTILES_SQL,
         "emb_ann_topk": sim.ann_bruteforce_topk_sql(n_queries=10, k=10),
         "emb_pq_topk": pq_topk_sql(n_queries=10, topk=10),
+        "emb_ivf_pq_topk": ivf_pq_topk_sql(n_queries=10, topk=10),
+        "olap_cohort_retention": cohort_retention_sql(),
         "emb_near_dup": sim.embedding_near_dup_pairs_sql(threshold=0.4),
         "emb_near_dup_lsh": sim.embedding_near_dup_planted_sql(threshold=0.8),
         "emb_near_dup_ivf": sim.embedding_near_dup_pairs_ivf_sql(threshold=0.4),

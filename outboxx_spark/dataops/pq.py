@@ -258,6 +258,103 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    topk: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    coarse_sample: int = 1024,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample_size: int = PQ_SAMPLE,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composition production ANN systems actually run at
+    scale. The IVF coarse quantizer (similarity.py's deterministic
+    recipe, unchanged) prunes the corpus to each query's ``n_probe``
+    inverted lists; ADC over the PQ codes ranks ONLY those lists (no
+    float vector is read); the per-query shortlist then fetches its
+    vectors for the exact cosine re-rank. Scan cost per query:
+    ~n_probe/n_clusters of the corpus in 8-byte codes + ``shortlist``
+    float vectors — vs the whole corpus in floats for the exact scan.
+
+    Output contract matches the other ANN operators (query_id,
+    neighbor_id, rank; cosine descending, ties by neighbor id)."""
+    from outboxx_spark.dataops.similarity import (
+        _train_corpus_centroids,
+        cosine,
+        ivf_assignments,
+    )
+
+    cents = _train_corpus_centroids(emb, n_clusters, coarse_sample, id_col, vec_col)
+    books = pq_codebooks(emb, m, k, sample_size, id_col, vec_col)
+    coded = pq_encode(emb, books, id_col, vec_col).join(
+        ivf_assignments(emb, cents, id_col, vec_col).withColumnRenamed(
+            "vid", "vec_id"
+        ),
+        "vec_id",
+    )
+
+    qpd = emb.filter(F.col(id_col) < n_queries).select(id_col, vec_col).toPandas()
+    qm = np.vstack(qpd[vec_col].to_numpy()).astype(np.float64)
+    # same probe tie convention as ivf_ann_topk: stable argsort
+    # reversed = higher cid first on exact ties
+    probes = (qm @ cents.T).argsort(axis=1, kind="stable")[:, ::-1][:, :n_probe]
+    probe_df = emb.sparkSession.createDataFrame(
+        [(int(q), int(c)) for q, cs in zip(qpd[id_col], probes) for c in cs],
+        "query_id long, cluster int",
+    )
+    luts = _pq_luts(qm, books)
+    lut_df = emb.sparkSession.createDataFrame(
+        [(int(qid), lut.tolist()) for qid, lut in zip(qpd[id_col], luts)],
+        "query_id long, lut array<double>",
+    )
+
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, i: F.element_at(
+                F.col("lut"), (i * F.lit(k) + c + F.lit(1)).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cands = (
+        coded.join(F.broadcast(probe_df), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut_df), "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), score.alias("adc"))
+    )
+    wa = W.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id"))
+    short = (
+        cands.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qv = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    rescored = (
+        short.join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def _lut_values(luts: np.ndarray, qids) -> str:
     return ",\n    ".join(
         f"({int(q)}, [" + ", ".join(repr(float(x)) for x in row) + "])"
@@ -336,6 +433,118 @@ def pq_topk_sql(
                i -> (l.lut)[(i - 1) * {k} + (cv.codes)[i] + 1])) AS adc
       FROM codevec cv, luts l
       WHERE cv.vec_id != l.query_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, neighbor_id) AS arn
+        FROM adc) WHERE arn <= {shortlist}
+    ),
+    rescored AS (
+      SELECT s.query_id, s.neighbor_id, {cos} AS cos
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM rescored QUALIFY rank <= {topk}
+    """
+
+
+def ivf_pq_topk_sql(
+    n_queries: int = 10,
+    topk: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    coarse_sample: int = 1024,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample_size: int = PQ_SAMPLE,
+    shortlist: int = 50,
+    sf_dir: str | None = None,
+) -> str:
+    """Mirror of :func:`ivf_pq_topk`: the IVF assignment/probe CTEs of
+    similarity.ivf_ann_topk_sql (same retrained centroids, same tie
+    conventions) composed with the PQ code/LUT CTEs of
+    :func:`pq_topk_sql` — ADC runs only inside the probed lists, then
+    the exact cosine re-rank."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from outboxx_spark.dataops.similarity import (
+        COSINE_SQL,
+        _matrix_values,
+        _train_centroids_from_parquet,
+    )
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    cents = _train_centroids_from_parquet(sf_dir, n_clusters, coarse_sample)
+    dim = cents.shape[1]
+    books = pq_codebooks_from_parquet(sf_dir, m, k, sample_size)
+    sd = books.shape[2]
+    t = pq_.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pdf = t.to_pandas().sort_values("vec_id")
+    qpdf = pdf[pdf["vec_id"] < n_queries]
+    qm = np.vstack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    luts = _pq_luts(qm, books)
+    cos = COSINE_SQL.format(a="q.embedding", b="n.embedding")
+    return f"""
+    WITH centroids(cid, c) AS (VALUES
+    {_matrix_values(cents)}),
+    cdots AS (
+      SELECT e.vec_id, ct.cid,
+             list_sum(list_transform(range(1, {dim + 1}),
+               i -> CAST(e.embedding[i] AS DOUBLE) * (ct.c)[i])) AS d
+      FROM embeddings e, centroids ct
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM cdots) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid DESC) AS rn
+        FROM cdots WHERE vec_id < {n_queries}) WHERE rn <= {n_probe}
+    ),
+    cb(mm, kk, cnorm, c) AS (VALUES
+    {_book_values(books)}),
+    dists AS (
+      SELECT e.vec_id, cb.mm, cb.kk,
+             cb.cnorm - 2 * list_sum(list_transform(range(1, {sd + 1}),
+               i -> (cb.c)[i] * CAST(e.embedding[cb.mm * {sd} + i] AS DOUBLE))) AS d
+      FROM embeddings e, cb
+    ),
+    codes AS (
+      SELECT vec_id, mm, kk AS code FROM (
+        SELECT vec_id, mm, kk,
+               row_number() OVER (PARTITION BY vec_id, mm ORDER BY d, kk) AS rn
+        FROM dists) WHERE rn = 1
+    ),
+    codevec AS (
+      SELECT vec_id, list(code ORDER BY mm) AS codes FROM codes GROUP BY vec_id
+    ),
+    luts(query_id, lut) AS (VALUES
+    {_lut_values(luts, qpdf["vec_id"])}),
+    adc AS (
+      SELECT CAST(p.query_id AS BIGINT) AS query_id,
+             a.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {m + 1}),
+               i -> (l.lut)[(i - 1) * {k} + (cv.codes)[i] + 1])) AS adc
+      FROM probes p
+      JOIN assign a ON a.cluster = p.cluster
+      JOIN codevec cv ON cv.vec_id = a.vec_id
+      JOIN luts l ON l.query_id = p.query_id
+      WHERE a.vec_id != p.query_id
     ),
     short AS (
       SELECT query_id, neighbor_id FROM (

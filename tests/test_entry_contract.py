@@ -40,7 +40,7 @@ def test_driver_window_order_is_stable():
     from pathlib import Path
 
     order = list(E.queries())
-    assert len(order) == 89
+    assert len(order) == 91
     repo = Path(__file__).resolve().parent.parent
     latest = max(
         repo.glob("CORRECTNESS_r*.json"),

@@ -114,3 +114,48 @@ def test_topk_recall_floor_vs_exact_scan(spark, sf_dir):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.9, f"PQ+rerank recall {hits}/{total}"
+
+
+def test_ivf_pq_results_come_from_probed_lists_only(spark, sf_dir):
+    # composition contract: every returned neighbor must live in one of
+    # its query's probed coarse clusters (ADC never touched the rest)
+    from outboxx_spark.dataops.pq import ivf_pq_topk
+    from outboxx_spark.dataops.similarity import (
+        _train_corpus_centroids,
+        ivf_assignments,
+    )
+
+    emb = _read_emb(spark, sf_dir)
+    cents = _train_corpus_centroids(emb, 16, 1024)
+    assigned = {
+        r["vid"]: r["cluster"] for r in ivf_assignments(emb, cents).collect()
+    }
+    qpd = emb.filter(F.col("vec_id") < 10).orderBy("vec_id").toPandas()
+    qm = np.vstack(qpd["embedding"].to_numpy()).astype(np.float64)
+    probes = (qm @ cents.T).argsort(axis=1, kind="stable")[:, ::-1][:, :4]
+    probed = {
+        int(qid): set(map(int, cs)) for qid, cs in zip(qpd["vec_id"], probes)
+    }
+    for r in ivf_pq_topk(emb, n_queries=10, topk=10).collect():
+        assert assigned[r["neighbor_id"]] in probed[r["query_id"]], r
+
+
+def test_ivf_pq_recall_floor(spark, sf_dir):
+    from outboxx_spark.dataops.pq import ivf_pq_topk
+    from outboxx_spark.dataops.similarity import ann_bruteforce_topk
+
+    emb = _read_emb(spark, sf_dir)
+    exact = {}
+    for r in ann_bruteforce_topk(emb, n_queries=10, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ivf_pq_topk(emb, n_queries=10, topk=10).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    # bounded above by the IVF probe recall (lists never probed are
+    # lost regardless of ADC quality) and measured EQUAL to plain
+    # ivf_ann_topk's recall on both corpus fixtures — the ADC shortlist
+    # + exact re-rank stage loses nothing. Floor matches the repo's
+    # IVF floor (test_dataops.test_ivf_ann_recall).
+    assert hits / total >= 0.3, f"IVF-PQ recall {hits}/{total}"
