@@ -291,12 +291,19 @@ def ivf_pq_topk(
 
     cents = _train_corpus_centroids(emb, n_clusters, coarse_sample, id_col, vec_col)
     books = pq_codebooks(emb, m, k, sample_size, id_col, vec_col)
-    coded = pq_encode(emb, books, id_col, vec_col).join(
-        ivf_assignments(emb, cents, id_col, vec_col).withColumnRenamed(
-            "vid", "vec_id"
-        ),
-        "vec_id",
+    # the probe join's key must be PROVABLY non-null: joining on the
+    # raw UDF column lets InferFiltersFromConstraints push an
+    # isnotnull(cluster) below the join and re-evaluate the assignment
+    # kernel a second time above it (plan-audited; same Catalyst trap
+    # as the r8 dedup band-kernel fix). coalesce with a literal makes
+    # the constraint trivially satisfied, so the filter — and the
+    # duplicate ArrowEvalPython node — never appear. The assignment
+    # itself never returns null; -1 matches no probe.
+    assigned = ivf_assignments(emb, cents, id_col, vec_col).select(
+        F.col("vid").alias("vec_id"),
+        F.coalesce(F.col("cluster"), F.lit(-1)).alias("cluster"),
     )
+    coded = pq_encode(emb, books, id_col, vec_col).join(assigned, "vec_id")
 
     qpd = emb.filter(F.col(id_col) < n_queries).select(id_col, vec_col).toPandas()
     qm = np.vstack(qpd[vec_col].to_numpy()).astype(np.float64)

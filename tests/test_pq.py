@@ -140,6 +140,24 @@ def test_ivf_pq_results_come_from_probed_lists_only(spark, sf_dir):
         assert assigned[r["neighbor_id"]] in probed[r["query_id"]], r
 
 
+def test_ivf_pq_plan_evaluates_each_kernel_once(spark, sf_dir):
+    # Catalyst trap pin (same class as the r8 dedup band-kernel fix):
+    # joining on the raw assignment-UDF column lets
+    # InferFiltersFromConstraints push isnotnull(cluster) below the
+    # probe join and re-evaluate the kernel above it. The coalesce
+    # barrier in ivf_pq_topk must keep the plan at exactly TWO
+    # ArrowEvalPython nodes (encode + assign, once each).
+    from outboxx_spark.dataops.pq import ivf_pq_topk
+
+    plan = (
+        ivf_pq_topk(_read_emb(spark, sf_dir), n_queries=3, topk=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 2, plan
+
+
 def test_ivf_pq_recall_floor(spark, sf_dir):
     from outboxx_spark.dataops.pq import ivf_pq_topk
     from outboxx_spark.dataops.similarity import ann_bruteforce_topk

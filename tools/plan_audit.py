@@ -49,6 +49,9 @@ CARTESIAN_OK = {
     "emb_ann_recall",
     "olap_value_bands",
     "docs_edit_dedup",
+    # PQ's honest linear-scan baseline: ADC over codes x broadcast
+    # LUTs IS a full scan by design (the pruned path is emb_ivf_pq_topk)
+    "emb_pq_topk",
 }
 
 THRESHOLDS = {"py_nodes": 2, "from_json": 4, "to_json": 12, "cartesian": 0}
