@@ -1332,14 +1332,21 @@ def q_emb_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # The staging queue is EMPTY this round: both r4-staged queries are
-    # promoted into queries() (inside the driver's 50-row window), and
-    # the two r5-new operators went straight into the window as well.
-    # The mechanism stays: a future round that adds operators while the
-    # window is full stages them here, where tools/check_oracles.py
-    # holds them to the same gate.
-    return {}
+    # r9 staging: the 50-row driver window is EXACTLY full this round
+    # (1 warm-up + the 29-query r7-evidenced tail + the 20 queries
+    # tools/touched_queries.py flags as touched), so the two TPC-H
+    # decorrelation shapes added mid-round wait here — held to the
+    # same oracle gate by tools/check_oracles.py and the contract
+    # tests below — and promote into queries() at the r10 rotation,
+    # when the r9-green fillers free their slots.
+    return {
+        "olap_small_qty_revenue": olap_tpch.small_qty_revenue,
+        "olap_lone_return_supplier": olap_tpch.lone_return_supplier,
+    }
 
 
 def oracle_sql_staged() -> dict[str, str]:
-    return {}
+    return {
+        "olap_small_qty_revenue": olap_tpch.SMALL_QTY_REVENUE_SQL,
+        "olap_lone_return_supplier": olap_tpch.LONE_RETURN_SUPPLIER_SQL,
+    }

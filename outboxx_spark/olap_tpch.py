@@ -126,3 +126,160 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
 """
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    quantity is below 20% of that part's corpus-wide average, for one
+    brand/size slice of ``part``. The textbook form is a correlated
+    scalar subquery per row; the scale formulation is a two-pass
+    aggregate-then-join:
+
+    - pass 1 computes (sum_qty, cnt) per part — a partial-aggregable
+      groupBy whose map-side combine reduces the shuffle to one row
+      per (partition, part) long before the exchange;
+    - the brand/size slice of ``part`` is filtered FIRST and
+      broadcast, so pass 1 only aggregates lineitems that survive the
+      broadcast semi-join (the avg over a part is unchanged: the part
+      filter is on part attributes, not lineitem rows);
+    - pass 2 re-joins lineitem to the tiny per-part threshold table
+      (broadcast again — at most |selected parts| rows), keeping rows
+      with ``5 * l_quantity * cnt < sum_qty``.
+
+    The threshold test is EXACT integer arithmetic: quantities are
+    integral (1..50), so ``qty < 0.2 * sum/cnt`` is multiplied through
+    by ``5 * cnt`` — no double division, no epsilon, and DuckDB's
+    decorrelated evaluation of the textbook subquery agrees
+    bit-for-bit. At 100 TB both joins stay broadcasts (the slice is
+    ~1/25 of brands x a size filter), the full fact table is scanned
+    twice but NEVER shuffled — the only exchange carries the
+    brand-sliced, map-side-combined per-part partials; a single-scan
+    window-function form was rejected because it shuffles the full
+    fact table on l_partkey.
+
+    Reference parity: the reference's star-schema aggregation tests
+    (tests/sql/aggregates.zig) stop at single-pass GROUP BY; this is
+    the decorrelation shape its planner does not have.
+    """
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") < 15)
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    selected = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    thresholds = selected.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    qualifying = selected.join(
+        F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+        F.col("l_partkey") == F.col("t_partkey"),
+    ).filter(
+        F.lit(5) * F.col("l_quantity").cast("bigint") * F.col("cnt_qty")
+        < F.col("sum_qty")
+    )
+    price_u4 = money_units(
+        F.col("l_extendedprice").cast("decimal(20,4)"), 10000, "l_extendedprice"
+    )
+    return qualifying.agg(
+        F.count(F.lit(1)).alias("small_qty_lines"),
+        F.coalesce(F.sum(price_u4), F.lit(0)).cast("bigint").alias("total_price_u4"),
+    )
+
+
+SMALL_QTY_REVENUE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS small_qty_lines,
+       CAST(coalesce(sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4))
+                              * 10000 AS BIGINT)), 0) AS BIGINT)
+         AS total_price_u4
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey
+WHERE p_brand = 'Brand#4' AND p_size < 15
+  -- textbook correlated form of qty < 0.2 * avg(qty) over the part,
+  -- multiplied through by 5 * cnt so the test is exact integers
+  AND 5 * CAST(l.l_quantity AS BIGINT)
+        * (SELECT count(*) FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT sum(CAST(l3.l_quantity AS BIGINT)) FROM lineitem l3
+         WHERE l3.l_partkey = l.l_partkey)
+"""
+
+
+def lone_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), re-keyed to
+    this corpus: for multi-supplier orders where EXACTLY ONE supplier
+    had a returned line (l_returnflag = 'R'), charge the order to that
+    supplier; report the ten most-charged suppliers.
+
+    The textbook formulation is lineitem EXISTS lineitem AND NOT
+    EXISTS lineitem — two correlated self-joins of the fact table,
+    which at 100 TB is two extra full shuffles plus the risk of a
+    nested-loop fallback. The naive Spark rewrite (one groupBy with
+    two countDistincts) is also wrong at scale: two distinct
+    aggregates plan as an Expand that TRIPLES the rows entering the
+    first exchange. The shape here is distinct-free:
+
+    - pass 1 collapses lineitem to (l_orderkey, l_suppkey, has_ret)
+      — a groupBy whose map-side combine already deduplicates, so
+      the exchange carries at most one row per (order, supplier);
+    - pass 2 aggregates the collapsed pairs per order: ``n_supp`` =
+      count(*) (the EXISTS), ``n_ret_supp`` = sum(has_ret) (the NOT
+      EXISTS), and ``the_supp`` = max(suppkey | has_ret) — well-
+      defined exactly when the n_ret_supp = 1 filter holds, so the
+      qualifying order's lone returned supplier comes out of the
+      SAME aggregate and no join back to lineitem is ever needed.
+
+    Two pair-sized shuffles (no Expand — plan-pinned), one tiny
+    shuffle on the surviving supplier keys, one broadcast to names.
+    The oracle runs the textbook EXISTS / NOT EXISTS form, so the
+    green row IS the proof that the rewrite preserves the correlated
+    semantics. Top-10 is deterministic: (waitcount DESC, s_name)
+    with s_name unique.
+
+    Reference parity: reference has no correlated-subquery support at
+    all (SURVEY §2.7) — this documents the Spark-first replacement.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    ret = F.col("l_returnflag") == "R"
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(ret, F.lit(1)).otherwise(F.lit(0))).alias("has_ret")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_ret").alias("n_ret_supp"),
+        F.max(F.when(F.col("has_ret") == 1, F.col("l_suppkey"))).alias(
+            "the_supp"
+        ),
+    )
+    charged = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    return (
+        charged.groupBy("the_supp")
+        .agg(F.count(F.lit(1)).alias("waitcount"))
+        .join(F.broadcast(supp), F.col("the_supp") == supp.s_suppkey)
+        .select("s_name", "waitcount")
+        .orderBy(F.col("waitcount").desc(), "s_name")
+        .limit(10)
+    )
+
+
+LONE_RETURN_SUPPLIER_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS waitcount
+FROM (
+  SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+  FROM lineitem l1
+  WHERE l1.l_returnflag = 'R'
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+) q
+JOIN supplier ON q.l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY waitcount DESC, s_name
+LIMIT 10
+"""

@@ -538,3 +538,45 @@ def test_q3_filters_push_to_scans(spark, sf_dir):
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
     # top-10 must be a bounded TakeOrdered, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_fact_table_never_shuffles(spark, sf_dir):
+    # the decorrelated Q17 shape: both lineitem passes join the tiny
+    # part-slice / threshold tables via BROADCAST; the only exchange
+    # carries the per-part partial aggregates of the brand slice,
+    # never a hash-repartition of the full fact table
+    from outboxx_spark.olap_tpch import small_qty_revenue
+
+    plan = _plan(small_qty_revenue(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, "fact table got shuffled for a join"
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    # the threshold aggregate must partial-combine before its exchange
+    import re
+
+    assert re.search(r"partial_sum\(.*l_quantity", plan, re.IGNORECASE) or (
+        "HashAggregate" in plan and "Exchange hashpartitioning(l_partkey" in plan
+    ), plan[:2000]
+
+
+def test_q21_rewrite_has_no_self_join_and_no_expand(spark, sf_dir):
+    # the textbook EXISTS / NOT EXISTS double self-join must have
+    # collapsed into the distinct-free double aggregate: exactly one
+    # join node total (the broadcast to supplier names), NO Expand
+    # (the countDistinct formulation triples the shuffled rows), and
+    # exactly two pair-sized exchanges keyed on l_orderkey
+    from outboxx_spark.olap_tpch import lone_return_supplier
+
+    plan = _plan(lone_return_supplier(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Expand" not in plan, "distinct aggregate snuck back in"
+    import re
+
+    join_nodes = re.findall(r"\(\d+\) BroadcastHashJoin", plan)
+    assert len(join_nodes) == 1, plan[:2000]
+    orderkey_exchanges = re.findall(r"hashpartitioning\(l_orderkey", plan)
+    assert len(orderkey_exchanges) == 2, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
