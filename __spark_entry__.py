@@ -1342,6 +1342,7 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "olap_small_qty_revenue": olap_tpch.small_qty_revenue,
         "olap_lone_return_supplier": olap_tpch.lone_return_supplier,
+        "olap_market_share": olap_tpch.market_share,
     }
 
 
@@ -1349,4 +1350,5 @@ def oracle_sql_staged() -> dict[str, str]:
     return {
         "olap_small_qty_revenue": olap_tpch.SMALL_QTY_REVENUE_SQL,
         "olap_lone_return_supplier": olap_tpch.LONE_RETURN_SUPPLIER_SQL,
+        "olap_market_share": olap_tpch.MARKET_SHARE_SQL,
     }

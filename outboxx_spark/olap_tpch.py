@@ -264,6 +264,75 @@ def lone_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): within ASIA-region
+    customers' 1996-1998 orders, the share of revenue supplied by one
+    nation (NATION_7), per order year.
+
+    The shape under test is CONDITIONAL aggregation at the top of a
+    six-way join pipeline: numerator and denominator come out of the
+    SAME pass (sum(CASE WHEN supplier-nation THEN revenue END) vs
+    sum(revenue)) — no second scan, no self-join, no union of two
+    filtered branches. The nation table joins TWICE under different
+    roles (customer's nation restricted to ASIA via region; supplier's
+    nation read unrestricted for the CASE) — both broadcasts.
+
+    Determinism: the share is deliberately NOT divided here — the
+    output carries the two exact u4 BIGINT sums. A double division
+    would be the only non-integer in the whole TPC-H surface and the
+    one place a 1-ulp cross-engine divergence could hide (the r5
+    decimal->double lesson, SCALING.md); callers divide client-side.
+    """
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cnat = read_table(spark, sf_dir, "nation").alias("cnat")
+    snat = read_table(spark, sf_dir, "nation").alias("snat")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    rev = _revenue_u4()
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cnat), cust.c_nationkey == F.col("cnat.n_nationkey"))
+        .join(F.broadcast(region), F.col("cnat.n_regionkey") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(snat), supp.s_nationkey == F.col("snat.n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("snat.n_name") == "NATION_7", rev)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("nation_revenue_u4"),
+            F.sum(rev).alias("total_revenue_u4"),
+        )
+    )
+
+
+MARKET_SHARE_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(coalesce(sum(CASE WHEN snat.n_name = 'NATION_7'
+                              THEN {_REVENUE_U4_SQL} END), 0) AS BIGINT)
+         AS nation_revenue_u4,
+       CAST(sum({_REVENUE_U4_SQL}) AS BIGINT) AS total_revenue_u4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cnat ON c_nationkey = cnat.n_nationkey
+JOIN region   ON cnat.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation snat ON s_nationkey = snat.n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY 1
+"""
+
+
 LONE_RETURN_SUPPLIER_SQL = """
 SELECT s_name, CAST(count(*) AS BIGINT) AS waitcount
 FROM (

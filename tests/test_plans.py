@@ -580,3 +580,21 @@ def test_q21_rewrite_has_no_self_join_and_no_expand(spark, sf_dir):
     orderkey_exchanges = re.findall(r"hashpartitioning\(l_orderkey", plan)
     assert len(orderkey_exchanges) == 2, plan[:2000]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q8_single_pass_conditional_share(spark, sf_dir):
+    # numerator and denominator must come from ONE aggregation pass —
+    # no Union of two filtered branches, no second lineitem scan for
+    # the CASE numerator; both nation roles broadcast
+    from outboxx_spark.olap_tpch import market_share
+
+    plan = _plan(market_share(spark, sf_dir))
+    assert "Union" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    li_scans = re.findall(r"lineitem\.parquet", plan)
+    assert len(li_scans) <= 2, f"lineitem scanned more than once: {len(li_scans)}"
+    agg_nodes = re.findall(r"\(\d+\) HashAggregate", plan)
+    assert len(agg_nodes) == 2, plan[:2000]  # partial + final, one pass
