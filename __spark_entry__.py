@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from outboxx_spark.config import TOAST_PLACEHOLDER
+from outboxx_spark.dataops import cms
 from outboxx_spark.dataops import curation as cu
 from outboxx_spark.dataops import dedup as dd
 from outboxx_spark.dataops import editdist as ed
@@ -1343,6 +1344,7 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_small_qty_revenue": olap_tpch.small_qty_revenue,
         "olap_lone_return_supplier": olap_tpch.lone_return_supplier,
         "olap_market_share": olap_tpch.market_share,
+        "olap_heavy_hitters": cms.heavy_hitters_check,
     }
 
 
@@ -1351,4 +1353,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "olap_small_qty_revenue": olap_tpch.SMALL_QTY_REVENUE_SQL,
         "olap_lone_return_supplier": olap_tpch.LONE_RETURN_SUPPLIER_SQL,
         "olap_market_share": olap_tpch.MARKET_SHARE_SQL,
+        "olap_heavy_hitters": cms.HEAVY_HITTERS_SQL,
     }
