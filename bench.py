@@ -347,6 +347,7 @@ def main() -> None:
     # ivf_ann_topk hides (its bench number pays training+assignment
     # every invocation).
     ivf_build_sec = ivf_serve_sec = None
+    ivf_add_sec = ivf_serve_grown_sec = None
     ivf_root = tempfile.mkdtemp(prefix="bench_ivfstore_")
     try:
         from outboxx_spark.dataops.similarity import (
@@ -366,10 +367,55 @@ def main() -> None:
 
         _serve()  # warm
         ivf_serve_sec = round(min(_timed(_serve) for _ in range(3)), 4)
+
+        # Incremental-add probe (r9): append a 100-vector sealed
+        # generation with the frozen quantizer, then serve from the
+        # grown (base + gen) store. The claim under test: growing the
+        # index costs one assignment pass over the DELTA (not a
+        # rebuild), and served latency stays at the base store's order.
+        from outboxx_spark.dataops.ivf_store import ivf_index_add, ivf_serve
+
+        delta = emb.filter(F.col("vec_id") < 100).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        ivf_add_sec = round(_timed(lambda: ivf_index_add(delta, ivf_store)), 4)
+
+        def _serve_grown():
+            ivf_serve(spark, ivf_store, queries_df, k=10).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        _serve_grown()  # warm
+        ivf_serve_grown_sec = round(min(_timed(_serve_grown) for _ in range(3)), 4)
     except Exception as e:  # the probe must never sink the bench
         print(f"# ivf store probe failed: {type(e).__name__}: {e}", file=sys.stderr)
     finally:
         shutil.rmtree(ivf_root, ignore_errors=True)
+
+    # Training-shard export probe (r9): the full write path — shard
+    # assignment, one-file-per-shard write, manifest — plus the
+    # distributed verify re-read, on the documents corpus.
+    export_shards_sec = export_verify_sec = export_n_shards = None
+    export_root = tempfile.mkdtemp(prefix="bench_export_")
+    try:
+        from outboxx_spark.dataops.export import export_shards, verify_export
+
+        docs_x = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        out = f"{export_root}/shards"
+        m = {}
+
+        def _export():
+            m["manifest"] = export_shards(docs_x, out, target=20000)
+
+        export_shards_sec = round(_timed(_export), 4)
+        export_n_shards = m["manifest"]["n_shards"]
+        export_verify_sec = round(
+            _timed(lambda: verify_export(spark, out)), 4
+        )
+    except Exception as e:  # the probe must never sink the bench
+        print(f"# export probe failed: {type(e).__name__}: {e}", file=sys.stderr)
+    finally:
+        shutil.rmtree(export_root, ignore_errors=True)
 
     # Incremental dedup-store probe (tracked per round): ingest the
     # corpus in two halves through the persistent LSH survivor store.
@@ -479,6 +525,11 @@ def main() -> None:
         ),
         "ivf_build_sec": ivf_build_sec,
         "ivf_serve_sec": ivf_serve_sec,
+        "ivf_add_sec": ivf_add_sec,
+        "ivf_serve_grown_sec": ivf_serve_grown_sec,
+        "export_shards_sec": export_shards_sec,
+        "export_verify_sec": export_verify_sec,
+        "export_n_shards": export_n_shards,
         "n_queries": len(timings),
         # r4 accounting change: per-query timings REBUILD the DataFrame
         # every pass, so eager build stages (checkpoint
