@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from outboxx_spark.config import TOAST_PLACEHOLDER
-from outboxx_spark.dataops import cms
+from outboxx_spark.dataops import cms, dedup_recall
 from outboxx_spark.dataops import curation as cu
 from outboxx_spark.dataops import dedup as dd
 from outboxx_spark.dataops import editdist as ed
@@ -1345,6 +1345,7 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_lone_return_supplier": olap_tpch.lone_return_supplier,
         "olap_market_share": olap_tpch.market_share,
         "olap_heavy_hitters": cms.heavy_hitters_check,
+        "docs_minhash_recall": dedup_recall.minhash_recall_check,
     }
 
 
@@ -1354,4 +1355,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "olap_lone_return_supplier": olap_tpch.LONE_RETURN_SUPPLIER_SQL,
         "olap_market_share": olap_tpch.MARKET_SHARE_SQL,
         "olap_heavy_hitters": cms.HEAVY_HITTERS_SQL,
+        "docs_minhash_recall": dedup_recall.minhash_recall_check_sql(),
     }
