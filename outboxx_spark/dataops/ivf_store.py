@@ -194,6 +194,44 @@ def ivf_serve(
     )
 
 
+def ivf_compact(spark: SparkSession, store_dir: str, dest_dir: str) -> int:
+    """Fold base + committed generations into a FRESH single-segment
+    store at ``dest_dir`` (build-and-swap, never in place: the source
+    store stays immutable and serving until the caller repoints — the
+    same swap discipline build_ivf_index documents for reindex).
+
+    The quantizer is carried over verbatim, so assignments are already
+    correct and compaction is a pure file-layout operation: one
+    cluster-partitioned rewrite, no UDF, no retrain. Serving the
+    compacted store is bit-identical to serving the segmented one
+    (test-pinned). Returns the number of vectors written.
+
+    Why not compact in place: deleting consumed add_gen dirs after a
+    rewrite has two non-atomic steps with readers live, and the dedup
+    store's park-and-rename dance (incremental.py) is only needed
+    when the store's PATH must be stable. The IVF serving path is
+    indirected by the caller (index registry / symlink / config), so
+    swap-by-path is the simpler correct protocol."""
+    meta = _load_meta(spark, store_dir)
+    if fs_read_text(spark, f"{dest_dir}/{_IVF_META}") is not None:
+        raise ValueError(f"destination {dest_dir} already holds an index")
+    segs = [spark.read.parquet(p) for p in ivf_segment_paths(spark, store_dir)]
+    scan = segs[0]
+    for s in segs[1:]:
+        scan = scan.unionByName(s)
+    (
+        scan.select("vec_id", "embedding", "cluster")
+        .repartition("cluster")
+        .write.mode("errorifexists")
+        .partitionBy("cluster")
+        .parquet(f"{dest_dir}/lists")
+    )
+    n = spark.read.parquet(f"{dest_dir}/lists").count()
+    # meta LAST: the compacted store becomes servable atomically
+    fs_write_text(spark, f"{dest_dir}/{_IVF_META}", json.dumps(meta))
+    return int(n)
+
+
 def ivf_store_stats(spark: SparkSession, store_dir: str) -> DataFrame:
     """Operator's view: per-cluster list sizes across base + committed
     generations, with the imbalance ratio (max/mean) that signals a

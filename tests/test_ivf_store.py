@@ -134,6 +134,25 @@ def test_dimension_drift_fail_stops(spark, grown_store):
         ivf_index_add(bad, store)
 
 
+def test_compact_serves_identically_and_is_single_segment(spark, grown_store, tmp_path):
+    from outboxx_spark.dataops.ivf_store import committed_generations, ivf_compact
+
+    store, base, add1, add2 = grown_store
+    dest = str(tmp_path / "compacted")
+    n = ivf_compact(spark, store, dest)
+    assert n == base.count() + add1.count() + add2.count()
+    assert committed_generations(spark, dest) == []
+    q = _emb(spark).filter(F.col("vec_id") % 41 == 0)
+    assert _rows(ivf_serve(spark, dest, q)) == _rows(ivf_serve(spark, store, q))
+    # and the compacted store serves through the immutable path too
+    assert _rows(ivf_ann_topk_from_store(spark, dest, q)) == _rows(
+        ivf_serve(spark, store, q)
+    )
+    # double-compact into the same dest must fail-stop
+    with pytest.raises(ValueError, match="already holds"):
+        ivf_compact(spark, store, dest)
+
+
 def test_stats_cover_all_segments(spark, grown_store):
     store, base, add1, add2 = grown_store
     total = sum(
