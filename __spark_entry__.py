@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 
 from outboxx_spark.config import TOAST_PLACEHOLDER
 from outboxx_spark.dataops import cms, dedup_recall
+from outboxx_spark.operators import incragg
 from outboxx_spark.dataops import curation as cu
 from outboxx_spark.dataops import dedup as dd
 from outboxx_spark.dataops import editdist as ed
@@ -1346,6 +1347,9 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_market_share": olap_tpch.market_share,
         "olap_heavy_hitters": cms.heavy_hitters_check,
         "docs_minhash_recall": dedup_recall.minhash_recall_check,
+        "cdc_incremental_agg": lambda spark, sf_dir: incragg.incremental_group_totals(
+            read_feed(spark, sf_dir)
+        ),
     }
 
 
@@ -1356,4 +1360,6 @@ def oracle_sql_staged() -> dict[str, str]:
         "olap_market_share": olap_tpch.MARKET_SHARE_SQL,
         "olap_heavy_hitters": cms.HEAVY_HITTERS_SQL,
         "docs_minhash_recall": dedup_recall.minhash_recall_check_sql(),
+        "cdc_incremental_agg": ORACLE_FEED_CTE
+        + incragg.INCREMENTAL_GROUP_TOTALS_SQL,
     }
