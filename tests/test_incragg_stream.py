@@ -1,0 +1,162 @@
+"""Streaming incremental totals (streaming/incragg_stream.py):
+convergence with the batch delta algebra, O(batch) ledger mechanics,
+and the ledger-first/idempotent-upsert crash windows."""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from outboxx_spark.operators.incragg import incremental_group_totals
+from outboxx_spark.streaming.incragg_stream import (
+    apply_incremental_totals_batch,
+    ledger_epoch_committed,
+    read_group_totals,
+    start_incremental_totals_stream,
+    write_ledger_epoch,
+)
+from outboxx_spark.streaming.table_sink import upsert_batch
+
+FEED_SCHEMA = (
+    "op string, resource string, lsn long, commit_ts long, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def _rows(ops):
+    # (op, resource, lsn, user_id, value) -> full feed rows
+    return [
+        (op, r, lsn, 1_700_000_000 + lsn, u, "synthetic", v, "{}")
+        for op, r, lsn, u, v in ops
+    ]
+
+
+def _feed_df(spark, ops):
+    return spark.createDataFrame(_rows(ops), FEED_SCHEMA)
+
+
+OPS_A = [
+    ("INSERT", "t0", 1, 1, 10.00),
+    ("INSERT", "t0", 2, 2, 5.50),
+    ("UPDATE", "t0", 3, 1, 12.25),
+    ("INSERT", "t1", 4, 3, 100.00),
+    ("READ", "t1", 5, 3, 999.0),
+]
+OPS_B = [
+    ("DELETE", "t0", 6, 2, 0.0),
+    ("UPDATE", "t1", 7, 3, 90.00),
+    ("INSERT", "t1", 8, 4, 1.25),
+    # same-batch churn on one key: only the winner may count
+    ("INSERT", "t0", 9, 5, 7.00),
+    ("UPDATE", "t0", 10, 5, 8.00),
+]
+OPS_C = [
+    ("DELETE", "t1", 11, 4, 0.0),
+    ("INSERT", "t0", 12, 2, 6.00),  # re-insert of a deleted key
+]
+
+
+def _totals(df):
+    return {
+        r["resource"]: (r["n_live"], r["sum_value_cents"]) for r in df.collect()
+    }
+
+
+def test_stream_converges_to_batch_algebra(spark, tmp_path):
+    src, table, ledger, ckpt = (
+        str(tmp_path / d) for d in ("src", "table", "ledger", "ckpt")
+    )
+    for i, ops in enumerate([OPS_A, OPS_B, OPS_C]):
+        _feed_df(spark, ops).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_incremental_totals_stream(stream, table, ledger, ckpt, n_buckets=8)
+    q.awaitTermination(180)
+
+    streamed = _totals(read_group_totals(spark, ledger))
+    batch = _totals(
+        incremental_group_totals(_feed_df(spark, OPS_A + OPS_B + OPS_C))
+    )
+    assert streamed == batch
+    # and against the hand model: t0 holds keys 1(1225),2(600),5(800);
+    # t1 holds key 3(9000) — key 4 inserted then deleted
+    assert streamed["t0"] == (3, 1225 + 600 + 800)
+    assert streamed["t1"] == (1, 9000)
+
+
+def test_restart_with_new_data_does_not_double_count(spark, tmp_path):
+    src, table, ledger, ckpt = (
+        str(tmp_path / d) for d in ("src", "table", "ledger", "ckpt")
+    )
+    _feed_df(spark, OPS_A).coalesce(1).write.mode("append").parquet(src)
+    stream = lambda: (
+        spark.readStream.schema(FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    start_incremental_totals_stream(
+        stream(), table, ledger, ckpt, n_buckets=8
+    ).awaitTermination(180)
+    first = _totals(read_group_totals(spark, ledger))
+    assert first == _totals(incremental_group_totals(_feed_df(spark, OPS_A)))
+
+    _feed_df(spark, OPS_B).coalesce(1).write.mode("append").parquet(src)
+    start_incremental_totals_stream(
+        stream(), table, ledger, ckpt, n_buckets=8
+    ).awaitTermination(180)
+    assert _totals(read_group_totals(spark, ledger)) == _totals(
+        incremental_group_totals(_feed_df(spark, OPS_A + OPS_B))
+    )
+
+
+def test_crash_between_ledger_and_upsert_replays_clean(spark, tmp_path):
+    table, ledger = str(tmp_path / "table"), str(tmp_path / "ledger")
+    b0 = _feed_df(spark, OPS_A)
+    apply_incremental_totals_batch(b0, table, ledger, epoch=0, n_buckets=8)
+
+    # epoch 1 "crashes" after the ledger commit, before the upsert
+    b1 = _feed_df(spark, OPS_B)
+    write_ledger_epoch(b1.filter(F.col("op") != "READ"), table, ledger, 1, n_buckets=8)
+    assert ledger_epoch_committed(spark, ledger, 1)
+
+    # replay of epoch 1: must SKIP the ledger (deltas vs pre-upsert
+    # state are already durable) and run the upsert
+    apply_incremental_totals_batch(b1, table, ledger, epoch=1, n_buckets=8)
+    assert _totals(read_group_totals(spark, ledger)) == _totals(
+        incremental_group_totals(_feed_df(spark, OPS_A + OPS_B))
+    )
+
+
+def test_replay_after_full_apply_changes_nothing(spark, tmp_path):
+    table, ledger = str(tmp_path / "table"), str(tmp_path / "ledger")
+    b0, b1 = _feed_df(spark, OPS_A), _feed_df(spark, OPS_B)
+    apply_incremental_totals_batch(b0, table, ledger, epoch=0, n_buckets=8)
+    apply_incremental_totals_batch(b1, table, ledger, epoch=1, n_buckets=8)
+    want = _totals(read_group_totals(spark, ledger))
+
+    apply_incremental_totals_batch(b1, table, ledger, epoch=1, n_buckets=8)
+    assert _totals(read_group_totals(spark, ledger)) == want
+
+
+def test_torn_ledger_epoch_is_invisible(spark, tmp_path):
+    table, ledger = str(tmp_path / "table"), str(tmp_path / "ledger")
+    apply_incremental_totals_batch(
+        _feed_df(spark, OPS_A), table, ledger, epoch=0, n_buckets=8
+    )
+    # fake a torn epoch: parquet rows, no marker
+    spark.createDataFrame(
+        [("t0", 999, 99999)], "resource string, d_live long, d_value_cents long"
+    ).write.parquet(os.path.join(ledger, "epoch=7"))
+    assert not ledger_epoch_committed(spark, ledger, 7)
+    assert _totals(read_group_totals(spark, ledger)) == _totals(
+        incremental_group_totals(_feed_df(spark, OPS_A))
+    )
