@@ -175,26 +175,85 @@ def start_incremental_totals_stream(
     return writer.start()
 
 
-def read_group_totals(spark: SparkSession, ledger_dir: str) -> DataFrame:
-    """Current totals: SUM over committed ledger epochs. Uncommitted
-    (torn) epochs are invisible — the reader-side half of the
-    exactly-once guarantee, as everywhere else in this repo."""
+def _ledger_parts(spark: SparkSession, ledger_dir: str):
+    """(fold_horizon, paths): the newest committed fold (or None) plus
+    every committed epoch ABOVE it. Epochs at or below a fold's
+    horizon are ignored whether present or not — which is exactly what
+    makes compaction GC crash-safe at any interruption point."""
     fs, root, _ = hadoop_fs(spark, ledger_dir)
     if not fs.exists(root):
         raise FileNotFoundError(f"no ledger at {ledger_dir}")
-    epochs = []
+    folds: list[int] = []
+    epochs: list[int] = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
-        if name.startswith("epoch=") and ledger_epoch_committed(
+        if name.startswith("fold=") and not name.endswith(".tmp"):
+            k = int(name.split("=", 1)[1])
+            if fs_read_text(spark, f"{ledger_dir}/{name}/{_LEDGER_COMMIT}") is not None:
+                folds.append(k)
+        elif name.startswith("epoch=") and ledger_epoch_committed(
             spark, ledger_dir, int(name.split("=", 1)[1])
         ):
-            epochs.append(f"{ledger_dir}/{name}")
-    if not epochs:
+            epochs.append(int(name.split("=", 1)[1]))
+    horizon = max(folds) if folds else None
+    paths = []
+    if horizon is not None:
+        paths.append(f"{ledger_dir}/fold={horizon}")
+    paths += [
+        f"{ledger_dir}/epoch={e}"
+        for e in sorted(epochs)
+        if horizon is None or e > horizon
+    ]
+    return horizon, paths
+
+
+def read_group_totals(spark: SparkSession, ledger_dir: str) -> DataFrame:
+    """Current totals: SUM over the newest committed fold plus the
+    committed epochs above its horizon. Uncommitted (torn) epochs and
+    folds are invisible — the reader-side half of the exactly-once
+    guarantee, as everywhere else in this repo."""
+    _, paths = _ledger_parts(spark, ledger_dir)
+    if not paths:
         raise FileNotFoundError(f"no committed ledger epochs under {ledger_dir}")
-    scan = spark.read.parquet(epochs[0])
-    for p in epochs[1:]:
+    scan = spark.read.parquet(paths[0])
+    for p in paths[1:]:
         scan = scan.unionByName(spark.read.parquet(p))
     return scan.groupBy("resource").agg(
         F.sum("d_live").cast("long").alias("n_live"),
         F.sum("d_value_cents").cast("long").alias("sum_value_cents"),
     )
+
+
+def compact_ledger(spark: SparkSession, ledger_dir: str) -> int | None:
+    """Fold the current committed parts into one fold=<horizon> dir —
+    the epoch-count bound for a long-running stream. Protocol: build
+    in fold=<N>.tmp (invisible), single atomic rename publishes it,
+    then GC the consumed parts. Every crash window is benign because
+    readers IGNORE anything at or below the newest fold's horizon:
+    die before the rename and only a .tmp remains; die mid-GC and the
+    leftovers are ignored shadows. Returns the new horizon (None if
+    nothing to fold)."""
+    horizon, paths = _ledger_parts(spark, ledger_dir)
+    if not paths:
+        return None
+    new_horizon = max(
+        int(p.rsplit("=", 1)[1]) for p in paths
+    )
+    if len(paths) == 1 and horizon == new_horizon:
+        return horizon  # already a lone fold; nothing to do
+    folded = read_group_totals(spark, ledger_dir).select(
+        "resource",
+        F.col("n_live").alias("d_live"),
+        F.col("sum_value_cents").alias("d_value_cents"),
+    )
+    tmp = f"{ledger_dir}/fold={new_horizon}.tmp"
+    fs, _, jvm = hadoop_fs(spark, ledger_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs.delete(Path(tmp), True)  # debris from a crashed prior attempt
+    folded.write.mode("overwrite").parquet(tmp)
+    fs_write_text(spark, f"{tmp}/{_LEDGER_COMMIT}", "{}")
+    if not fs.rename(Path(tmp), Path(f"{ledger_dir}/fold={new_horizon}")):
+        raise RuntimeError(f"could not publish fold={new_horizon}")
+    for p in paths:  # GC the consumed parts; crash here is harmless
+        fs.delete(Path(p), True)
+    return new_horizon

@@ -147,6 +147,61 @@ def test_replay_after_full_apply_changes_nothing(spark, tmp_path):
     assert _totals(read_group_totals(spark, ledger)) == want
 
 
+def test_compact_ledger_preserves_totals_and_bounds_epochs(spark, tmp_path):
+    import glob
+
+    from outboxx_spark.streaming.incragg_stream import compact_ledger
+
+    table, ledger = str(tmp_path / "table"), str(tmp_path / "ledger")
+    for i, ops in enumerate([OPS_A, OPS_B, OPS_C]):
+        apply_incremental_totals_batch(
+            _feed_df(spark, ops), table, ledger, epoch=i, n_buckets=8
+        )
+    want = _totals(read_group_totals(spark, ledger))
+
+    assert compact_ledger(spark, ledger) == 2
+    assert _totals(read_group_totals(spark, ledger)) == want
+    assert not glob.glob(os.path.join(ledger, "epoch=*")), "consumed epochs not GCd"
+
+    # idempotent re-compact, then fold-over-fold with a new epoch
+    assert compact_ledger(spark, ledger) == 2
+    apply_incremental_totals_batch(
+        _feed_df(spark, [("DELETE", "t0", 13, 1, 0.0)]), table, ledger, 3, n_buckets=8
+    )
+    assert compact_ledger(spark, ledger) == 3
+    got = _totals(read_group_totals(spark, ledger))
+    assert got["t0"] == (2, 600 + 800)
+
+
+def test_crashed_compact_leftovers_are_ignored(spark, tmp_path):
+    from outboxx_spark.streaming.incragg_stream import compact_ledger
+
+    table, ledger = str(tmp_path / "table"), str(tmp_path / "ledger")
+    for i, ops in enumerate([OPS_A, OPS_B]):
+        apply_incremental_totals_batch(
+            _feed_df(spark, ops), table, ledger, epoch=i, n_buckets=8
+        )
+    want = _totals(read_group_totals(spark, ledger))
+
+    # crash window 1: a .tmp fold that never renamed — invisible
+    spark.createDataFrame(
+        [("t9", 5, 12345)], "resource string, d_live long, d_value_cents long"
+    ).write.parquet(os.path.join(ledger, "fold=1.tmp"))
+    assert _totals(read_group_totals(spark, ledger)) == want
+
+    # crash window 2: fold published but GC died — shadow epochs at or
+    # below the horizon must be ignored, not double-counted
+    assert compact_ledger(spark, ledger) == 1
+    spark.createDataFrame(
+        [("t0", 99, 99999)], "resource string, d_live long, d_value_cents long"
+    ).write.parquet(os.path.join(ledger, "epoch=0"))
+    from outboxx_spark.streaming.incragg_stream import _LEDGER_COMMIT
+
+    with open(os.path.join(ledger, "epoch=0", _LEDGER_COMMIT), "w") as f:
+        f.write("{}")
+    assert _totals(read_group_totals(spark, ledger)) == want
+
+
 def test_torn_ledger_epoch_is_invisible(spark, tmp_path):
     table, ledger = str(tmp_path / "table"), str(tmp_path / "ledger")
     apply_incremental_totals_batch(
