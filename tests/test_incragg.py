@@ -66,6 +66,32 @@ def test_delta_algebra_matches_state_model(spark):
     assert got["t1"] == (1, 2100)
 
 
+def test_randomized_stress_vs_model(spark):
+    # one Spark run over a seeded-random 3000-op churn across 150 keys
+    # and 5 groups — the interleavings hypothesis would explore, at
+    # DataFrame cost instead of job-per-example cost
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    rows = []
+    for lsn in range(3000):
+        u = rng.randrange(150)
+        rows.append(
+            (
+                rng.choice(["INSERT", "UPDATE", "DELETE", "READ"]),
+                f"t{u % 5}",
+                lsn,
+                u,
+                round(rng.uniform(0, 500), 2),
+            )
+        )
+    got = {
+        r["resource"]: (r["n_live"], r["sum_value_cents"])
+        for r in incremental_group_totals(_feed(spark, rows)).collect()
+    }
+    assert got == _model(rows)
+
+
 def test_partition_invariance(spark):
     rows = [
         (op, f"t{u % 3}", lsn, u, float(lsn % 17) + 0.25)
