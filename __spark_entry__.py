@@ -20,7 +20,7 @@ from pyspark.sql import Window as W
 
 from outboxx_spark.config import TOAST_PLACEHOLDER
 from outboxx_spark.dataops import cms, dedup_recall
-from outboxx_spark.operators import incragg
+from outboxx_spark.operators import drift, incragg
 from outboxx_spark.dataops import curation as cu
 from outboxx_spark.dataops import dedup as dd
 from outboxx_spark.dataops import editdist as ed
@@ -45,7 +45,7 @@ from outboxx_spark.operators.dedup import dedup_events
 from outboxx_spark.operators.routing import route, streams_dim
 from outboxx_spark.operators.tally import tally
 from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
-from outboxx_spark import olap, olap_tpch
+from outboxx_spark import integrity, olap, olap_tpch
 from outboxx_spark.operators.asof import asof_join, asof_join_sql
 from outboxx_spark.operators.materialize import materialize, materialize_sql
 from outboxx_spark.operators.windows import (
@@ -1350,6 +1350,10 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_agg": lambda spark, sf_dir: incragg.incremental_group_totals(
             read_feed(spark, sf_dir)
         ),
+        "cdc_schema_drift": lambda spark, sf_dir: drift.schema_drift_report(
+            drift.plant_drift(read_feed(spark, sf_dir))
+        ),
+        "olap_fk_orphans": integrity.referential_integrity,
     }
 
 
@@ -1362,4 +1366,6 @@ def oracle_sql_staged() -> dict[str, str]:
         "docs_minhash_recall": dedup_recall.minhash_recall_check_sql(),
         "cdc_incremental_agg": ORACLE_FEED_CTE
         + incragg.INCREMENTAL_GROUP_TOTALS_SQL,
+        "cdc_schema_drift": ORACLE_FEED_CTE + drift.SCHEMA_DRIFT_SQL,
+        "olap_fk_orphans": integrity.REFERENTIAL_INTEGRITY_SQL,
     }

@@ -220,3 +220,25 @@ def test_money_units_guard_fail_stops_on_domain_violation(spark):
 
     with pytest.raises(Exception, match="fixed-point domain violated"):
         run([2.675])
+
+
+def test_referential_integrity_audit(spark, sf_dir):
+    from outboxx_spark.integrity import referential_integrity
+    from outboxx_spark.sources.tables import read_table
+
+    got = {r["relationship"]: r for r in referential_integrity(spark, sf_dir).collect()}
+    n_lineitem = read_table(spark, sf_dir, "lineitem").count()
+    n_orders = read_table(spark, sf_dir, "orders").count()
+    # the corpus is referentially intact: every real edge audits clean
+    for edge, n_child in [
+        ("lineitem->orders", n_lineitem),
+        ("lineitem->part", n_lineitem),
+        ("lineitem->supplier", n_lineitem),
+        ("orders->customer", n_orders),
+    ]:
+        assert got[edge]["n_child"] == n_child
+        assert got[edge]["n_orphans"] == 0, edge
+    # the negative-control edge (parents % 97 removed) must report
+    # orphans — a detector that has only ever output zero is untested
+    ctrl = got["orders->customer#drop97"]
+    assert ctrl["n_child"] == n_orders and 0 < ctrl["n_orphans"] < n_orders

@@ -52,6 +52,10 @@ CARTESIAN_OK = {
     # PQ's honest linear-scan baseline: ADC over codes x broadcast
     # LUTs IS a full scan by design (the pruned path is emb_ivf_pq_topk)
     "emb_pq_topk",
+    # scalar broadcast: the drift plant joins a ONE-ROW max-LSN frame
+    # (era thresholds) — BNLJ with a 1-row build side, in both plan
+    # branches (key explode + resource bounds), is the intended shape
+    "cdc_schema_drift",
 }
 
 THRESHOLDS = {"py_nodes": 2, "from_json": 4, "to_json": 12, "cartesian": 0}
