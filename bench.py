@@ -417,6 +417,48 @@ def main() -> None:
     finally:
         shutil.rmtree(export_root, ignore_errors=True)
 
+    # Incremental-totals probe (r9): the changelog is applied in two
+    # halves through the ledger + table-sink state. The claim under
+    # test mirrors the dedup store's: batch 2 (deltas against a
+    # POPULATED key state) must cost the same order as batch 1, and
+    # the ledger totals must equal the batch algebra over the whole
+    # feed (asserted — a silent divergence fails the bench).
+    incragg_b1_sec = incragg_b2_sec = None
+    incragg_root = tempfile.mkdtemp(prefix="bench_incragg_")
+    try:
+        from outboxx_spark.operators.incragg import incremental_group_totals
+        from outboxx_spark.sources.feed import read_feed
+        from outboxx_spark.streaming.incragg_stream import (
+            apply_incremental_totals_batch,
+            read_group_totals,
+        )
+
+        feed = read_feed(spark, sf_dir)
+        mid = feed.agg(F.expr("percentile_approx(lsn, 0.5)")).first()[0] or 0
+        h1 = feed.filter(F.col("lsn") <= mid)
+        h2 = feed.filter(F.col("lsn") > mid)
+        tdir, ldir = f"{incragg_root}/table", f"{incragg_root}/ledger"
+        incragg_b1_sec = round(
+            _timed(lambda: apply_incremental_totals_batch(h1, tdir, ldir, 0)), 4
+        )
+        incragg_b2_sec = round(
+            _timed(lambda: apply_incremental_totals_batch(h2, tdir, ldir, 1)), 4
+        )
+        ledger = {
+            (r["resource"], r["n_live"], r["sum_value_cents"])
+            for r in read_group_totals(spark, ldir).collect()
+        }
+        batch = {
+            (r["resource"], r["n_live"], r["sum_value_cents"])
+            for r in incremental_group_totals(feed).collect()
+        }
+        if ledger != batch:
+            raise AssertionError("incragg ledger diverged from batch algebra")
+    except Exception as e:  # the probe must never sink the bench
+        print(f"# incragg probe failed: {type(e).__name__}: {e}", file=sys.stderr)
+    finally:
+        shutil.rmtree(incragg_root, ignore_errors=True)
+
     # Incremental dedup-store probe (tracked per round): ingest the
     # corpus in two halves through the persistent LSH survivor store.
     # The claim under test is per-batch-bounded work: batch 2 (probing
@@ -530,6 +572,8 @@ def main() -> None:
         "export_shards_sec": export_shards_sec,
         "export_verify_sec": export_verify_sec,
         "export_n_shards": export_n_shards,
+        "incragg_b1_sec": incragg_b1_sec,
+        "incragg_b2_sec": incragg_b2_sec,
         "n_queries": len(timings),
         # r4 accounting change: per-query timings REBUILD the DataFrame
         # every pass, so eager build stages (checkpoint
