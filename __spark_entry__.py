@@ -20,6 +20,8 @@ from pyspark.sql import Window as W
 
 from outboxx_spark.config import TOAST_PLACEHOLDER
 from outboxx_spark.dataops import cms, dedup_recall
+from outboxx_spark.dataops import corpus_diff as corpus_diff_mod
+from outboxx_spark.dataops import normalize as normalize_mod
 from outboxx_spark.operators import drift, incragg
 from outboxx_spark.dataops import curation as cu
 from outboxx_spark.dataops import dedup as dd
@@ -1354,6 +1356,8 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             drift.plant_drift(read_feed(spark, sf_dir))
         ),
         "olap_fk_orphans": integrity.referential_integrity,
+        "docs_corpus_diff": corpus_diff_mod.planted_corpus_diff,
+        "docs_normalize": normalize_mod.planted_normalize,
     }
 
 
@@ -1368,4 +1372,6 @@ def oracle_sql_staged() -> dict[str, str]:
         + incragg.INCREMENTAL_GROUP_TOTALS_SQL,
         "cdc_schema_drift": ORACLE_FEED_CTE + drift.SCHEMA_DRIFT_SQL,
         "olap_fk_orphans": integrity.REFERENTIAL_INTEGRITY_SQL,
+        "docs_corpus_diff": corpus_diff_mod.PLANTED_CORPUS_DIFF_SQL,
+        "docs_normalize": normalize_mod.PLANTED_NORMALIZE_SQL,
     }
