@@ -1338,11 +1338,11 @@ def q_emb_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r9 staging: the 50-row driver window is EXACTLY full this round
     # (1 warm-up + the 29-query r7-evidenced tail + the 20 queries
-    # tools/touched_queries.py flags as touched), so the two TPC-H
-    # decorrelation shapes added mid-round wait here — held to the
-    # same oracle gate by tools/check_oracles.py and the contract
-    # tests below — and promote into queries() at the r10 rotation,
-    # when the r9-green fillers free their slots.
+    # tools/touched_queries.py flags as touched), so everything added
+    # mid-round waits here — held to the same oracle gate by
+    # tools/check_oracles.py and the contract tests below — and
+    # promotes into queries() at the r10 rotation, when the r9-green
+    # fillers free their slots.
     return {
         "olap_small_qty_revenue": olap_tpch.small_qty_revenue,
         "olap_lone_return_supplier": olap_tpch.lone_return_supplier,

@@ -37,6 +37,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def payload_key_stats(
+    feed: DataFrame,
+    resource_col: str = "resource",
+    lsn_col: str = "lsn",
+    props_col: str = "props",
+) -> DataFrame:
+    """Per (resource, top-level JSON key): presence count + LSN range.
+    MERGEABLE: stats of a union == re-aggregate (sum/min/max) of the
+    parts' stats — the property the streaming monitor builds on."""
+    keyed = feed.select(
+        resource_col,
+        lsn_col,
+        F.explode(F.json_object_keys(F.col(props_col))).alias("key"),
+    )
+    return keyed.groupBy(resource_col, "key").agg(
+        F.count("*").alias("n_events"),
+        F.min(lsn_col).alias("first_lsn"),
+        F.max(lsn_col).alias("last_lsn"),
+    )
+
+
+def resource_bounds(
+    feed: DataFrame, resource_col: str = "resource", lsn_col: str = "lsn"
+) -> DataFrame:
+    """Per resource: the LSN span of the WHOLE stream (every row, also
+    those whose payload is malformed — the span is transport-level).
+    Mergeable like payload_key_stats."""
+    return feed.groupBy(resource_col).agg(
+        F.min(lsn_col).alias("rmin"), F.max(lsn_col).alias("rmax")
+    )
+
+
+def drift_flags(
+    per_key: DataFrame, bounds: DataFrame, resource_col: str = "resource"
+) -> DataFrame:
+    """Join key stats with the resource spans and derive the flags.
+    ``bounds`` is |resources| rows — always broadcast."""
+    return per_key.join(F.broadcast(bounds), resource_col).select(
+        resource_col,
+        "key",
+        "n_events",
+        "first_lsn",
+        "last_lsn",
+        (F.col("first_lsn") > F.col("rmin")).alias("added"),
+        (F.col("last_lsn") < F.col("rmax")).alias("dropped"),
+    )
+
+
 def schema_drift_report(
     feed: DataFrame,
     resource_col: str = "resource",
@@ -45,28 +93,9 @@ def schema_drift_report(
 ) -> DataFrame:
     """Per (resource, top-level JSON key): presence count, LSN range,
     and added/dropped flags relative to the resource's own LSN span."""
-    keyed = feed.select(
-        resource_col,
-        lsn_col,
-        F.explode(F.json_object_keys(F.col(props_col))).alias("key"),
-    )
-    per_key = keyed.groupBy(resource_col, "key").agg(
-        F.count("*").alias("n_events"),
-        F.min(lsn_col).alias("first_lsn"),
-        F.max(lsn_col).alias("last_lsn"),
-    )
-    bounds = feed.groupBy(resource_col).agg(
-        F.min(lsn_col).alias("_rmin"), F.max(lsn_col).alias("_rmax")
-    )
-    return per_key.join(F.broadcast(bounds), resource_col).select(
-        resource_col,
-        "key",
-        "n_events",
-        "first_lsn",
-        "last_lsn",
-        (F.col("first_lsn") > F.col("_rmin")).alias("added"),
-        (F.col("last_lsn") < F.col("_rmax")).alias("dropped"),
-    )
+    per_key = payload_key_stats(feed, resource_col, lsn_col, props_col)
+    bounds = resource_bounds(feed, resource_col, lsn_col)
+    return drift_flags(per_key, bounds, resource_col)
 
 
 def plant_drift(feed: DataFrame, lsn_col: str = "lsn", props_col: str = "props") -> DataFrame:
