@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from outboxx_spark.config import TOAST_PLACEHOLDER
-from outboxx_spark.dataops import bloom, cms, dedup_recall
+from outboxx_spark.dataops import bloom, cms, dedup_recall, hll
 from outboxx_spark.dataops import corpus_diff as corpus_diff_mod
 from outboxx_spark.dataops import normalize as normalize_mod
 from outboxx_spark.operators import drift, incragg
@@ -1359,6 +1359,7 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_corpus_diff": corpus_diff_mod.planted_corpus_diff,
         "docs_normalize": normalize_mod.planted_normalize,
         "docs_bloom_filter": bloom.bloom_filter_check,
+        "olap_hll_relational": hll.hll_relational_check,
     }
 
 
@@ -1376,4 +1377,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "docs_corpus_diff": corpus_diff_mod.PLANTED_CORPUS_DIFF_SQL,
         "docs_normalize": normalize_mod.PLANTED_NORMALIZE_SQL,
         "docs_bloom_filter": bloom.BLOOM_FILTER_SQL,
+        "olap_hll_relational": hll.HLL_RELATIONAL_SQL,
     }
