@@ -88,13 +88,23 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query the sketch for every row of ``keys``: min over the
     d addressed counters. The sketch is <= d*w rows, so the join
-    BROADCASTS it — estimation never shuffles the key frame."""
+    BROADCASTS it — estimation never shuffles the key frame.
+
+    LEFT join + coalesce(cnt, 0): a (row, bucket) address absent from
+    the sketch means no added key ever hashed there, so that counter
+    is 0 — the min must see the 0, or a never-added probe key (e.g.
+    querying one source's sketch with another source's keys) would be
+    silently dropped (inner join) or over-estimated (min over only the
+    present counters), violating est <= true + ceil(e/w * N). Same
+    absent-row handling as bloom_probe's coalesce(False)."""
     addressed = keys.withColumn("a", F.explode(_addresses(F.col(key), d, w)))
     return (
         addressed.join(
             F.broadcast(sketch),
             (F.col("a.row") == sketch.row) & (F.col("a.bucket") == sketch.bucket),
+            "left",
         )
+        .select(key, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
         .groupBy(key)
         .agg(F.min("cnt").alias("cms_est"))
     )

@@ -37,13 +37,13 @@ in assign_shards (skinny columns only) and the repartition-for-write
 from __future__ import annotations
 
 import json
-import os
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from outboxx_spark.dataops.sharding import _shuffle_key, assign_shards
+from outboxx_spark.fsutil import fs_read_text, fs_write_text
 
 # underscore prefix: Spark's file index skips _-prefixed names (the
 # _SUCCESS convention), so the manifest never shadows the data files
@@ -78,8 +78,11 @@ def export_shards(
     """Write ``df`` as size-balanced training shards under ``out_dir``.
 
     Layout: ``out_dir/shard=K/part-*.parquet`` (exactly one file per
-    shard) + ``out_dir/manifest.json`` written last as the commit
-    marker. Returns the manifest dict.
+    shard) + ``out_dir/_manifest.json`` written last as the commit
+    marker. Returns the manifest dict. All manifest I/O goes through
+    fsutil (Hadoop FileSystem), so the commit protocol works on any
+    scheme the data path does (hdfs://, s3a://, file://) — the same
+    marker convention as the ivf store and the incragg ledger.
     """
     assigned = assign_shards(
         df, F.size(F.split(F.col(text_col), " ")).cast("long"), target,
@@ -123,27 +126,29 @@ def export_shards(
             for r in rows
         ],
     }
-    tmp = os.path.join(out_dir, MANIFEST_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(out_dir, MANIFEST_NAME))  # atomic publish
+    # fs_write_text = write-temp-then-rename through Hadoop's FileSystem:
+    # atomic publish on any scheme (mode errorifexists above guarantees
+    # the destination is fresh, so the write-once contract holds)
+    fs_write_text(
+        df.sparkSession, f"{out_dir}/{MANIFEST_NAME}", json.dumps(manifest, indent=1)
+    )
     return manifest
 
 
-def is_committed(out_dir: str) -> bool:
+def is_committed(spark: SparkSession, out_dir: str) -> bool:
     """True iff the export's manifest was published (torn exports —
     data files without a manifest — must be discarded and re-run)."""
-    return os.path.exists(os.path.join(out_dir, MANIFEST_NAME))
+    return fs_read_text(spark, f"{out_dir}/{MANIFEST_NAME}") is not None
 
 
 def verify_export(spark: SparkSession, out_dir: str) -> list[dict[str, Any]]:
     """Re-read the published shards and diff the recomputed per-shard
     aggregate against the manifest. Returns a list of mismatch dicts
     (empty == export verified). Distributed scan, O(n_shards) result."""
-    if not is_committed(out_dir):
+    text = fs_read_text(spark, f"{out_dir}/{MANIFEST_NAME}")
+    if text is None:
         raise FileNotFoundError(f"no {MANIFEST_NAME} under {out_dir}: torn export")
-    with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
-        manifest = json.load(f)
+    manifest = json.loads(text)
     read = spark.read.parquet(out_dir).withColumn(
         "shard", F.col("shard").cast("long")
     )

@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from outboxx_spark.operators.materialize import _op_rank, _op_rank_sql
+
 
 def incremental_group_totals(
     feed: DataFrame,
@@ -51,11 +53,21 @@ def incremental_group_totals(
     """Per ``group_col``: live-key count and exact cents-sum of the
     current state, computed purely from change deltas. Output:
     (resource, n_live, sum_value_cents) — equals aggregating
-    materialize()'s output (oracle-pinned)."""
+    materialize()'s output (oracle-pinned).
+
+    The window carries materialize()'s full tie-break chain
+    (lsn, op precedence, commit_ts): on duplicate (group, key, lsn)
+    events a bare-lsn order is nondeterministic, and the telescoped
+    final value could diverge run-to-run and from the oracle.
+    commit_ts joins the chain only when the frame carries it (test
+    fixtures may not)."""
     ev = feed.filter(F.col("op") != "READ")
     cents = F.round(F.col(value_col) * 100).cast("long")
     is_del = F.col("op") == "DELETE"
-    w = W.partitionBy(group_col, key_col).orderBy(order_col)
+    order_cols = [F.col(order_col), _op_rank(F.col("op"))]
+    if "commit_ts" in ev.columns:
+        order_cols.append(F.col("commit_ts"))
+    w = W.partitionBy(group_col, key_col).orderBy(*order_cols)
     deltas = ev.select(
         group_col,
         key_col,
@@ -79,12 +91,13 @@ def incremental_group_totals(
     )
 
 
-INCREMENTAL_GROUP_TOTALS_SQL = """
+INCREMENTAL_GROUP_TOTALS_SQL = f"""
 , nonread AS (SELECT * FROM feed WHERE op <> 'READ')
 , latest AS (
   SELECT resource, user_id, op, value,
          row_number() OVER (PARTITION BY resource, user_id
-                            ORDER BY lsn DESC) AS rn
+                            ORDER BY lsn DESC, {_op_rank_sql("op")} DESC,
+                                     commit_ts DESC) AS rn
   FROM nonread
 )
 SELECT resource,

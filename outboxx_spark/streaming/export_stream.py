@@ -40,17 +40,16 @@ object stores are good at.
 
 from __future__ import annotations
 
-import os
-import shutil
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from outboxx_spark.dataops.export import export_shards, is_committed
+from outboxx_spark.fsutil import hadoop_fs
 
 
 def batch_dir(out_dir: str, epoch_id: int) -> str:
-    return os.path.join(out_dir, f"batch={epoch_id}")
+    return f"{out_dir}/batch={epoch_id}"
 
 
 def make_export_batch_processor(
@@ -58,17 +57,21 @@ def make_export_batch_processor(
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch body, exposed for direct unit testing of the
     three crash-window behaviors (skip committed / rewrite torn /
-    write fresh)."""
+    write fresh). All existence probes and the torn-directory delete
+    go through Hadoop's FileSystem, so the protocol holds on hdfs://
+    and s3a:// exactly as on local paths."""
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         bdir = batch_dir(out_dir, epoch_id)
-        if is_committed(bdir):
+        spark = batch.sparkSession
+        if is_committed(spark, bdir):
             # replay of an epoch whose manifest already published:
             # the on-disk data IS this epoch's deterministic output —
             # rewriting it would only race a concurrent reader
             return
-        if os.path.exists(bdir):
-            shutil.rmtree(bdir)  # torn write from a mid-batch crash
+        fs, bpath, _ = hadoop_fs(spark, bdir)
+        if fs.exists(bpath):
+            fs.delete(bpath, True)  # torn write from a mid-batch crash
         if batch.isEmpty():
             return  # empty trigger: nothing to commit
         export_shards(batch, bdir, target=target, n_buckets=n_buckets)
@@ -97,13 +100,15 @@ def start_export_stream(
     return writer.start()
 
 
-def committed_batches(out_dir: str) -> list[int]:
+def committed_batches(spark: SparkSession, out_dir: str) -> list[int]:
     """Epoch ids of batches whose manifest published, ascending."""
-    if not os.path.isdir(out_dir):
+    fs, root, _ = hadoop_fs(spark, out_dir)
+    if not fs.exists(root):
         return []
     out = []
-    for name in os.listdir(out_dir):
-        if name.startswith("batch=") and is_committed(os.path.join(out_dir, name)):
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("batch=") and is_committed(spark, f"{out_dir}/{name}"):
             out.append(int(name.split("=", 1)[1]))
     return sorted(out)
 
@@ -112,7 +117,7 @@ def read_export(spark: SparkSession, out_dir: str) -> DataFrame:
     """The trainer's view: union of COMMITTED batches only. A torn
     directory (data without manifest) is invisible — the reader-side
     half of the exactly-once guarantee."""
-    batches = committed_batches(out_dir)
+    batches = committed_batches(spark, out_dir)
     if not batches:
         raise FileNotFoundError(f"no committed batches under {out_dir}")
     # one reader over an explicit path list: partition discovery stays

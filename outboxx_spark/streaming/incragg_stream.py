@@ -207,6 +207,20 @@ def _ledger_parts(spark: SparkSession, ledger_dir: str):
     return horizon, paths
 
 
+def _sum_parts(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """SUM the deltas of exactly these ledger parts — the shared fold
+    kernel of read_group_totals and compact_ledger. Taking an explicit
+    path snapshot (not re-listing) is load-bearing for compaction: the
+    fold must cover precisely the parts the GC will delete."""
+    scan = spark.read.parquet(paths[0])
+    for p in paths[1:]:
+        scan = scan.unionByName(spark.read.parquet(p))
+    return scan.groupBy("resource").agg(
+        F.sum("d_live").cast("long").alias("n_live"),
+        F.sum("d_value_cents").cast("long").alias("sum_value_cents"),
+    )
+
+
 def read_group_totals(spark: SparkSession, ledger_dir: str) -> DataFrame:
     """Current totals: SUM over the newest committed fold plus the
     committed epochs above its horizon. Uncommitted (torn) epochs and
@@ -215,13 +229,7 @@ def read_group_totals(spark: SparkSession, ledger_dir: str) -> DataFrame:
     _, paths = _ledger_parts(spark, ledger_dir)
     if not paths:
         raise FileNotFoundError(f"no committed ledger epochs under {ledger_dir}")
-    scan = spark.read.parquet(paths[0])
-    for p in paths[1:]:
-        scan = scan.unionByName(spark.read.parquet(p))
-    return scan.groupBy("resource").agg(
-        F.sum("d_live").cast("long").alias("n_live"),
-        F.sum("d_value_cents").cast("long").alias("sum_value_cents"),
-    )
+    return _sum_parts(spark, paths)
 
 
 def compact_ledger(spark: SparkSession, ledger_dir: str) -> int | None:
@@ -232,7 +240,13 @@ def compact_ledger(spark: SparkSession, ledger_dir: str) -> int | None:
     readers IGNORE anything at or below the newest fold's horizon:
     die before the rename and only a .tmp remains; die mid-GC and the
     leftovers are ignored shadows. Returns the new horizon (None if
-    nothing to fold)."""
+    nothing to fold).
+
+    The fold is computed from the FIRST _ledger_parts snapshot (exact
+    paths), never from a re-listing: an epoch committed by a concurrent
+    stream between two listings would otherwise be summed into
+    fold=new_horizon while its id exceeds new_horizon and its directory
+    survives GC — readers would then double-count its deltas."""
     horizon, paths = _ledger_parts(spark, ledger_dir)
     if not paths:
         return None
@@ -241,7 +255,7 @@ def compact_ledger(spark: SparkSession, ledger_dir: str) -> int | None:
     )
     if len(paths) == 1 and horizon == new_horizon:
         return horizon  # already a lone fold; nothing to do
-    folded = read_group_totals(spark, ledger_dir).select(
+    folded = _sum_parts(spark, paths).select(
         "resource",
         F.col("n_live").alias("d_live"),
         F.col("sum_value_cents").alias("d_value_cents"),

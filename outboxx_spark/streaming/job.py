@@ -40,10 +40,18 @@ from outboxx_spark.sources.snapshot import snapshot_table
 from outboxx_spark.streaming.metrics import MetricsRegistry
 
 
-def kafka_writer_options(bootstrap_servers: str) -> dict[str, str]:
+def kafka_writer_options(
+    bootstrap_servers: str, security=None
+) -> dict[str, str]:
     """The reference producer's delivery-guarantee configs
-    (`src/sink/kafka/producer.zig:111-176`), as Spark Kafka sink options."""
-    return {
+    (`src/sink/kafka/producer.zig:111-176`), as Spark Kafka sink options.
+
+    ``security``: an optional ``config.KafkaSinkConfig`` — its validated
+    TLS x SASL axes (security.protocol derivation, JAAS config, CA
+    truststore) merge in LAST, so the secured options win. Its broker
+    list also overrides ``bootstrap_servers`` (one source of truth for
+    a secured sink)."""
+    opts = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "kafka.enable.idempotence": "true",
         "kafka.acks": "all",
@@ -57,6 +65,11 @@ def kafka_writer_options(bootstrap_servers: str) -> dict[str, str]:
         # fail-fast on startup, same as the reference
         "kafka.socket.connection.setup.timeout.ms": "10000",
     }
+    if security is not None:
+        from outboxx_spark.config import kafka_security_options
+
+        opts.update(kafka_security_options(security))
+    return opts
 
 
 def _dynamic_key(data_cols: list[str]) -> F.Column:

@@ -53,6 +53,37 @@ def test_estimate_never_undercounts_and_is_exact_without_collisions(spark):
         assert est[k] <= t + len(keys), "insane overcount"
 
 
+def test_never_added_keys_estimate_zero_not_dropped(spark):
+    # ADVICE r9 (medium): probing a sketch with keys that were never
+    # added (e.g. another source's keys) must return est=0 for keys
+    # whose addresses are all absent, and must never exceed the CMS
+    # bound by min-ing over only the PRESENT counters. With w=8 and
+    # heavy keys, a foreign key usually hits some-but-not-all addressed
+    # counters — the inner-join bug returned the min over the hits.
+    added = _frame(spark, [1, 2, 3] * 50)
+    sk = cms_sketch(added, "k", w=8)
+    foreign = _frame(spark, list(range(100, 140)))
+    est = {
+        r["k"]: r["cms_est"]
+        for r in cms_estimate(sk, foreign, "k", w=8).collect()
+    }
+    # every probe key comes back (nothing silently dropped) ...
+    assert set(est) == set(range(100, 140))
+    # ... and with w=8 and only 8*4 counters holding 150 adds, at least
+    # one of 40 foreign keys has an all-absent or partly-absent address
+    # set; the min over coalesced-0 counters must floor at 0 and NEVER
+    # exceed the dominating counter mass
+    assert all(0 <= v <= 150 for v in est.values()), est
+    # a tiny sketch of ONE key: any foreign key missing at least one of
+    # its d addresses must estimate exactly 0
+    one = cms_sketch(_frame(spark, [7]), "k", w=2048)
+    zero_est = {
+        r["k"]: r["cms_est"]
+        for r in cms_estimate(one, _frame(spark, [9999]), "k", w=2048).collect()
+    }
+    assert zero_est == {9999: 0}
+
+
 def test_sketch_is_partition_invariant(spark):
     df = _frame(spark, [i % 13 for i in range(400)])
     one = _as_dict(cms_sketch(df.coalesce(1), "k", w=128))

@@ -83,7 +83,7 @@ def test_rows_inside_shard_are_in_shuffle_order(spark, exported):
 
 def test_manifest_verifies_and_is_deterministic(spark, exported, tmp_path):
     docs, out, manifest = exported
-    assert is_committed(out)
+    assert is_committed(spark, out)
     assert verify_export(spark, out) == []
     # re-export of the same corpus -> identical manifest (fingerprints
     # pin content AND membership, so this is full reproducibility)
@@ -97,7 +97,7 @@ def test_torn_export_detected(spark, exported, tmp_path):
     out = str(tmp_path / "torn")
     export_shards(docs, out, target=100, n_buckets=16)
     os.remove(os.path.join(out, MANIFEST_NAME))
-    assert not is_committed(out)
+    assert not is_committed(spark, out)
     with pytest.raises(FileNotFoundError):
         verify_export(spark, out)
 

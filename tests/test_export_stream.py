@@ -58,8 +58,8 @@ def test_stream_drains_to_committed_verified_batches(spark, tmp_path):
         _stream(spark, src), out, ckpt, target=60, n_buckets=16
     )
     q.awaitTermination(120)
-    assert committed_batches(out) == [0, 1, 2]
-    for b in committed_batches(out):
+    assert committed_batches(spark, out) == [0, 1, 2]
+    for b in committed_batches(spark, out):
         assert verify_export(spark, batch_dir(out, b)) == []
     got = sorted(r["doc_id"] for r in read_export(spark, out).collect())
     assert got == list(range(120)), "every doc exactly once"
@@ -71,14 +71,14 @@ def test_restart_resumes_without_duplicates(spark, tmp_path):
     _write_doc_file(spark, src, 50, 90, "b")
     q = start_export_stream(_stream(spark, src), out, ckpt, target=50, n_buckets=16)
     q.awaitTermination(120)
-    first = committed_batches(out)
+    first = committed_batches(spark, out)
     assert first == [0, 1]
 
     # new data arrives; a NEW query resumes from the same checkpoint
     _write_doc_file(spark, src, 90, 130, "c")
     q2 = start_export_stream(_stream(spark, src), out, ckpt, target=50, n_buckets=16)
     q2.awaitTermination(120)
-    assert committed_batches(out) == [0, 1, 2]
+    assert committed_batches(spark, out) == [0, 1, 2]
     got = sorted(r["doc_id"] for r in read_export(spark, out).collect())
     assert got == list(range(130)), "restart must neither lose nor duplicate"
 
@@ -126,7 +126,7 @@ def test_reader_only_sees_committed_batches(spark, tmp_path):
     # a torn later batch: data files but no manifest
     torn = batch_dir(out, 1)
     docs.limit(5).write.parquet(os.path.join(torn, "shard=0"))
-    assert committed_batches(out) == [0]
+    assert committed_batches(spark, out) == [0]
     got = read_export(spark, out)
     assert got.filter(F.col("batch") != 0).count() == 0
     assert got.count() == 25
@@ -136,5 +136,5 @@ def test_empty_trigger_commits_nothing(spark, tmp_path):
     out = str(tmp_path / "out")
     empty = spark.createDataFrame([], DOCS_SCHEMA)
     make_export_batch_processor(out, target=10)(empty, 4)
-    assert committed_batches(out) == []
+    assert committed_batches(spark, out) == []
     assert not os.path.exists(batch_dir(out, 4))

@@ -92,6 +92,38 @@ def test_randomized_stress_vs_model(spark):
     assert got == _model(rows)
 
 
+def test_duplicate_lsn_ties_are_deterministic(spark):
+    # ADVICE r9: a bare-lsn window order makes the telescoped final
+    # value of duplicate (resource, key, lsn) events nondeterministic.
+    # The window now carries materialize()'s (op-precedence, commit_ts)
+    # tie-break: on an equal-lsn INSERT/UPDATE/DELETE pile-up, DELETE
+    # (rank 3) must win — and win IDENTICALLY on every run/partitioning.
+    rows = [
+        ("INSERT", "t0", 1, 1, 10.00, 100),
+        # same lsn, three ops: DELETE outranks UPDATE outranks INSERT
+        ("UPDATE", "t0", 2, 1, 55.00, 200),
+        ("DELETE", "t0", 2, 1, 0.0, 201),
+        ("INSERT", "t0", 2, 1, 99.00, 199),
+        # same lsn + same op: commit_ts breaks the tie (later wins)
+        ("UPDATE", "t0", 3, 2, 1.00, 300),
+        ("UPDATE", "t0", 3, 2, 2.00, 301),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "op string, resource string, lsn long, user_id long,"
+        " value double, commit_ts long",
+    )
+    from outboxx_spark.operators.incragg import incremental_group_totals as igt
+
+    expect = {"t0": (1, 200)}  # key1 deleted at lsn2; key2 holds 2.00
+    for frame in (df.coalesce(1), df.repartition(7)):
+        got = {
+            r["resource"]: (r["n_live"], r["sum_value_cents"])
+            for r in igt(frame).collect()
+        }
+        assert got == expect, got
+
+
 def test_partition_invariance(spark):
     rows = [
         (op, f"t{u % 3}", lsn, u, float(lsn % 17) + 0.25)
