@@ -309,18 +309,15 @@ def decode_features(
 
     ``decoder="fake"`` (default, always available) derives features
     from byte statistics — the oracle-mirrored testbed path.
-    ``decoder="pixel"`` decodes REAL pixels via pillow for blobs that
-    sniff as images (per-band grayscale means; non-image payloads fall
-    back to the byte-statistic features so mixed corpora don't crash);
-    fails fast at plan-build time when pillow is absent rather than on
-    the executors mid-job."""
+    ``decoder="pixel"`` decodes REAL pixels for blobs that sniff as
+    images (per-band grayscale means; non-image payloads fall back to
+    the byte-statistic features so mixed corpora don't crash). Pixel
+    decode prefers pillow when the environment has it; PNGs decode
+    through the pure-Python codec (`dataops/png.py`) everywhere, so
+    the pixel path is ALWAYS available — only non-PNG formats degrade
+    to the fallback features without pillow."""
     if decoder not in ("fake", "pixel"):
         raise ValueError(f"unknown decoder {decoder!r}")
-    if decoder == "pixel" and not _pil_available():
-        raise NotImplementedError(
-            "decoder='pixel' requires PIL/pillow, not present in this "
-            "container (pip has no network route here, re-verified r8)"
-        )
     out_schema = "doc_id long, features array<double>"
 
     def _one(b: bytes) -> np.ndarray:
@@ -411,21 +408,41 @@ def _pil_available() -> bool:
 
 
 def real_image_decode(blob: bytes) -> np.ndarray:
-    """Real pixel decode: PIL-decode the blob into an (H, W) grayscale
-    uint8 array. Import-guarded — raises NotImplementedError where
-    pillow is absent (this sandbox: pip has no network route to any
-    index, re-verified r8), so callers can gate on :func:`_pil_available`
-    and keep the deterministic fake as the fallback."""
-    try:
-        from PIL import Image
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires PIL/pillow, not present in this container"
-        ) from e
-    import io
+    """Real pixel decode into an (H, W) grayscale uint8 array.
 
-    with Image.open(io.BytesIO(blob)) as img:
-        return np.asarray(img.convert("L"), dtype=np.uint8)
+    Decoder selection (r10): pillow when the environment provides it
+    (any format); otherwise PNGs decode through the repo's pure-Python
+    codec (`dataops/png.py` — stdlib zlib inflate + full five-filter
+    unfilter, round-trip-certified in tests/test_png.py), with the ITU-R
+    601 luma the same L-conversion pillow applies, so adding pillow
+    later does not change grayscale values. Non-PNG formats without
+    pillow raise NotImplementedError (a from-scratch JPEG entropy
+    decoder is out of scope; pip has no network route in this sandbox,
+    re-verified r10)."""
+    blob = bytes(blob)
+    if _pil_available():
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(blob)) as img:
+            return np.asarray(img.convert("L"), dtype=np.uint8)
+    if blob[:8] == _PNG_SIG:
+        from outboxx_spark.dataops.png import decode_png
+
+        px = decode_png(blob)
+        if px.ndim == 2:
+            return px
+        rgb = px[..., :3].astype(np.float64)  # alpha ignored, like convert("L")
+        # ITU-R 601 integer luma, pillow's exact L formula
+        luma = (
+            rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114
+        ) / 1000
+        return luma.astype(np.uint8)
+    raise NotImplementedError(
+        "non-PNG pixel decode requires PIL/pillow, not present in this "
+        "container (pip has no network route here, re-verified r10)"
+    )
 
 
 def _pixel_features(blob: bytes) -> np.ndarray:
@@ -437,6 +454,83 @@ def _pixel_features(blob: bytes) -> np.ndarray:
     px = real_image_decode(blob).astype(np.float64).reshape(-1)
     bands = np.array_split(px, FEATURE_DIM)
     return np.array([b.mean() if len(b) else 0.0 for b in bands])
+
+
+# ---------------------------------------------------------------------------
+# Real-pixel certification (r10): a corpus of REAL PNGs (pure-Python
+# codec, dataops/png.py) whose pixels derive arithmetically from
+# doc_id, so DuckDB can recompute the band means WITHOUT any image
+# code — a green hash proves encode -> inflate -> unfilter -> band-mean
+# is a true inverse of the generating formula, on every filter type.
+# ---------------------------------------------------------------------------
+
+PNG_DIM_MOD = 48  # dims in 16..63 -> bounded pixel count per doc
+
+
+def synth_real_pngs(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): real deterministic grayscale PNGs, encoded
+    executor-side. pixel[y, x] = (doc_id*31 + y*7 + x*13) mod 256 over
+    a doc_id-derived (h, w); the scanline filter cycles through all
+    five types by doc_id, so the decode path unfilters bytes this
+    codec's tests did not hand-pick."""
+    from outboxx_spark.dataops.png import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 16 + (d % PNG_DIM_MOD + PNG_DIM_MOD) % PNG_DIM_MOD
+                h = 16 + (d * 3 % PNG_DIM_MOD + PNG_DIM_MOD) % PNG_DIM_MOD
+                y, x = np.mgrid[0:h, 0:w]
+                px = ((d * 31 + y * 7 + x * 13) % 256).astype(np.uint8)
+                blobs.append(encode_png(px, filter_type=(d % 5 + 5) % 5))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id long, blob binary")
+
+
+def pixel_band_stats(docs: DataFrame) -> DataFrame:
+    """The certification query body: real PNGs -> REAL pixel decode
+    (decoder='pixel', pure codec everywhere, pillow when present) ->
+    per-band grayscale means, long form (doc_id, dim, value)."""
+    return decode_features_long(synth_real_pngs(docs), decoder="pixel")
+
+
+# DuckDB mirror: band means recomputed from the generating formula —
+# no PNG bytes on the oracle side. Chunk boundaries replicate
+# numpy.array_split exactly as MM_FEATURES_SQL does; sums are integer-
+# exact in float64 on both engines, so mean = sum/len hashes identically.
+MM_PIXEL_STATS_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         16 + ((doc_id % {PNG_DIM_MOD}) + {PNG_DIM_MOD}) % {PNG_DIM_MOD} AS w,
+         16 + (((doc_id * 3) % {PNG_DIM_MOD}) + {PNG_DIM_MOD}) % {PNG_DIM_MOD} AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, w * h AS L, unnest(range(w * h)) AS i FROM dims
+),
+vals AS (
+  SELECT doc_id, L, i,
+         (((doc_id * 31 + (i // w) * 7 + (i % w) * 13) % 256) + 256) % 256 AS b
+  FROM px
+),
+chunked AS (
+  SELECT doc_id,
+         CASE WHEN i < (L % {FEATURE_DIM}) * (L // {FEATURE_DIM} + 1)
+              THEN i // (L // {FEATURE_DIM} + 1)
+              ELSE (L % {FEATURE_DIM})
+                   + (i - (L % {FEATURE_DIM}) * (L // {FEATURE_DIM} + 1))
+                     // GREATEST(L // {FEATURE_DIM}, 1)
+         END AS dim,
+         b
+  FROM vals
+)
+SELECT doc_id, CAST(dim AS BIGINT) AS dim, avg(b) AS value
+FROM chunked
+GROUP BY doc_id, dim
+"""
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 64, blob_col: str = "blob") -> DataFrame:

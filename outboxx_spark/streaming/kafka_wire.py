@@ -1,0 +1,494 @@
+"""Kafka wire-protocol client: a dependency-free producer/consumer
+speaking the real Apache Kafka TCP protocol (message format v1), so the
+K1 sink layer can be EXECUTED against a live broker in-sandbox — the
+same role `sources/pg_replication.py` plays for the Postgres wire
+(S2): no container, no native library, real bytes on a real socket.
+
+Reference parity (`src/sink/kafka/producer.zig`):
+
+- **send + flush barrier** (`producer.zig:286-378`): ``send`` buffers;
+  ``flush`` produces every buffered batch and returns only when the
+  broker acked ALL of them — and a drained queue is not a delivered
+  queue, so flush re-raises if any batch ultimately failed (K3).
+- **bounded retries with backoff** (`producer.zig:111-176` configs:
+  retries=3, retry.backoff.ms=500): retriable broker errors are
+  retried up to ``retries`` times; exhaustion increments
+  ``delivery_errors`` and raises (K6 fail-fast — the supervisor
+  restarts and the checkpoint replays, at-least-once).
+- **acks=all** (-1) is the default, like ``enable.idempotence`` forces
+  in the reference.
+- **default partitioner** = murmur2(key) & 0x7fffffff mod n — the same
+  function librdkafka and the Java client use, so partition placement
+  matches what the reference's producer would do for the same key.
+
+Protocol subset (public Apache Kafka protocol spec; old, stable
+versions chosen so the encoding is small and CRC-checkable):
+
+- ApiVersions v0 (key 18), Metadata v0 (key 3), Produce v2 (key 0),
+  Fetch v2 (key 1).
+- Record format: MessageSet with message magic v1
+  (crc32 | magic | attributes | timestamp | key | value), CRC over
+  everything after the crc field — the broker verifies it, so a
+  corrupted frame is detected like the reference's delivery-report
+  error path.
+
+The client is deliberately executor-friendly: `WireProducer` holds one
+socket, no threads, no global state — `foreachPartition` opens one per
+task (see `streaming/kafka_sink.py`).
+"""
+
+from __future__ import annotations
+
+import io
+import socket
+import struct
+import time
+import zlib
+from dataclasses import dataclass, field
+
+API_PRODUCE = 0
+API_FETCH = 1
+API_METADATA = 3
+API_VERSIONS = 18
+
+# Kafka error codes (public protocol spec) used here
+ERR_NONE = 0
+ERR_CORRUPT_MESSAGE = 2
+ERR_UNKNOWN_TOPIC = 3
+ERR_REQUEST_TIMED_OUT = 7
+ERR_NOT_LEADER = 6
+
+RETRIABLE_ERRORS = {ERR_REQUEST_TIMED_OUT, ERR_NOT_LEADER, ERR_CORRUPT_MESSAGE}
+
+
+class KafkaWireError(RuntimeError):
+    pass
+
+
+class DeliveryError(KafkaWireError):
+    """A batch exhausted its retries — the fail-fast signal (K6)."""
+
+
+# ---------------------------------------------------------------------------
+# primitive encode/decode
+# ---------------------------------------------------------------------------
+
+
+def _enc_str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    b = s.encode("utf-8")
+    return struct.pack(">h", len(b)) + b
+
+
+def _enc_bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return struct.pack(">i", -1)
+    return struct.pack(">i", len(b)) + b
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self._b = io.BytesIO(data)
+
+    def _take(self, n: int) -> bytes:
+        out = self._b.read(n)
+        if len(out) != n:
+            raise KafkaWireError("truncated response")
+        return out
+
+    def i8(self) -> int:
+        return struct.unpack(">b", self._take(1))[0]
+
+    def i16(self) -> int:
+        return struct.unpack(">h", self._take(2))[0]
+
+    def i32(self) -> int:
+        return struct.unpack(">i", self._take(4))[0]
+
+    def i64(self) -> int:
+        return struct.unpack(">q", self._take(8))[0]
+
+    def u32(self) -> int:
+        return struct.unpack(">I", self._take(4))[0]
+
+    def string(self) -> str | None:
+        n = self.i16()
+        return None if n < 0 else self._take(n).decode("utf-8")
+
+    def bytes_(self) -> bytes | None:
+        n = self.i32()
+        return None if n < 0 else self._take(n)
+
+    def remaining(self) -> int:
+        pos = self._b.tell()
+        self._b.seek(0, io.SEEK_END)
+        end = self._b.tell()
+        self._b.seek(pos)
+        return end - pos
+
+
+# ---------------------------------------------------------------------------
+# message format v1 (magic 1): the unit the broker CRC-verifies
+# ---------------------------------------------------------------------------
+
+
+def encode_message(key: bytes | None, value: bytes | None, timestamp_ms: int) -> bytes:
+    body = (
+        struct.pack(">bb", 1, 0)  # magic=1, attributes=0 (no compression)
+        + struct.pack(">q", timestamp_ms)
+        + _enc_bytes(key)
+        + _enc_bytes(value)
+    )
+    crc = zlib.crc32(body) & 0xFFFFFFFF
+    return struct.pack(">I", crc) + body
+
+
+def encode_message_set(
+    messages: list[tuple[bytes | None, bytes | None, int]]
+) -> bytes:
+    """[(key, value, timestamp_ms)] -> MessageSet bytes. Producer-side
+    offsets are placeholders (the broker assigns real ones)."""
+    out = bytearray()
+    for i, (k, v, ts) in enumerate(messages):
+        msg = encode_message(k, v, ts)
+        out += struct.pack(">qi", i, len(msg)) + msg
+    return bytes(out)
+
+
+def decode_message_set(data: bytes) -> list[dict]:
+    """MessageSet bytes -> [{offset, timestamp_ms, key, value}], CRC
+    verified per message. A trailing partial message (the broker may
+    cut at max_bytes) is ignored, per protocol."""
+    out: list[dict] = []
+    pos = 0
+    while pos + 12 <= len(data):
+        offset, size = struct.unpack_from(">qi", data, pos)
+        if pos + 12 + size > len(data):
+            break  # partial trailing message
+        msg = data[pos + 12 : pos + 12 + size]
+        r = _Reader(msg)
+        crc = r.u32()
+        body = msg[4:]
+        if zlib.crc32(body) & 0xFFFFFFFF != crc:
+            raise KafkaWireError(f"CRC mismatch at offset {offset}")
+        magic = r.i8()
+        r.i8()  # attributes
+        ts = r.i64() if magic >= 1 else -1
+        key = r.bytes_()
+        value = r.bytes_()
+        out.append({"offset": offset, "timestamp_ms": ts, "key": key, "value": value})
+        pos += 12 + size
+    return out
+
+
+def murmur2(data: bytes) -> int:
+    """Kafka's default-partitioner hash (public Java client
+    Utils.murmur2), so key->partition placement matches real clients."""
+    length = len(data)
+    seed = 0x9747B28C
+    m = 0x5BD1E995
+    h = (seed ^ length) & 0xFFFFFFFF
+    i = 0
+    while length - i >= 4:
+        k = int.from_bytes(data[i : i + 4], "little", signed=False)
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> 24
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+        i += 4
+    rest = length - i
+    if rest == 3:
+        h ^= (data[i + 2] & 0xFF) << 16
+    if rest >= 2:
+        h ^= (data[i + 1] & 0xFF) << 8
+    if rest >= 1:
+        h ^= data[i] & 0xFF
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
+def partition_for(key: bytes, n_partitions: int) -> int:
+    return (murmur2(key) & 0x7FFFFFFF) % n_partitions
+
+
+# ---------------------------------------------------------------------------
+# connection: framed request/response with correlation ids
+# ---------------------------------------------------------------------------
+
+
+class KafkaConnection:
+    def __init__(self, host: str, port: int, client_id: str = "outboxx_spark",
+                 timeout_s: float = 15.0):
+        # request.timeout.ms=15000 mirrored from the reference producer
+        self._sock = socket.create_connection((host, port), timeout=timeout_s)
+        self._client_id = client_id
+        self._corr = 0
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise KafkaWireError("broker closed connection")
+            buf += chunk
+        return bytes(buf)
+
+    def request(self, api_key: int, api_version: int, payload: bytes) -> _Reader:
+        self._corr += 1
+        header = (
+            struct.pack(">hhi", api_key, api_version, self._corr)
+            + _enc_str(self._client_id)
+        )
+        frame = header + payload
+        self._sock.sendall(struct.pack(">i", len(frame)) + frame)
+        (size,) = struct.unpack(">i", self._recv_exact(4))
+        resp = self._recv_exact(size)
+        r = _Reader(resp)
+        corr = r.i32()
+        if corr != self._corr:
+            raise KafkaWireError(f"correlation mismatch {corr} != {self._corr}")
+        return r
+
+    # -- Metadata v0 --
+
+    def metadata(self, topics: list[str]) -> dict:
+        payload = struct.pack(">i", len(topics)) + b"".join(
+            _enc_str(t) for t in topics
+        )
+        r = self.request(API_METADATA, 0, payload)
+        brokers = {}
+        for _ in range(r.i32()):
+            node, host, port = r.i32(), r.string(), r.i32()
+            brokers[node] = (host, port)
+        out: dict = {"brokers": brokers, "topics": {}}
+        for _ in range(r.i32()):
+            terr, tname = r.i16(), r.string()
+            parts = {}
+            for _ in range(r.i32()):
+                perr, pid, leader = r.i16(), r.i32(), r.i32()
+                for _ in range(r.i32()):
+                    r.i32()  # replicas
+                for _ in range(r.i32()):
+                    r.i32()  # isr
+                parts[pid] = {"error": perr, "leader": leader}
+            out["topics"][tname] = {"error": terr, "partitions": parts}
+        return out
+
+    # -- Produce v2 (acks, timeout, one topic-partition batch) --
+
+    def produce(
+        self,
+        topic: str,
+        partition: int,
+        message_set: bytes,
+        *,
+        acks: int = -1,
+        timeout_ms: int = 30000,
+    ) -> dict:
+        payload = (
+            struct.pack(">hi", acks, timeout_ms)
+            + struct.pack(">i", 1)
+            + _enc_str(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">i", partition)
+            + _enc_bytes(message_set)
+        )
+        r = self.request(API_PRODUCE, 2, payload)
+        result: dict = {}
+        for _ in range(r.i32()):
+            r.string()  # topic
+            for _ in range(r.i32()):
+                pid, err, base = r.i32(), r.i16(), r.i64()
+                r.i64()  # log_append_time
+                result = {"partition": pid, "error": err, "base_offset": base}
+        r.i32()  # throttle_time_ms
+        return result
+
+    # -- Fetch v2 --
+
+    def fetch(
+        self,
+        topic: str,
+        partition: int,
+        offset: int,
+        *,
+        max_bytes: int = 1 << 20,
+        max_wait_ms: int = 100,
+    ) -> tuple[int, list[dict]]:
+        """-> (high_watermark, messages from ``offset``)."""
+        payload = (
+            struct.pack(">iii", -1, max_wait_ms, 1)  # replica, wait, min_bytes
+            + struct.pack(">i", 1)
+            + _enc_str(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">iqi", partition, offset, max_bytes)
+        )
+        r = self.request(API_FETCH, 2, payload)
+        r.i32()  # throttle_time_ms
+        hw, msgs = -1, []
+        for _ in range(r.i32()):
+            r.string()  # topic
+            for _ in range(r.i32()):
+                r.i32()  # partition
+                err = r.i16()
+                hw = r.i64()
+                data = r.bytes_() or b""
+                if err != ERR_NONE:
+                    raise KafkaWireError(f"fetch error {err}")
+                msgs = decode_message_set(data)
+        return hw, msgs
+
+    def api_versions(self) -> dict[int, tuple[int, int]]:
+        r = self.request(API_VERSIONS, 0, b"")
+        err = r.i16()
+        if err != ERR_NONE:
+            raise KafkaWireError(f"api_versions error {err}")
+        out = {}
+        for _ in range(r.i32()):
+            k, lo, hi = r.i16(), r.i16(), r.i16()
+            out[k] = (lo, hi)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# producer: buffer per (topic, partition), flush barrier, bounded retries
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WireProducer:
+    """Minimal producer with the reference's delivery semantics
+    (`producer.zig:111-176` configs; `:286-378` send/flush contract).
+
+    NOT thread-safe by design (one per task/partition — Spark's
+    foreachPartition gives each task its own)."""
+
+    host: str
+    port: int
+    acks: int = -1  # acks=all
+    retries: int = 3
+    retry_backoff_ms: int = 500
+    batch_max_messages: int = 5000  # BATCH_SIZE analog (constants.zig:21)
+    delivery_errors: int = 0
+    sent: int = 0
+    _buf: dict[tuple[str, int], list] = field(default_factory=dict)
+    _conn: KafkaConnection | None = None
+    # topic -> partition count, resolved once per producer (the topic
+    # handle cache analog, K5 `producer.zig:198-227`)
+    _npart: dict[str, int] = field(default_factory=dict)
+
+    def _connection(self) -> KafkaConnection:
+        if self._conn is None:
+            self._conn = KafkaConnection(self.host, self.port)
+        return self._conn
+
+    def send(
+        self,
+        topic: str,
+        key: bytes | None,
+        value: bytes | None,
+        *,
+        partition: int | None = None,
+        n_partitions: int | None = None,
+        timestamp_ms: int | None = None,
+    ) -> None:
+        """Buffer one record. Partition = explicit, else murmur2 of the
+        key over ``n_partitions`` (metadata-resolved when absent).
+        Buffering past batch_max_messages flushes inline — the
+        queue-full-is-backpressure contract (K2, `producer.zig:286`)."""
+        if partition is None:
+            if n_partitions is None:
+                n_partitions = self._npart.get(topic)
+                if n_partitions is None:
+                    md = self._connection().metadata([topic])
+                    n_partitions = len(md["topics"][topic]["partitions"]) or 1
+                    self._npart[topic] = n_partitions
+            partition = partition_for(key or b"", n_partitions)
+        ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+        self._buf.setdefault((topic, partition), []).append((key, value, ts))
+        if sum(len(v) for v in self._buf.values()) >= self.batch_max_messages:
+            self.flush()
+
+    def flush(self) -> None:
+        """Produce every buffered batch and confirm delivery. Raises
+        DeliveryError (after counting it) if any batch exhausts its
+        retries — a drained queue is not a delivered queue (K3)."""
+        buf, self._buf = self._buf, {}
+        for (topic, partition), msgs in buf.items():
+            message_set = encode_message_set(msgs)
+            self._produce_with_retry(topic, partition, message_set)
+            self.sent += len(msgs)
+
+    def _produce_with_retry(self, topic: str, partition: int, message_set: bytes) -> None:
+        attempt = 0
+        while True:
+            try:
+                res = self._connection().produce(
+                    topic, partition, message_set, acks=self.acks
+                )
+                err = res["error"]
+            except (OSError, KafkaWireError):
+                # connection-level failure: retriable like a broker error
+                err = ERR_REQUEST_TIMED_OUT
+                if self._conn is not None:
+                    self._conn.close()
+                    self._conn = None
+            if err == ERR_NONE:
+                return
+            if err not in RETRIABLE_ERRORS or attempt >= self.retries:
+                self.delivery_errors += 1
+                raise DeliveryError(
+                    f"produce to {topic}[{partition}] failed with error {err} "
+                    f"after {attempt + 1} attempts"
+                )
+            attempt += 1
+            time.sleep(self.retry_backoff_ms / 1000.0)
+
+    def close(self) -> None:
+        if self._conn is not None:
+            self._conn.close()
+            self._conn = None
+
+
+def consume_all(
+    host: str, port: int, topic: str, *, max_wait_s: float = 30.0
+) -> list[dict]:
+    """Drain every partition of ``topic`` from offset 0 to the high
+    watermark: [{partition, offset, key, value, timestamp_ms}] — the
+    consume-all test helper the reference e2e suite uses
+    (`src/testing/test_helpers.zig:113-198`)."""
+    conn = KafkaConnection(host, port)
+    try:
+        md = conn.metadata([topic])
+        tinfo = md["topics"].get(topic)
+        if tinfo is None or tinfo["error"] == ERR_UNKNOWN_TOPIC:
+            return []
+        out: list[dict] = []
+        for pid in sorted(tinfo["partitions"]):
+            offset = 0
+            deadline = time.monotonic() + max_wait_s
+            while True:
+                hw, msgs = conn.fetch(topic, pid, offset)
+                for m in msgs:
+                    out.append({**m, "partition": pid})
+                    offset = m["offset"] + 1
+                if offset >= hw:
+                    break
+                if not msgs and time.monotonic() > deadline:
+                    raise KafkaWireError(
+                        f"stalled consuming {topic}[{pid}] at {offset} < hw {hw}"
+                    )
+        return out
+    finally:
+        conn.close()

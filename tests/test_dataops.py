@@ -350,42 +350,36 @@ def test_frame_sample_shapes(spark):
     assert b"".join(r["frame"] for r in frames) == b"x" * 150
 
 
-def test_real_decode_is_gated():
-    # the gate now covers FEATURE decode only — metadata (width/height)
-    # parses real headers without any library (parse_image_dims)
+def test_real_decode_gate_covers_only_non_png():
+    # r10: PNG pixel decode is ALWAYS available (pure-Python codec,
+    # dataops/png.py); the pillow gate now covers only non-PNG formats.
+    # A malformed PNG must be loud (PngError), not NotImplementedError.
     from outboxx_spark.dataops.multimodal import _pil_available
+    from outboxx_spark.dataops.png import PngError
 
     if _pil_available():
         pytest.skip("pillow present; the gated-raise branch is unreachable")
     with pytest.raises(NotImplementedError):
-        real_image_decode(b"\x89PNG")
-    # plan-BUILD time fail-fast: the pixel decoder must refuse before
-    # any executor sees a batch
-    with pytest.raises(NotImplementedError):
-        decode_features(None, decoder="pixel")
+        real_image_decode(b"\xff\xd8\xff\xe0 jpeg needs pillow")
+    with pytest.raises(PngError):
+        real_image_decode(b"\x89PNG\r\n\x1a\n truncated")
 
 
 def test_pixel_decode_features_on_real_png(spark):
-    # Real-pixel path: skips cleanly where pillow is absent (this
-    # sandbox: pip has no network route, re-verified r8); where it IS
-    # present, a synthesized PNG must decode to per-band grayscale
-    # means, deterministic across runs, with non-image payloads falling
-    # back to byte-statistic features.
-    from outboxx_spark.dataops.multimodal import _fake_decode, _pil_available
-
-    if not _pil_available():
-        pytest.skip("pillow not installed in this container")
-    import io
+    # Real-pixel path, runnable EVERYWHERE since r10 (pure-Python PNG
+    # codec): a real gradient PNG decodes to per-band grayscale means,
+    # deterministic across runs, with non-image payloads falling back
+    # to byte-statistic features.
+    from outboxx_spark.dataops.multimodal import _fake_decode
 
     import numpy as np
-    from PIL import Image
+
+    from outboxx_spark.dataops.png import encode_png
 
     # a REAL 16x8 gradient PNG (the synth blobs carry text payloads,
     # not valid IDAT data — those exercise the corrupt-body fallback)
     px = np.arange(16 * 8, dtype=np.uint8).reshape(8, 16)
-    buf = io.BytesIO()
-    Image.fromarray(px, mode="L").save(buf, format="PNG")
-    rows = [(1, bytearray(buf.getvalue())), (0, bytearray(b"plain payload"))]
+    rows = [(1, bytearray(encode_png(px))), (0, bytearray(b"plain payload"))]
     blobs = spark.createDataFrame(rows, "doc_id long, blob binary")
     feats = {
         r["doc_id"]: r["features"]

@@ -3,6 +3,7 @@ entry on Spark and its oracle_sql() on DuckDB over the same parquet
 tables, compare row-count + schema + order-insensitive values.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
+       python tools/check_oracles.py --sf-both [query ...]   # sf0.01 AND sf0.1
 """
 
 from __future__ import annotations
@@ -126,9 +127,23 @@ def normalize(v):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--sf-both"]
+    if "--sf-both" in sys.argv[1:]:
+        # CI-shape gate (r9 discipline, asserted): every query green at
+        # sf0.01 AND sf0.1 in one invocation — the 10x scale pass is
+        # what catches cross-engine float defects that small magnitudes
+        # mask (the r5 decimal->double 1-ulp divergence).
+        only = set(args)
+        rc = 0
+        for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            print(f"## gate @ {sf}")
+            rc |= run_gate(sf, only)
+        return rc
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    return run_gate(sf_dir, set(args[1:]))
 
+
+def run_gate(sf_dir: str, only: set[str]) -> int:
     # Oracle SQL builders that train model state (IVF centroids) resolve
     # their corpus via this env var; pin it to the checked sf_dir so the
     # oracle always trains on the same data the Spark query reads.
@@ -228,9 +243,9 @@ def main() -> int:
         f"# totals: spark {total_spark:.1f}s, oracle {total_oracle:.1f}s, "
         f"build {t_build:.1f}s, typewarns {typewarns}"
     )
-    spark.stop()
     # typewarns fail the gate too: the tool itself predicts the driver
     # hash may go red, so exit-status consumers must not see green
+    # (the session is reused across --sf-both passes, so never stopped)
     return 1 if (failures or typewarns) else 0
 
 

@@ -1,0 +1,321 @@
+"""Minimal Kafka broker speaking the real wire protocol over TCP — the
+in-sandbox stand for the K1 sink layer, playing the role librdkafka's
+mock cluster plays in the reference's producer tests
+(`src/sink/kafka/producer.zig:431-502`): a REAL socket endpoint with
+real framing, real CRC verification, real offset assignment and real
+error codes, so the engine's producer path is executed end-to-end
+instead of stubbed.
+
+Implements the subset the engine's client (`outboxx_spark/streaming/
+kafka_wire.py`) speaks: ApiVersions v0, Metadata v0, Produce v0-v2,
+Fetch v0-v2, message format v1. Topics auto-create with a configurable
+partition count (like a dev broker with auto.create.topics.enable).
+
+Fault injection for delivery-semantics tests:
+- ``fail_next_produces(n, error)``: the next n Produce requests answer
+  with the given error code (default REQUEST_TIMED_OUT, retriable) —
+  drives the client's bounded-retry/backoff loop.
+- CRC verification is always on: a corrupted message set is rejected
+  with CORRUPT_MESSAGE, the reference's delivery-report failure path.
+
+This is TEST INFRASTRUCTURE: single process, in-memory logs, no
+replication — the production sink speaks to a real cluster through the
+same client (or Spark's Kafka connector; `streaming/job.py`
+kafka_writer_options carries the identical configs).
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+import zlib
+from pathlib import Path
+import sys
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from outboxx_spark.streaming.kafka_wire import (  # noqa: E402
+    API_FETCH,
+    API_METADATA,
+    API_PRODUCE,
+    API_VERSIONS,
+    ERR_CORRUPT_MESSAGE,
+    ERR_NONE,
+    _enc_bytes,
+    _enc_str,
+    _Reader,
+)
+
+
+class _Log:
+    """One partition's in-memory log: [(offset, timestamp, key, value)]."""
+
+    def __init__(self):
+        self.records: list[tuple[int, int, bytes | None, bytes | None]] = []
+
+    @property
+    def high_watermark(self) -> int:
+        return len(self.records)
+
+
+class KafkaBroker:
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 n_partitions: int = 4, node_id: int = 0):
+        self.n_partitions = n_partitions
+        self.node_id = node_id
+        self._logs: dict[tuple[str, int], _Log] = {}
+        self._lock = threading.Lock()
+        self._fail_produces = 0
+        self._fail_error = 7  # REQUEST_TIMED_OUT
+        self.produce_requests = 0
+
+        broker = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):  # one connection, many framed requests
+                try:
+                    while True:
+                        head = self._recv_exact(4)
+                        if head is None:
+                            return
+                        (size,) = struct.unpack(">i", head)
+                        frame = self._recv_exact(size)
+                        if frame is None:
+                            return
+                        resp = broker._dispatch(frame)
+                        self.request.sendall(
+                            struct.pack(">i", len(resp)) + resp
+                        )
+                except (ConnectionError, OSError):
+                    return
+
+            def _recv_exact(self, n):
+                buf = bytearray()
+                while len(buf) < n:
+                    try:
+                        chunk = self.request.recv(n - len(buf))
+                    except (ConnectionError, OSError):
+                        return None
+                    if not chunk:
+                        return None
+                    buf += chunk
+                return bytes(buf)
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.host, self.port = self._server.server_address
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+
+    # -- lifecycle --
+
+    def start(self) -> "KafkaBroker":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self) -> "KafkaBroker":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- fault injection --
+
+    def fail_next_produces(self, n: int, error: int = 7) -> None:
+        with self._lock:
+            self._fail_produces = n
+            self._fail_error = error
+
+    # -- state inspection (for assertions) --
+
+    def topic_partitions(self, topic: str) -> list[int]:
+        with self._lock:
+            return sorted(p for (t, p) in self._logs if t == topic)
+
+    def record_count(self, topic: str) -> int:
+        with self._lock:
+            return sum(
+                len(log.records) for (t, _), log in self._logs.items() if t == topic
+            )
+
+    # -- protocol dispatch --
+
+    def _dispatch(self, frame: bytes) -> bytes:
+        r = _Reader(frame)
+        api_key, api_version, corr = r.i16(), r.i16(), r.i32()
+        r.string()  # client_id
+        head = struct.pack(">i", corr)
+        if api_key == API_VERSIONS:
+            body = struct.pack(">hi", ERR_NONE, 4)
+            for k, lo, hi in ((API_PRODUCE, 0, 2), (API_FETCH, 0, 2),
+                              (API_METADATA, 0, 0), (API_VERSIONS, 0, 0)):
+                body += struct.pack(">hhh", k, lo, hi)
+            return head + body
+        if api_key == API_METADATA:
+            return head + self._metadata(r)
+        if api_key == API_PRODUCE:
+            return head + self._produce(r, api_version)
+        if api_key == API_FETCH:
+            return head + self._fetch(r, api_version)
+        raise ValueError(f"unsupported api_key {api_key}")
+
+    def _ensure_topic(self, topic: str) -> None:
+        with self._lock:
+            if not any(t == topic for (t, _) in self._logs):
+                for p in range(self.n_partitions):
+                    self._logs[(topic, p)] = _Log()
+
+    def _metadata(self, r: _Reader) -> bytes:
+        topics = [r.string() for _ in range(r.i32())]
+        for t in topics:
+            self._ensure_topic(t)
+        with self._lock:
+            known = sorted({t for (t, _) in self._logs}) if not topics else topics
+            body = struct.pack(">i", 1)  # one broker
+            body += struct.pack(">i", self.node_id) + _enc_str(self.host)
+            body += struct.pack(">i", self.port)
+            body += struct.pack(">i", len(known))
+            for t in known:
+                parts = sorted(p for (tt, p) in self._logs if tt == t)
+                body += struct.pack(">h", ERR_NONE) + _enc_str(t)
+                body += struct.pack(">i", len(parts))
+                for p in parts:
+                    body += struct.pack(">hii", ERR_NONE, p, self.node_id)
+                    body += struct.pack(">ii", 1, self.node_id)  # replicas
+                    body += struct.pack(">ii", 1, self.node_id)  # isr
+            return body
+
+    def _verify_and_store(self, topic: str, partition: int, data: bytes) -> tuple[int, int]:
+        """Decode+CRC-verify a MessageSet; append. -> (error, base_offset)."""
+        records = []
+        pos = 0
+        while pos + 12 <= len(data):
+            _, size = struct.unpack_from(">qi", data, pos)
+            if pos + 12 + size > len(data):
+                return ERR_CORRUPT_MESSAGE, -1
+            msg = data[pos + 12 : pos + 12 + size]
+            crc = struct.unpack(">I", msg[:4])[0]
+            if zlib.crc32(msg[4:]) & 0xFFFFFFFF != crc:
+                return ERR_CORRUPT_MESSAGE, -1
+            mr = _Reader(msg[4:])
+            magic = mr.i8()
+            mr.i8()  # attributes
+            ts = mr.i64() if magic >= 1 else -1
+            key = mr.bytes_()
+            value = mr.bytes_()
+            records.append((ts, key, value))
+            pos += 12 + size
+        with self._lock:
+            log = self._logs[(topic, partition)]
+            base = log.high_watermark
+            for i, (ts, k, v) in enumerate(records):
+                log.records.append((base + i, ts, k, v))
+        return ERR_NONE, base
+
+    def _produce(self, r: _Reader, version: int) -> bytes:
+        acks, _timeout = r.i16(), r.i32()
+        results = []  # (topic, partition, error, base_offset)
+        with self._lock:
+            self.produce_requests += 1
+            inject = 0
+            if self._fail_produces > 0:
+                self._fail_produces -= 1
+                inject = self._fail_error
+        for _ in range(r.i32()):
+            topic = r.string()
+            self._ensure_topic(topic)
+            for _ in range(r.i32()):
+                pid = r.i32()
+                data = r.bytes_() or b""
+                if inject:
+                    results.append((topic, pid, inject, -1))
+                    continue
+                err, base = self._verify_and_store(topic, pid, data)
+                results.append((topic, pid, err, base))
+        if acks == 0:
+            return b""  # fire-and-forget: no response body per protocol
+        by_topic: dict[str, list] = {}
+        for t, p, e, b in results:
+            by_topic.setdefault(t, []).append((p, e, b))
+        body = struct.pack(">i", len(by_topic))
+        for t, parts in by_topic.items():
+            body += _enc_str(t) + struct.pack(">i", len(parts))
+            for p, e, b in parts:
+                body += struct.pack(">ihq", p, e, b)
+                if version >= 2:
+                    body += struct.pack(">q", -1)  # log_append_time
+        if version >= 1:
+            body += struct.pack(">i", 0)  # throttle_time_ms
+        return body
+
+    def _fetch(self, r: _Reader, version: int) -> bytes:
+        r.i32()  # replica_id
+        r.i32()  # max_wait
+        r.i32()  # min_bytes
+        req = []
+        for _ in range(r.i32()):
+            topic = r.string()
+            for _ in range(r.i32()):
+                pid, offset, max_bytes = r.i32(), r.i64(), r.i32()
+                req.append((topic, pid, offset, max_bytes))
+        body = b""
+        if version >= 1:
+            body += struct.pack(">i", 0)  # throttle_time_ms
+        by_topic: dict[str, list] = {}
+        for t, p, o, mb in req:
+            by_topic.setdefault(t, []).append((p, o, mb))
+        body += struct.pack(">i", len(by_topic))
+        for t, parts in by_topic.items():
+            body += _enc_str(t) + struct.pack(">i", len(parts))
+            for pid, offset, max_bytes in parts:
+                with self._lock:
+                    log = self._logs.get((t, pid))
+                    records = list(log.records) if log else []
+                    hw = len(records)
+                out = bytearray()
+                for off, ts, k, v in records[offset:]:
+                    msg_body = (
+                        struct.pack(">bb", 1, 0)
+                        + struct.pack(">q", ts)
+                        + _enc_bytes(k)
+                        + _enc_bytes(v)
+                    )
+                    crc = zlib.crc32(msg_body) & 0xFFFFFFFF
+                    msg = struct.pack(">I", crc) + msg_body
+                    frame = struct.pack(">qi", off, len(msg)) + msg
+                    if out and len(out) + len(frame) > max_bytes:
+                        break
+                    out += frame
+                body += struct.pack(">ihq", pid, ERR_NONE, hw)
+                body += _enc_bytes(bytes(out))
+        return body
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=9092)
+    ap.add_argument("--partitions", type=int, default=4)
+    args = ap.parse_args()
+    broker = KafkaBroker(port=args.port, n_partitions=args.partitions).start()
+    print(f"kafka stand broker on {broker.host}:{broker.port}")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        broker.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Kafka delivery stand: feed → engine → LIVE wire-protocol broker →
+consume-back → gap check, executed in one process tree — the sink-side
+companion of `tools/pg_stand.py` (which executes the source side
+against a real PostgreSQL). Together they cover both real-dependency
+layers the docker-compose stand (`deploy/load-stand/`) would exercise,
+without a docker daemon.
+
+What runs (all real, no stubs):
+1. `tools/kafka_broker.py` broker on a TCP port (real Kafka protocol:
+   Metadata/Produce/Fetch, message format v1, CRC verification).
+2. The streaming CDC job (`streaming/job.py start_stream`) over the
+   chosen testdata scale, delivering through
+   `streaming/kafka_sink.py` — executor-side WireProducers, murmur2
+   key partitioning, per-task flush barrier.
+3. Consume-back of every destination topic from offset 0 and the
+   reference-style gap check (`tests/load/scripts/check-gaps.sh`
+   semantics): delivered LSN set per topic == routing-oracle LSN set;
+   duplicates reported (at-least-once allows them), gaps fatal.
+
+Usage: python tools/kafka_stand.py [--sf /root/testdata/sf0.01]
+Prints one JSON line with measured numbers; exit 1 on any gap.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from collections import defaultdict
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--partitions", type=int, default=8)
+    args = ap.parse_args()
+
+    from kafka_broker import KafkaBroker
+
+    from outboxx_spark.pipeline import routed_envelopes
+    from outboxx_spark.session import get_spark
+    from outboxx_spark.streaming.job import start_stream
+    from outboxx_spark.streaming.kafka_sink import make_kafka_sink
+    from outboxx_spark.streaming.kafka_wire import consume_all
+    from outboxx_spark.testbed import default_config
+
+    spark = get_spark("kafka_stand")
+    cfg = default_config()
+    tmp = tempfile.mkdtemp(prefix="kafka_stand_")
+
+    with KafkaBroker(n_partitions=args.partitions) as broker:
+        # Leg 0 — raw drain rate of ONE producer connection (the
+        # reference's drain benchmark is single-process librdkafka;
+        # this is the apples-to-apples number; the Spark sink runs one
+        # such producer PER TASK, so fleet throughput multiplies)
+        from outboxx_spark.streaming.kafka_wire import WireProducer
+
+        n_raw = 100_000
+        payload = json.dumps(
+            {"op": "INSERT", "data": {"user_id": 7, "value": 1.25},
+             "meta": {"source": "postgres", "resource": "public.t0",
+                      "timestamp": 1755200000, "lsn": "0/1A2B"}}
+        ).encode()
+        raw = WireProducer(broker.host, broker.port)
+        t_raw = time.monotonic()
+        for i in range(n_raw):
+            raw.send("raw.bench", str(i % 997).encode(), payload,
+                     n_partitions=args.partitions)
+        raw.flush()
+        raw_sec = time.monotonic() - t_raw
+        raw.close()
+        t0 = time.monotonic()
+        q = start_stream(
+            spark,
+            args.sf,
+            cfg,
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+            max_files_per_trigger=100,
+            sink_fn=make_kafka_sink(broker.host, broker.port),
+        )
+        q.awaitTermination(1800)
+        produce_sec = time.monotonic() - t0
+
+        expected = routed_envelopes(spark, args.sf, cfg)
+        exp = expected.select("destination", "lsn").collect()
+        want: dict[str, set] = defaultdict(set)
+        for r in exp:
+            want[r["destination"]].add(r["lsn"])
+
+        t1 = time.monotonic()
+        gaps = dups = consumed = 0
+        per_topic = {}
+        for dest, want_lsns in sorted(want.items()):
+            msgs = consume_all(broker.host, broker.port, dest)
+            got = []
+            for m in msgs:
+                env = json.loads(m["value"])
+                hi, lo = env["meta"]["lsn"].split("/")
+                got.append((int(hi, 16) << 32) | int(lo, 16))
+            got_set = set(got)
+            missing = len(want_lsns - got_set)
+            gaps += missing
+            dups += len(got) - len(got_set)
+            consumed += len(msgs)
+            per_topic[dest] = {
+                "want": len(want_lsns),
+                "got": len(got),
+                "missing": missing,
+                "dups": len(got) - len(got_set),
+            }
+        consume_sec = time.monotonic() - t1
+
+    spark.stop()
+    delivered = sum(t["want"] for t in per_topic.values())
+    report = {
+        "stand": "kafka_wire",
+        "sf": args.sf,
+        "broker_partitions": args.partitions,
+        "raw_single_producer_events_per_sec": round(n_raw / raw_sec),
+        "events_delivered": delivered,
+        "events_consumed_back": consumed,
+        "produce_pipeline_sec": round(produce_sec, 3),
+        "events_per_sec": round(delivered / produce_sec) if produce_sec else None,
+        "consume_back_sec": round(consume_sec, 3),
+        "gaps": gaps,
+        "duplicates": dups,
+        "topics": per_topic,
+    }
+    print(json.dumps(report))
+    return 1 if gaps else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
