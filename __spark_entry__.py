@@ -1383,16 +1383,30 @@ def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.pixel_band_stats(read_table(spark, sf_dir, "documents"))
 
 
+def q_docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (dataops/curation.py per_source_cap):
+    at most 150 docs per language stratum, selected by deterministic
+    salted-hash priority — the C4/RefinedWeb guard against one domain
+    dominating a pretraining mix. lang is the skewed stratum in the
+    testdata ('en' dominates), so the over-cap window branch and the
+    under-cap broadcast-anti bypass both execute at sf0.01."""
+    return cu.per_source_cap(
+        read_table(spark, sf_dir, "documents"), cap=150, source_col="lang"
+    )
+
+
 def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r10: the r9 staged queue promoted into queries() (all 12 sit in
     # the driver window this round). New mid-round operators stage here
     # under the same oracle gate until the next rotation.
     return {
         "mm_pixel_stats": q_mm_pixel_stats,
+        "docs_source_cap": q_docs_source_cap,
     }
 
 
 def oracle_sql_staged() -> dict[str, str]:
     return {
         "mm_pixel_stats": mm.MM_PIXEL_STATS_SQL,
+        "docs_source_cap": cu.per_source_cap_sql(cap=150, source_col="lang"),
     }

@@ -27,7 +27,7 @@ recursive CTE).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from outboxx_spark.dataops.hashing import md5_hash60, md5_hash60_sql
@@ -123,6 +123,65 @@ def stratified_sample_sql(
         f"SELECT * FROM {table} "
         f"WHERE {_keep_hash_sql(key_col, salt)} < (CASE {strata_col} {whens} ELSE -1 END)"
     )
+
+
+def per_source_cap(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Cap documents per source/domain: keep at most ``cap`` docs from
+    each source — the C4/RefinedWeb-style guard against one domain
+    dominating a pretraining mix. Selection is by salted keep-hash
+    order (ties broken by key), so the survivor set is deterministic,
+    uniformly random per source, and stable under re-runs and
+    repartitioning — re-capping a grown corpus keeps prior survivors
+    until the source actually exceeds the cap window.
+
+    Scale shape: sources at or under the cap bypass the window
+    entirely (a broadcast semi-join on the aggregated over-cap source
+    list — aggregation is partial/map-side combined, and the list is
+    tiny: #sources >> cap violators). Only over-cap sources pay the
+    per-source sort, which bounds the skew exposure to the heavy
+    domains themselves; for a single pathological domain the
+    keep-hash is uniform, so a pre-filter on an approximate hash
+    threshold (cap/count quantile) can shrink its sort input ~to cap —
+    noted, not needed at tested scales (plan: one agg + one window over
+    the minority)."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    over = counts.filter(F.col("_n") > cap).select(source_col)
+    under = df.join(F.broadcast(over), source_col, "left_anti")
+    w = W.partitionBy(source_col).orderBy(
+        _keep_hash(F.col(key_col), salt), F.col(key_col)
+    )
+    capped = (
+        df.join(F.broadcast(over), source_col, "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return under.unionByName(capped.select(*under.columns))
+
+
+def per_source_cap_sql(
+    cap: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "cap",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror: identical keep-hash order + tie-break."""
+    return f"""
+    WITH ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY {source_col}
+        ORDER BY {_keep_hash_sql(key_col, salt)}, {key_col}) AS _rn
+      FROM {table}
+    )
+    SELECT * EXCLUDE (_rn) FROM ranked WHERE _rn <= {cap}
+    """
 
 
 def weighted_mix(

@@ -1193,3 +1193,61 @@ def test_media_metadata_null_blob_is_unknown_not_crash(spark):
     assert rows[1].width is None and rows[1].n_bytes is None
     assert rows[2].media_type == "application/octet-stream"
     assert rows[2].n_bytes == 5
+
+
+def test_per_source_cap_exact_and_deterministic(spark):
+    import outboxx_spark.dataops.curation as cu
+
+    rows = [(i, f"s{i % 4}" if i < 80 else "hot") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # hot: 120 docs, s0-s3: 20 each; cap 30 -> only hot is capped
+    out = cu.per_source_cap(df, cap=30)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"s0": 20, "s1": 20, "s2": 20, "s3": 20, "hot": 30}
+    # deterministic + partition-invariant survivor SET
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in cu.per_source_cap(df.repartition(13), cap=30).collect()}
+    assert a == b
+
+
+def test_per_source_cap_survivors_stable_as_corpus_grows(spark):
+    # re-capping a grown corpus keeps prior survivors whose hash rank
+    # still clears the cap window — the property that makes incremental
+    # re-runs append-mostly instead of reshuffling the whole mix
+    import outboxx_spark.dataops.curation as cu
+
+    small = spark.createDataFrame(
+        [(i, "hot") for i in range(40)], "doc_id long, source string"
+    )
+    grown = spark.createDataFrame(
+        [(i, "hot") for i in range(80)], "doc_id long, source string"
+    )
+    keep_small = {r["doc_id"] for r in cu.per_source_cap(small, cap=25).collect()}
+    keep_grown = {r["doc_id"] for r in cu.per_source_cap(grown, cap=25).collect()}
+    # survivors of the grown run that existed in the small corpus must
+    # be survivors of the small run too (hash order is global, so the
+    # grown top-25 among ids 0..79 restricted to 0..39 is a PREFIX of
+    # the small top-25 in hash order)
+    assert (keep_grown & set(range(40))) <= keep_small
+
+
+def test_per_source_cap_plan_windows_only_overcap_sources(spark):
+    # the under-cap majority must bypass the sort: the plan's window
+    # sits behind a semi join, and the anti/semi sides broadcast
+    import outboxx_spark.dataops.curation as cu
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 50}" if i < 500 else "hot") for i in range(700)],
+        "doc_id long, source string",
+    )
+    plan = cu.per_source_cap(df, cap=50)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # exactly one Window operator (over the semi-joined minority), and
+    # Spark's rank-limit pushdown (WindowGroupLimit, partial+final)
+    # engaged — the map side already drops rows past the cap, so the
+    # per-source sort shuffles at most ~cap rows per source
+    assert plan.count("Window [") == 1
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
