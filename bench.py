@@ -139,6 +139,16 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    # Flagged-probe re-run registry (r10): probes register a
+    # self-contained re-measure thunk; after the drift diff, any probe
+    # whose metric got flagged is re-run ONCE and min-merged — the same
+    # noise-rejection the timed queries get, paid only when a flag
+    # fires (each bench take r10 saw exactly one probe section cross an
+    # ambient-load window; min-of-2 inside the section cannot save it
+    # when the whole section sits in the window).
+    probe_reruns: list = []
+    deferred_cleanup: list = []
+
     scaleup_events = scaleup_sec = None
     scale_root = tempfile.mkdtemp(prefix="bench_scaleup_")
     try:
@@ -167,11 +177,27 @@ def main() -> None:
         # only publish the event count once timing actually succeeded —
         # a half-populated artifact would mask a probe regression
         scaleup_events = n_events * n_copies
+
+        def _rerun_scaleup():
+            t = min(
+                _timed(
+                    lambda: routed_envelopes(spark, scale_root, default_config())
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                for _ in range(3)
+            )
+            return {"scaleup_events_per_sec": round(scaleup_events / t)}
+
+        probe_reruns.append((("scaleup_events_per_sec",), _rerun_scaleup))
     except Exception as e:  # the probe must never sink the bench
         print(f"# scaleup probe failed: {type(e).__name__}: {e}", file=sys.stderr)
         scaleup_events = scaleup_sec = None
-    finally:
         shutil.rmtree(scale_root, ignore_errors=True)
+    # on success scale_root survives for the flagged re-run thunk;
+    # deferred_cleanup removes it after the drift pass
+    deferred_cleanup.append(scale_root)
 
     # Table-sink probe (tracked per round): initial 100k-event upsert
     # into a 16-bucket table, then a single-key incremental batch — the
@@ -182,10 +208,31 @@ def main() -> None:
         from outboxx_spark.streaming.table_sink import upsert_batch
 
         feed_df = read_feed(spark, sf_dir).localCheckpoint(eager=True)
-        table_dir = f"{sink_root}/tbl"
-        tablesink_load_sec = round(_timed(lambda: upsert_batch(feed_df, table_dir)), 4)
         one = feed_df.limit(1).localCheckpoint(eager=True)
-        tablesink_incr_sec = round(_timed(lambda: upsert_batch(one, table_dir)), 4)
+        # min of 2 trials on fresh tables — probes get the queries' own
+        # noise policy (r10: single-sample probes flagged phantom drift
+        # whenever an ambient-load window crossed the probe section)
+        load_t, incr_t = [], []
+        for trial in range(2):
+            table_dir = f"{sink_root}/tbl{trial}"
+            load_t.append(_timed(lambda: upsert_batch(feed_df, table_dir)))
+            incr_t.append(_timed(lambda: upsert_batch(one, table_dir)))
+        tablesink_load_sec = round(min(load_t), 4)
+        tablesink_incr_sec = round(min(incr_t), 4)
+
+        def _rerun_tablesink():
+            root = tempfile.mkdtemp(prefix="bench_tablesink_r_")
+            try:
+                t = f"{root}/tbl"
+                lo = _timed(lambda: upsert_batch(feed_df, t))
+                inc = _timed(lambda: upsert_batch(one, t))
+                return {"tablesink_load_sec": lo, "tablesink_incr_sec": inc}
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+        probe_reruns.append(
+            (("tablesink_load_sec", "tablesink_incr_sec"), _rerun_tablesink)
+        )
     except Exception as e:  # the probe must never sink the bench; keep
         # whichever measurement already landed — only the failed step
         # stays None
@@ -215,27 +262,32 @@ def main() -> None:
                 b'"meta":{"source":"postgres","resource":"public.t0",'
                 b'"timestamp":1755200000,"lsn":"0/1A2B"}}'
             )
-            raw = WireProducer(broker.host, broker.port)
             n_raw = 100_000
-            t0 = time.perf_counter()
-            for i in range(n_raw):
-                raw.send(
-                    "bench.raw", str(i % 997).encode(), payload, n_partitions=8
-                )
-            raw.flush()
-            kafka_raw_drain_eps = round(n_raw / (time.perf_counter() - t0))
-            raw.close()
+            raw_trials = []
+            for trial in range(2):  # min-of-2: probe noise policy
+                raw = WireProducer(broker.host, broker.port)
+                t0 = time.perf_counter()
+                for i in range(n_raw):
+                    raw.send(
+                        f"bench.raw{trial}", str(i % 997).encode(),
+                        payload, n_partitions=8,
+                    )
+                raw.flush()
+                raw_trials.append(time.perf_counter() - t0)
+                raw.close()
+            kafka_raw_drain_eps = round(n_raw / min(raw_trials))
 
             delivery = routed_envelopes(
                 spark, sf_dir, default_config()
             ).localCheckpoint(eager=True)
             kafka_sink_events = delivery.count()
             sink = make_kafka_sink(broker.host, broker.port)
-            t1 = time.perf_counter()
-            sink(delivery, 0)
-            kafka_sink_eps = round(
-                kafka_sink_events / (time.perf_counter() - t1)
-            )
+            sink_trials = []
+            for trial in range(2):
+                t1 = time.perf_counter()
+                sink(delivery, trial)
+                sink_trials.append(time.perf_counter() - t1)
+            kafka_sink_eps = round(kafka_sink_events / min(sink_trials))
     except Exception as e:  # the probe must never sink the bench
         print(f"# kafka probe failed: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -322,13 +374,28 @@ def main() -> None:
         chain = spark.range(n_chain - 1).select(
             SF.col("id").alias("doc_a"), (SF.col("id") + 1).alias("doc_b")
         )
-        t0 = time.perf_counter()
-        labeled = dup_clusters(chain)
-        n_labeled = labeled.filter(SF.col("cluster_id") == 0).count()
-        dup_clusters_deep_sec = round(time.perf_counter() - t0, 4)
-        if n_labeled != n_chain:  # one component, min id 0
-            raise AssertionError(f"chain clustering wrong: {n_labeled}")
+        # min of 2 trials — the same noise policy the timed queries get
+        # (min of 3). This probe is ~40 latency-bound stages; its first
+        # execution carries one-time codegen/scheduler warmup that is
+        # not the algorithm under test (r10: cold 14.3s vs warm 8.6s on
+        # identical plans).
+        trials = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            labeled = dup_clusters(chain)
+            n_labeled = labeled.filter(SF.col("cluster_id") == 0).count()
+            trials.append(time.perf_counter() - t0)
+            if n_labeled != n_chain:  # one component, min id 0
+                raise AssertionError(f"chain clustering wrong: {n_labeled}")
+        dup_clusters_deep_sec = round(min(trials), 4)
         dup_clusters_deep_nodes = n_chain
+
+        def _rerun_deep():
+            t0 = time.perf_counter()
+            dup_clusters(chain).filter(SF.col("cluster_id") == 0).count()
+            return {"dup_clusters_deep_sec": time.perf_counter() - t0}
+
+        probe_reruns.append((("dup_clusters_deep_sec",), _rerun_deep))
     except Exception as e:  # the probe must never sink the bench
         dup_clusters_deep_sec = None
         print(f"# deep clusters probe failed: {type(e).__name__}: {e}", file=sys.stderr)
@@ -383,8 +450,24 @@ def main() -> None:
         )
         _ivf = lambda df: ivf_ann_topk(df, n_queries=10, k=10).write.format("noop").mode("overwrite").save()  # noqa: E731
         _ivf(small_e)  # warm
-        emb_ivf_1x = round(min(_timed(lambda: _ivf(small_e)) for _ in range(2)), 4)
-        emb_ivf_4x = round(min(_timed(lambda: _ivf(big_e)) for _ in range(2)), 4)
+        emb_ivf_1x = round(min(_timed(lambda: _ivf(small_e)) for _ in range(3)), 4)
+        emb_ivf_4x = round(min(_timed(lambda: _ivf(big_e)) for _ in range(3)), 4)
+
+        def _rerun_emb_scaleup():
+            return {
+                "emb_lsh_1x_sec": _timed(lambda: _lsh(small_e).write.format("noop").mode("overwrite").save()),
+                "emb_lsh_4x_sec": _timed(lambda: _lsh(big_e).write.format("noop").mode("overwrite").save()),
+                "emb_ivf_1x_sec": _timed(lambda: _ivf(small_e)),
+                "emb_ivf_4x_sec": _timed(lambda: _ivf(big_e)),
+            }
+
+        probe_reruns.append(
+            (
+                ("emb_lsh_1x_sec", "emb_lsh_4x_sec", "emb_lsh_4x_time_ratio",
+                 "emb_ivf_1x_sec", "emb_ivf_4x_sec", "emb_ivf_4x_time_ratio"),
+                _rerun_emb_scaleup,
+            )
+        )
     except Exception as e:  # the probe must never sink the bench
         print(f"# embedding scaleup probe failed: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -402,8 +485,13 @@ def main() -> None:
         )
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        ivf_store = f"{ivf_root}/ivf"
-        ivf_build_sec = round(_timed(lambda: build_ivf_index(emb, ivf_store)), 4)
+        # min of 2 builds into fresh dirs (probe noise policy); the
+        # second build's store serves the legs below
+        build_trials = []
+        for trial in range(2):
+            ivf_store = f"{ivf_root}/ivf{trial}"
+            build_trials.append(_timed(lambda: build_ivf_index(emb, ivf_store)))
+        ivf_build_sec = round(min(build_trials), 4)
         queries_df = emb.filter(F.col("vec_id") < 10).localCheckpoint(eager=True)
 
         def _serve():
@@ -447,16 +535,34 @@ def main() -> None:
         from outboxx_spark.dataops.export import export_shards, verify_export
 
         docs_x = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-        out = f"{export_root}/shards"
         m = {}
+        # min of 2 full exports into fresh dirs (probe noise policy);
+        # verify runs against the last export's files
+        exp_t, ver_t = [], []
+        for trial in range(2):
+            out = f"{export_root}/shards{trial}"
 
-        def _export():
-            m["manifest"] = export_shards(docs_x, out, target=20000)
+            def _export():
+                m["manifest"] = export_shards(docs_x, out, target=20000)
 
-        export_shards_sec = round(_timed(_export), 4)
+            exp_t.append(_timed(_export))
+            ver_t.append(_timed(lambda: verify_export(spark, out)))
+        export_shards_sec = round(min(exp_t), 4)
         export_n_shards = m["manifest"]["n_shards"]
-        export_verify_sec = round(
-            _timed(lambda: verify_export(spark, out)), 4
+        export_verify_sec = round(min(ver_t), 4)
+
+        def _rerun_export():
+            root = tempfile.mkdtemp(prefix="bench_export_r_")
+            try:
+                o = f"{root}/shards"
+                es = _timed(lambda: export_shards(docs_x, o, target=20000))
+                vs = _timed(lambda: verify_export(spark, o))
+                return {"export_shards_sec": es, "export_verify_sec": vs}
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+        probe_reruns.append(
+            (("export_shards_sec", "export_verify_sec"), _rerun_export)
         )
     except Exception as e:  # the probe must never sink the bench
         print(f"# export probe failed: {type(e).__name__}: {e}", file=sys.stderr)
@@ -483,13 +589,32 @@ def main() -> None:
         mid = feed.agg(F.expr("percentile_approx(lsn, 0.5)")).first()[0] or 0
         h1 = feed.filter(F.col("lsn") <= mid)
         h2 = feed.filter(F.col("lsn") > mid)
-        tdir, ldir = f"{incragg_root}/table", f"{incragg_root}/ledger"
-        incragg_b1_sec = round(
-            _timed(lambda: apply_incremental_totals_batch(h1, tdir, ldir, 0)), 4
-        )
-        incragg_b2_sec = round(
-            _timed(lambda: apply_incremental_totals_batch(h2, tdir, ldir, 1)), 4
-        )
+        # min of 2 full b1->b2 protocols on fresh stores (probe noise
+        # policy); the last trial's ledger feeds the equality assert
+        b1_t, b2_t = [], []
+        for trial in range(2):
+            tdir = f"{incragg_root}/table{trial}"
+            ldir = f"{incragg_root}/ledger{trial}"
+            b1_t.append(
+                _timed(lambda: apply_incremental_totals_batch(h1, tdir, ldir, 0))
+            )
+            b2_t.append(
+                _timed(lambda: apply_incremental_totals_batch(h2, tdir, ldir, 1))
+            )
+        incragg_b1_sec = round(min(b1_t), 4)
+        incragg_b2_sec = round(min(b2_t), 4)
+
+        def _rerun_incragg():
+            root = tempfile.mkdtemp(prefix="bench_incragg_r_")
+            try:
+                td, ld = f"{root}/table", f"{root}/ledger"
+                b1 = _timed(lambda: apply_incremental_totals_batch(h1, td, ld, 0))
+                b2 = _timed(lambda: apply_incremental_totals_batch(h2, td, ld, 1))
+                return {"incragg_b1_sec": b1, "incragg_b2_sec": b2}
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+        probe_reruns.append((("incragg_b1_sec", "incragg_b2_sec"), _rerun_incragg))
         ledger = {
             (r["resource"], r["n_live"], r["sum_value_cents"])
             for r in read_group_totals(spark, ldir).collect()
@@ -524,12 +649,41 @@ def main() -> None:
         n_docs = docs.count()
         half1 = docs.filter(F.col("doc_id") < n_docs // 2)
         half2 = docs.filter(F.col("doc_id") >= n_docs // 2)
-        store = f"{store_root}/store"
-        dedup_store_b1_sec = round(
-            _timed(lambda: incremental_minhash_dedup_batch(half1, store, batch_id=0)), 4
-        )
-        dedup_store_b2_sec = round(
-            _timed(lambda: incremental_minhash_dedup_batch(half2, store, batch_id=1)), 4
+        # min of 2 full b1->b2 trials on fresh stores (the queries' own
+        # min-of-3 noise policy; r10 measured the cold first trial at
+        # 8.3/5.2s vs 2.4/3.7s warm — first-execution warmup, not the
+        # ingest protocol under test). The LAST trial's store carries
+        # the valid two-batch state the 4x/compaction legs below grow.
+        b1_trials, b2_trials = [], []
+        for trial in range(2):
+            store = f"{store_root}/store{trial}"
+            b1_trials.append(
+                _timed(lambda: incremental_minhash_dedup_batch(half1, store, batch_id=0))
+            )
+            b2_trials.append(
+                _timed(lambda: incremental_minhash_dedup_batch(half2, store, batch_id=1))
+            )
+        dedup_store_b1_sec = round(min(b1_trials), 4)
+        dedup_store_b2_sec = round(min(b2_trials), 4)
+        # drop trial 0's checkpointed-RDD py4j refs BEFORE the 4x legs:
+        # without this the accumulated blocks inflate the grown-store
+        # legs ~3x (r10 measured 2.96s -> 10.4s compact with two trial
+        # stores' blocks still registered; the query loop learned the
+        # same lesson in r4)
+        gc.collect()
+
+        def _rerun_dedup_store():
+            root = tempfile.mkdtemp(prefix="bench_dedupstore_r_")
+            try:
+                st = f"{root}/store"
+                b1 = _timed(lambda: incremental_minhash_dedup_batch(half1, st, batch_id=0))
+                b2 = _timed(lambda: incremental_minhash_dedup_batch(half2, st, batch_id=1))
+                return {"dedup_store_b1_sec": b1, "dedup_store_b2_sec": b2}
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+        probe_reruns.append(
+            (("dedup_store_b1_sec", "dedup_store_b2_sec"), _rerun_dedup_store)
         )
         # Store-SIZE independence: grow the store to ~4x the corpus with
         # alphabet-rotated copies (disjoint shingle sets, no clone
@@ -545,6 +699,7 @@ def main() -> None:
                 F.translate("text", alpha, rot).alias("text"),
             )
             incremental_minhash_dedup_batch(copy, store, batch_id=1 + r)
+            gc.collect()  # release each growth batch's checkpoint blocks
         probe_batch = docs.select(
             (F.col("doc_id") + 4 * n_docs).alias("doc_id"),
             F.translate("text", alpha, alpha[4:] + alpha[:4]).alias("text"),
@@ -553,6 +708,7 @@ def main() -> None:
             _timed(lambda: incremental_minhash_dedup_batch(probe_batch, store, batch_id=5)),
             4,
         )
+        gc.collect()
         # Compaction: bin-pack the 6 batch generations, track the
         # parquet file-count drop (the small-files debt it erases).
         import os as _os
@@ -659,12 +815,11 @@ def main() -> None:
                 # passes (observed ±20-30% ambient). Re-run just the
                 # flagged queries once more, keep the min, re-diff —
                 # a real regression survives its fourth sample, a
-                # spike does not. (extra.* probes are not re-run;
-                # their flags stand as measured.)
+                # spike does not.
                 flagged = [
                     r.split(" ")[0] for r in regressions if r.split(" ")[0] in qs
                 ]
-                resampled = flagged
+                resampled = list(flagged)
                 for name in flagged:
                     try:
                         t0 = time.perf_counter()
@@ -677,13 +832,46 @@ def main() -> None:
                         gc.collect()
                     except Exception:
                         pass
-                if flagged:
+                # Flagged-PROBE re-run (r10): same policy for extra.*
+                # probes that registered a re-measure thunk — run once,
+                # min-merge, recompute the affected derived metrics.
+                probe_flagged = {r.split(" ")[0] for r in regressions}
+                for metrics, thunk in probe_reruns:
+                    if not (probe_flagged & set(metrics)):
+                        continue
+                    try:
+                        vals = thunk()
+                    except Exception:
+                        continue
+                    resampled += [k for k in vals]
+                    for k, v in vals.items():
+                        old = extra.get(k)
+                        if not isinstance(old, (int, float)):
+                            extra[k] = round(v, 4)
+                        elif k.endswith("_per_sec"):  # throughput: keep best
+                            extra[k] = round(max(old, v))
+                        else:
+                            extra[k] = round(min(old, v), 4)
+                if extra.get("tablesink_load_sec") and n_events:
+                    extra["tablesink_events_per_sec"] = round(
+                        n_events / extra["tablesink_load_sec"]
+                    )
+                for fam in ("emb_lsh", "emb_ivf"):
+                    a, b = extra.get(f"{fam}_1x_sec"), extra.get(f"{fam}_4x_sec")
+                    if isinstance(a, (int, float)) and isinstance(b, (int, float)) and a:
+                        extra[f"{fam}_4x_time_ratio"] = round(b / a, 2)
+                if flagged or (probe_flagged & {
+                    k for metrics, _ in probe_reruns for k in metrics
+                }):
                     total = round(sum(timings.values()), 4)
                     regressions = round_drift(prev, timings, extra)
             else:
                 regressions = [f"skipped: prev round at sf={prev.get('sf')}"]
     except Exception as e:  # the guard must never sink the bench
         regressions = [f"drift-check failed: {type(e).__name__}"]
+
+    for _root in deferred_cleanup:
+        shutil.rmtree(_root, ignore_errors=True)
 
     # Host-speed normalization as a FIRST-CLASS artifact field (r9
     # judge ask): the paired-sample median new/old ratio the drift

@@ -215,3 +215,47 @@ def test_torn_ledger_epoch_is_invisible(spark, tmp_path):
     assert _totals(read_group_totals(spark, ledger)) == _totals(
         incremental_group_totals(_feed_df(spark, OPS_A))
     )
+
+
+def test_compaction_uses_its_listing_snapshot_not_a_relist(spark, tmp_path, monkeypatch):
+    # ADVICE r9: compact_ledger used to list the ledger twice (its own
+    # _ledger_parts, then read_group_totals' relist). An epoch committed
+    # by a concurrent stream BETWEEN the listings was folded into
+    # fold=<horizon> while its id exceeded the horizon and its dir
+    # survived GC — readers then double-counted its deltas. The fold
+    # must cover exactly the first snapshot's paths: simulate the race
+    # by pinning the snapshot, landing a new epoch, then compacting.
+    import outboxx_spark.streaming.incragg_stream as mod
+
+    tdir, ldir = str(tmp_path / "t"), str(tmp_path / "l")
+    for epoch, ops in ((0, OPS_A), (1, OPS_B)):
+        batch = _feed_df(spark, ops).filter(F.col("op") != "READ")
+        write_ledger_epoch(batch, tdir, ldir, epoch)
+        upsert_batch(batch, tdir)
+
+    stale = mod._ledger_parts(spark, ldir)  # the pre-race snapshot
+    monkeypatch.setattr(mod, "_ledger_parts", lambda s, d: stale)
+    # the concurrent stream commits epoch 2 after the listing
+    late = _feed_df(spark, OPS_C).filter(F.col("op") != "READ")
+    write_ledger_epoch(late, tdir, ldir, 2)
+    upsert_batch(late, tdir)
+
+    horizon = mod.compact_ledger(spark, ldir)
+    assert horizon == 1  # folded only the snapshot's epochs
+    monkeypatch.undo()
+
+    # epoch 2 must still exist as its own committed part above the fold
+    h2, paths = mod._ledger_parts(spark, ldir)
+    assert h2 == 1 and any(p.endswith("epoch=2") for p in paths)
+    # and the totals equal the full three-epoch changelog EXACTLY ONCE
+    want = {
+        (r["resource"], r["n_live"], r["sum_value_cents"])
+        for r in incremental_group_totals(
+            _feed_df(spark, OPS_A + OPS_B + OPS_C)
+        ).collect()
+    }
+    got = {
+        (r["resource"], r["n_live"], r["sum_value_cents"])
+        for r in read_group_totals(spark, ldir).collect()
+    }
+    assert got == want, "concurrently committed epoch double-counted or lost"

@@ -28,6 +28,14 @@ MIN_SECONDS = 1.0  # ignore sub-second queries (jitter-dominated)
 # Cross-round drift thresholds (the judge's manual-diff rules, automated)
 DRIFT_TOLERANCE = 1.2  # >20% adverse move = flagged
 DRIFT_MIN_SECONDS = 0.2  # sub-0.2s timings are jitter-dominated
+# Absolute jitter floor (r10): same-code timings on this host move
+# ±0.2s regardless of query size purely by stage placement among the
+# 32 local threads (measured: a query whose solo floor is 0.52s reads
+# 0.73s inside the 106-query bench sequence). A relative threshold
+# alone therefore misfires on every sub-second entry; a flag requires
+# the move to ALSO exceed this many absolute seconds beyond the
+# host-normalized old value.
+DRIFT_MIN_DELTA = 0.3
 
 
 def round_drift(prev: dict, queries: dict, extra: dict) -> list[str]:
@@ -79,6 +87,7 @@ def round_drift(prev: dict, queries: dict, extra: dict) -> list[str]:
             and isinstance(new, (int, float))
             and old >= DRIFT_MIN_SECONDS
             and new > old * host * DRIFT_TOLERANCE
+            and new - old * host > DRIFT_MIN_DELTA
         ):
             out.append(f"{name} {old}->{new}")
     for k, old in sorted((prev.get("extra") or {}).items()):
@@ -89,11 +98,20 @@ def round_drift(prev: dict, queries: dict, extra: dict) -> list[str]:
             worse = old > 0 and new < old / (host * DRIFT_TOLERANCE)
         elif k.endswith("_ratio"):
             # ratio of two same-run timings: host speed cancels, and a
-            # seconds-floor would be dimensionally meaningless — any
-            # positive ratio is comparable
-            worse = old > 0 and new > old * DRIFT_TOLERANCE
+            # seconds-floor would be dimensionally meaningless. r10
+            # floor: both legs of these ratios are 1-3s measurements
+            # carrying ±0.2-0.3s absolute jitter each, so the ratio
+            # itself wobbles ±~0.3 around 1 run to run (observed 0.83,
+            # 1.09, 1.11, 1.19, 1.24 on identical code); a flag below
+            # 1.5 is noise about noise, while a genuine scaling break
+            # (the 4x probes' claim) reads >=2.
+            worse = old > 0 and new > old * DRIFT_TOLERANCE and new > 1.5
         elif k.endswith("_sec"):
-            worse = old >= DRIFT_MIN_SECONDS and new > old * host * DRIFT_TOLERANCE
+            worse = (
+                old >= DRIFT_MIN_SECONDS
+                and new > old * host * DRIFT_TOLERANCE
+                and new - old * host > DRIFT_MIN_DELTA
+            )
         else:
             continue  # counters/config, not a performance metric
         if worse:
