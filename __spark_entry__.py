@@ -48,7 +48,8 @@ from outboxx_spark.operators.dedup import dedup_events
 from outboxx_spark.operators.routing import route, streams_dim
 from outboxx_spark.operators.tally import tally
 from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
-from outboxx_spark import integrity, olap, olap_tpch
+from outboxx_spark import integrity, olap, olap_tpch, olap_tpch_heavy
+from outboxx_spark.dataops import semdedup
 from outboxx_spark.operators.asof import asof_join, asof_join_sql
 from outboxx_spark.operators.materialize import materialize, materialize_sql
 from outboxx_spark.operators.windows import (
@@ -957,15 +958,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_cardinality_approx": olap.event_type_cardinality_approx_check,
         "olap_rollup": olap.nation_revenue_rollup,
         "docs_vocab_topk": q_docs_vocab_topk,
-        "docs_tfidf": q_docs_tfidf,
-        "docs_bpe_merges": q_docs_bpe_merges,
-        "docs_simhash": q_docs_simhash,
-        "docs_simhash_pairs": q_docs_simhash_pairs,
-        "docs_edit_dedup": q_docs_edit_dedup,
         "mm_metadata": q_mm_metadata,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_features": q_mm_features,
-        "emb_ann_lsh": q_emb_ann_lsh,
+        # -- touched this round (curation.py per-source cap, 3f22c2b) --
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_weighted_mix": q_docs_weighted_mix,
+        "docs_contamination": q_docs_contamination,
+        "docs_pii_redact": q_docs_pii_redact,
+        "docs_repetition": q_docs_repetition,
         # ---- tail (positions 51+): r9/r8-green at their latest check in
         # unchanged formulation; the staleness policy (MAX_STALENESS=2,
         # tools/touched_queries.py) guarantees each rotates back within
@@ -1009,12 +1011,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ivf_pq_topk": q_emb_ivf_pq_topk,
         "olap_cohort_retention": q_olap_cohort_retention,
-        "docs_dup_clusters": q_docs_dup_clusters,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_weighted_mix": q_docs_weighted_mix,
-        "docs_contamination": q_docs_contamination,
-        "docs_pii_redact": q_docs_pii_redact,
-        "docs_repetition": q_docs_repetition,
+        "docs_tfidf": q_docs_tfidf,
+        "docs_bpe_merges": q_docs_bpe_merges,
+        "docs_simhash": q_docs_simhash,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
+        "docs_edit_dedup": q_docs_edit_dedup,
+        "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_ann_recall": q_emb_ann_recall,
@@ -1395,6 +1397,21 @@ def q_docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivor set (dataops/semdedup.py): cluster with the
+    shared coarse quantizer, drop every vector with a smaller-id
+    same-cluster neighbor at cosine >= 0.8. Runs over the planted
+    corpus (near-identical copies at cosine >= 0.9996) so the drop set
+    is non-empty and analytically known."""
+    return semdedup.planted_semantic_dedup(spark, sf_dir)
+
+
+def q_mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup blocking (dataops/multimodal.py): real
+    PNGs -> real pixel decode -> 64-bit dHash -> blocking groups."""
+    return mm.image_dhash_groups(read_table(spark, sf_dir, "documents"))
+
+
 def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r10: the r9 staged queue promoted into queries() (all 12 sit in
     # the driver window this round). New mid-round operators stage here
@@ -1402,6 +1419,11 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mm_pixel_stats": q_mm_pixel_stats,
         "docs_source_cap": q_docs_source_cap,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "mm_image_dhash": q_mm_image_dhash,
+        "olap_big_order_customers": olap_tpch_heavy.big_order_customers,
+        "olap_disjunctive_revenue": olap_tpch_heavy.disjunctive_revenue,
+        "olap_dormant_rich_customers": olap_tpch_heavy.dormant_rich_customers,
     }
 
 
@@ -1409,4 +1431,9 @@ def oracle_sql_staged() -> dict[str, str]:
     return {
         "mm_pixel_stats": mm.MM_PIXEL_STATS_SQL,
         "docs_source_cap": cu.per_source_cap_sql(cap=150, source_col="lang"),
+        "emb_semantic_dedup": semdedup.planted_semantic_dedup_sql(),
+        "mm_image_dhash": mm.MM_IMAGE_DHASH_SQL,
+        "olap_big_order_customers": olap_tpch_heavy.BIG_ORDER_CUSTOMERS_SQL(),
+        "olap_disjunctive_revenue": olap_tpch_heavy.DISJUNCTIVE_REVENUE_SQL,
+        "olap_dormant_rich_customers": olap_tpch_heavy.DORMANT_RICH_CUSTOMERS_SQL(),
     }

@@ -533,6 +533,119 @@ GROUP BY doc_id, dim
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (r10): dHash over REAL decoded pixels — the
+# image analog of the text near-dup family. Two images with the same
+# dHash share their coarse horizontal-gradient structure; grouping by
+# the hash is the image-dedup blocking step (equal hash -> candidate
+# duplicates), exactly how a training-data pipeline prunes re-encoded
+# or resized copies of the same picture. Pure grid arithmetic (block
+# means via the array_split convention), no resample kernels — so the
+# DuckDB oracle recomputes the hash from the pixel-generating formula
+# and a green row certifies encode -> decode -> hash end-to-end.
+# ---------------------------------------------------------------------------
+
+DHASH_ROWS = 8  # dHash grid: 8 row bands x 9 col bands -> 8x8 = 64 bits
+
+
+def image_dhash(blob: bytes) -> str:
+    """64-bit dHash as a '0'/'1' string (row-major): decode to
+    grayscale, split rows into 8 bands and cols into 9 bands
+    (numpy array_split — the repo's uneven-chunk convention), per-cell
+    mean, bit[r, c] = mean[r, c] > mean[r, c+1]. All means are exact
+    (integer sums < 2^53 in float64), so the bits are engine-stable."""
+    px = real_image_decode(blob).astype(np.float64)
+    bits = []
+    for band in np.array_split(px, DHASH_ROWS, axis=0):
+        means = [c.mean() for c in np.array_split(band, DHASH_ROWS + 1, axis=1)]
+        bits.extend(
+            "1" if means[c] > means[c + 1] else "0" for c in range(DHASH_ROWS)
+        )
+    return "".join(bits)
+
+
+def image_dhash_groups(docs: DataFrame) -> DataFrame:
+    """Perceptual-dedup blocking over the real-PNG corpus: (dhash,
+    n_docs, exemplar) per distinct hash. The mapInPandas pass is one
+    Arrow batch per partition (blobs never leave executors, like
+    media_metadata); the only shuffle is the final groupBy on the
+    64-bit hash domain — map-side combinable, output is one row per
+    distinct visual signature. 100 TB: this is the standard two-stage
+    image dedup (hash -> group -> verify inside groups); group
+    verification would reuse the near-dup verify kernels."""
+    pngs = synth_real_pngs(docs)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dhash": [image_dhash(bytes(b)) for b in pdf["blob"]],
+                }
+            )
+
+    hashed = pngs.mapInPandas(hash_batches, "doc_id long, dhash string")
+    return hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("exemplar")
+    )
+
+
+def _array_split_idx_sql(pos: str, length: str, k: int) -> str:
+    """DuckDB expression: numpy.array_split chunk index of ``pos`` in
+    [0, length) split into ``k`` chunks — the first length%k chunks get
+    length//k + 1 elements, the rest length//k."""
+    return (
+        f"CASE WHEN {pos} < ({length} % {k}) * ({length} // {k} + 1) "
+        f"THEN {pos} // ({length} // {k} + 1) "
+        f"ELSE ({length} % {k}) "
+        f"+ ({pos} - ({length} % {k}) * ({length} // {k} + 1)) "
+        f"// GREATEST({length} // {k}, 1) END"
+    )
+
+
+# DuckDB mirror: pixels from the generating formula (no PNG bytes),
+# 8x9 cell means via the same array_split boundaries on BOTH axes,
+# bit = left-cell mean > right-cell mean, string_agg in (rb, cb)
+# order, then the blocking group-by. avg() and numpy .mean() are both
+# exact-integer-sum / count in float64, so the '>' compares identical
+# doubles.
+MM_IMAGE_DHASH_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         16 + ((doc_id % {PNG_DIM_MOD}) + {PNG_DIM_MOD}) % {PNG_DIM_MOD} AS w,
+         16 + (((doc_id * 3) % {PNG_DIM_MOD}) + {PNG_DIM_MOD}) % {PNG_DIM_MOD} AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims
+),
+vals AS (
+  SELECT doc_id,
+         {_array_split_idx_sql("(i // w)", "h", DHASH_ROWS)} AS rb,
+         {_array_split_idx_sql("(i % w)", "w", DHASH_ROWS + 1)} AS cb,
+         (((doc_id * 31 + (i // w) * 7 + (i % w) * 13) % 256) + 256) % 256 AS b
+  FROM px
+),
+cells AS (
+  SELECT doc_id, rb, cb, avg(b) AS m
+  FROM vals GROUP BY doc_id, rb, cb
+),
+bits AS (
+  SELECT l.doc_id, l.rb, l.cb,
+         CASE WHEN l.m > r.m THEN '1' ELSE '0' END AS bit
+  FROM cells l JOIN cells r
+    ON l.doc_id = r.doc_id AND l.rb = r.rb AND r.cb = l.cb + 1
+  WHERE l.cb < {DHASH_ROWS}
+),
+hashes AS (
+  SELECT doc_id, string_agg(bit, '' ORDER BY rb, cb) AS dhash
+  FROM bits GROUP BY doc_id
+)
+SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS exemplar
+FROM hashes GROUP BY dhash
+"""
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64, blob_col: str = "blob") -> DataFrame:
     """'Frame sampling' plumbing: split each blob into fixed-size chunks
     (stand-in for video frame extraction), one output row per sampled
