@@ -50,6 +50,7 @@ from outboxx_spark.operators.tally import tally
 from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
 from outboxx_spark import integrity, olap, olap_tpch, olap_tpch_heavy
 from outboxx_spark.dataops import semdedup
+from outboxx_spark.dataops import substring as substr_mod
 from outboxx_spark.operators.asof import asof_join, asof_join_sql
 from outboxx_spark.operators.materialize import materialize, materialize_sql
 from outboxx_spark.operators.windows import (
@@ -1412,6 +1413,12 @@ def q_mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_dhash_groups(read_table(spark, sf_dir, "documents"))
 
 
+def q_docs_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (dataops/substring.py, Lee et al.
+    2022): 48-char stride-16 shingles repeated across >= 2 documents."""
+    return substr_mod.duplicated_spans(read_table(spark, sf_dir, "documents"))
+
+
 def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r10: the r9 staged queue promoted into queries() (all 12 sit in
     # the driver window this round). New mid-round operators stage here
@@ -1424,6 +1431,7 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_big_order_customers": olap_tpch_heavy.big_order_customers,
         "olap_disjunctive_revenue": olap_tpch_heavy.disjunctive_revenue,
         "olap_dormant_rich_customers": olap_tpch_heavy.dormant_rich_customers,
+        "docs_substring_spans": q_docs_substring_spans,
     }
 
 
@@ -1436,4 +1444,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "olap_big_order_customers": olap_tpch_heavy.BIG_ORDER_CUSTOMERS_SQL(),
         "olap_disjunctive_revenue": olap_tpch_heavy.DISJUNCTIVE_REVENUE_SQL,
         "olap_dormant_rich_customers": olap_tpch_heavy.DORMANT_RICH_CUSTOMERS_SQL(),
+        "docs_substring_spans": substr_mod.duplicated_spans_sql(),
     }

@@ -791,6 +791,32 @@ def main() -> None:
         "detail": "bench_detail.json",
     }
 
+    # Volume probes (r10): the driver REGENERATES the testdata corpus
+    # each round, so a data-sensitive query's cross-round timing diff
+    # carries corpus drift (more duplication -> more candidate pairs ->
+    # honestly slower) that the host factor cannot explain. Record the
+    # output row count of the duplication-volume-sensitive queries so
+    # the drift guard can annotate a flag with the volume move and a
+    # reader can separate "the data got heavier" from "the plan got
+    # slower". Counts run OUTSIDE the timing clock, once per query.
+    for _vq in (
+        "docs_ngram_dedup",
+        "docs_minhash_dedup",
+        "docs_exact_dedup",
+        "docs_edit_dedup",
+        "docs_substring_spans",
+        "emb_near_dup",
+        "emb_near_dup_ivf",
+        "emb_near_dup_lsh",
+        "docs_dup_clusters",
+    ):
+        if _vq in qs:
+            try:
+                extra[f"rows_{_vq}"] = qs[_vq](spark, sf_dir).count()
+                gc.collect()
+            except Exception:
+                pass
+
     # Cross-round drift guard (r7): diff this run — full per-query
     # table AND extra.* sub-metrics, direction-aware — against the
     # previous round's committed bench_detail snapshot, so a >20%

@@ -89,7 +89,19 @@ def round_drift(prev: dict, queries: dict, extra: dict) -> list[str]:
             and new > old * host * DRIFT_TOLERANCE
             and new - old * host > DRIFT_MIN_DELTA
         ):
-            out.append(f"{name} {old}->{new}")
+            # volume annotation (r10): the testdata regenerates each
+            # round; when both rounds carry the query's output row
+            # count (bench.py's volume probes), a flag shows the data
+            # move alongside the time move — a rows jump marks honest
+            # data drift, equal rows marks a real slowdown.
+            ra = (prev.get("extra") or {}).get(f"rows_{name}")
+            rb = (extra or {}).get(f"rows_{name}")
+            tag = (
+                f" [rows {int(ra)}->{int(rb)}]"
+                if isinstance(ra, (int, float)) and isinstance(rb, (int, float))
+                else ""
+            )
+            out.append(f"{name} {old}->{new}{tag}")
     for k, old in sorted((prev.get("extra") or {}).items()):
         new = (extra or {}).get(k)
         if not isinstance(old, (int, float)) or not isinstance(new, (int, float)):

@@ -56,6 +56,10 @@ CARTESIAN_OK = {
     # (era thresholds) — BNLJ with a 1-row build side, in both plan
     # branches (key explode + resource bounds), is the intended shape
     "cdc_schema_drift",
+    # Q22's decorrelated scalar average: customer crossJoins the
+    # ONE-ROW (sum_u4, cnt) aggregate — BNLJ with a 1-row build side
+    # is the intended shape (olap_tpch_heavy.dormant_rich_customers)
+    "olap_dormant_rich_customers",
 }
 
 THRESHOLDS = {"py_nodes": 2, "from_json": 4, "to_json": 12, "cartesian": 0}
