@@ -487,7 +487,18 @@ def synth_real_pngs(docs: DataFrame) -> DataFrame:
                 blobs.append(encode_png(px, filter_type=(d % 5 + 5) % 5))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return docs.select("doc_id").mapInPandas(gen, "doc_id long, blob binary")
+    # Scatter the id frame before the encode pass: like winnowing
+    # (dataops/substring.py), all the work here (encode + the decode
+    # downstream) precedes any shuffle, so the scan's own split count
+    # — one task for the testdata's single small file — would
+    # serialize the whole certification path. The exchange moves
+    # 8-byte ids only.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id")
+        .repartition(par)
+        .mapInPandas(gen, "doc_id long, blob binary")
+    )
 
 
 def pixel_band_stats(docs: DataFrame) -> DataFrame:
