@@ -48,7 +48,7 @@ from outboxx_spark.operators.dedup import dedup_events
 from outboxx_spark.operators.routing import route, streams_dim
 from outboxx_spark.operators.tally import tally
 from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
-from outboxx_spark import integrity, olap, olap_tpch, olap_tpch_heavy
+from outboxx_spark import integrity, olap, olap_tpch, olap_tpch_heavy, olap_tpch_rest
 from outboxx_spark.dataops import semdedup
 from outboxx_spark.dataops import substring as substr_mod
 from outboxx_spark.operators.asof import asof_join, asof_join_sql
@@ -1432,6 +1432,21 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_disjunctive_revenue": olap_tpch_heavy.disjunctive_revenue,
         "olap_dormant_rich_customers": olap_tpch_heavy.dormant_rich_customers,
         "docs_substring_spans": q_docs_substring_spans,
+        # -- the remaining 12 TPC-H shapes (olap_tpch_rest.py): the
+        # 22-query canon is now complete; adapted columns documented
+        # per query (no partsupp / commitdate / shipmode in the corpus)
+        "olap_min_cost_supplier": olap_tpch_rest.min_cost_supplier,
+        "olap_late_priority": olap_tpch_rest.late_order_priority,
+        "olap_forecast_revenue": olap_tpch_rest.forecast_revenue,
+        "olap_volume_shipping": olap_tpch_rest.volume_shipping,
+        "olap_product_profit": olap_tpch_rest.product_profit,
+        "olap_returned_items": olap_tpch_rest.returned_item_customers,
+        "olap_important_stock": olap_tpch_rest.important_stock,
+        "olap_shipping_punctuality": olap_tpch_rest.shipping_punctuality,
+        "olap_promotion_effect": olap_tpch_rest.promotion_effect,
+        "olap_top_supplier": olap_tpch_rest.top_supplier,
+        "olap_supplier_diversity": olap_tpch_rest.part_supplier_diversity,
+        "olap_dominant_suppliers": olap_tpch_rest.dominant_part_suppliers,
     }
 
 
@@ -1445,4 +1460,16 @@ def oracle_sql_staged() -> dict[str, str]:
         "olap_disjunctive_revenue": olap_tpch_heavy.DISJUNCTIVE_REVENUE_SQL,
         "olap_dormant_rich_customers": olap_tpch_heavy.DORMANT_RICH_CUSTOMERS_SQL(),
         "docs_substring_spans": substr_mod.duplicated_spans_sql(),
+        "olap_min_cost_supplier": olap_tpch_rest.MIN_COST_SUPPLIER_SQL(),
+        "olap_late_priority": olap_tpch_rest.LATE_ORDER_PRIORITY_SQL(),
+        "olap_forecast_revenue": olap_tpch_rest.FORECAST_REVENUE_SQL(),
+        "olap_volume_shipping": olap_tpch_rest.VOLUME_SHIPPING_SQL(),
+        "olap_product_profit": olap_tpch_rest.PRODUCT_PROFIT_SQL(),
+        "olap_returned_items": olap_tpch_rest.RETURNED_ITEM_CUSTOMERS_SQL(),
+        "olap_important_stock": olap_tpch_rest.IMPORTANT_STOCK_SQL(),
+        "olap_shipping_punctuality": olap_tpch_rest.SHIPPING_PUNCTUALITY_SQL(),
+        "olap_promotion_effect": olap_tpch_rest.PROMOTION_EFFECT_SQL(),
+        "olap_top_supplier": olap_tpch_rest.TOP_SUPPLIER_SQL(),
+        "olap_supplier_diversity": olap_tpch_rest.PART_SUPPLIER_DIVERSITY_SQL(),
+        "olap_dominant_suppliers": olap_tpch_rest.DOMINANT_PART_SUPPLIERS_SQL(),
     }
