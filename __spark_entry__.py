@@ -49,6 +49,7 @@ from outboxx_spark.operators.routing import route, streams_dim
 from outboxx_spark.operators.tally import tally
 from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
 from outboxx_spark import integrity, olap, olap_tpch, olap_tpch_heavy, olap_tpch_rest
+from outboxx_spark.dataops import audio as audio_mod
 from outboxx_spark.dataops import semdedup
 from outboxx_spark.dataops import substring as substr_mod
 from outboxx_spark.operators.asof import asof_join, asof_join_sql
@@ -1447,6 +1448,10 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_top_supplier": olap_tpch_rest.top_supplier,
         "olap_supplier_diversity": olap_tpch_rest.part_supplier_diversity,
         "olap_dominant_suppliers": olap_tpch_rest.dominant_part_suppliers,
+        # -- audio modality un-stubbed (dataops/wav.py + audio.py):
+        # real PCM WAV decode, formula-certified like mm_pixel_stats
+        "mm_audio_features": audio_mod.planted_audio_features,
+        "mm_audio_decimate": audio_mod.planted_audio_decimate,
     }
 
 
@@ -1472,4 +1477,6 @@ def oracle_sql_staged() -> dict[str, str]:
         "olap_top_supplier": olap_tpch_rest.TOP_SUPPLIER_SQL(),
         "olap_supplier_diversity": olap_tpch_rest.PART_SUPPLIER_DIVERSITY_SQL(),
         "olap_dominant_suppliers": olap_tpch_rest.DOMINANT_PART_SUPPLIERS_SQL(),
+        "mm_audio_features": audio_mod.AUDIO_FEATURES_SQL,
+        "mm_audio_decimate": audio_mod.AUDIO_DECIMATE_SQL(),
     }
