@@ -1414,6 +1414,13 @@ def q_mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_dhash_groups(read_table(spark, sf_dir, "documents"))
 
 
+def q_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG decode certification (dataops/jpeg.py): real
+    constant-block JPEGs -> real Huffman/IDCT decode -> integer stats
+    DuckDB recomputes from the block formula."""
+    return mm.jpeg_pixel_stats(read_table(spark, sf_dir, "documents"))
+
+
 def q_docs_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span dedup (dataops/substring.py, Lee et al.
     2022): 48-char stride-16 shingles repeated across >= 2 documents."""
@@ -1452,6 +1459,8 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real PCM WAV decode, formula-certified like mm_pixel_stats
         "mm_audio_features": audio_mod.planted_audio_features,
         "mm_audio_decimate": audio_mod.planted_audio_decimate,
+        # -- baseline JPEG entropy decode certification (dataops/jpeg.py)
+        "mm_jpeg_stats": q_mm_jpeg_stats,
     }
 
 
@@ -1479,4 +1488,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "olap_dominant_suppliers": olap_tpch_rest.DOMINANT_PART_SUPPLIERS_SQL(),
         "mm_audio_features": audio_mod.AUDIO_FEATURES_SQL,
         "mm_audio_decimate": audio_mod.AUDIO_DECIMATE_SQL(),
+        "mm_jpeg_stats": mm.MM_JPEG_STATS_SQL,
     }

@@ -1,0 +1,375 @@
+"""Pure-Python baseline JPEG codec (grayscale) — closing the last
+pillow-gated decode path.
+
+r10 gave images a real PNG codec (dataops/png.py) and audio a real
+PCM codec (dataops/wav.py); JPEG pixel decode remained the one
+import-gated stub. This module implements the baseline sequential
+DCT process end-to-end for single-component (grayscale) images with
+no dependencies beyond numpy: marker segments (SOI/APPn/DQT/SOF0/
+DHT/SOS/EOI), canonical Huffman entropy coding with 0xFF byte
+stuffing, zigzag ordering, uniform or custom quantization, and the
+8x8 type-II DCT pair in float64.
+
+Scope is explicit, not sniffed: color (multi-component) and
+progressive (SOF2) streams fail-stop with a distinct message — the
+honest gate narrows from "JPEG needs pillow" to "only color/
+progressive JPEG needs pillow".
+
+Exactness contract the certification oracle builds on: an image whose
+8x8 blocks are each CONSTANT survives encode->decode bit-exactly at
+quantization 1 — the FDCT of a constant block is DC-only (the AC
+cosine sums cancel to ~1e-13 and round to zero), the DC quantizes to
+an exact integer, and the IDCT returns the constant. General content
+round-trips within +-1 per pixel at quant 1 (double-rounding bound,
+pinned in tests).
+
+Huffman tables: the encoder emits its own canonical tables (all DC
+categories at 4 bits, all (run,size) AC symbols at 8 bits) rather
+than the Annex K defaults — a degenerate-but-valid choice the DHT
+segment fully describes, so any compliant reader decodes our files
+and our reader decodes any table a compliant writer declares.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient
+_ZZ = []
+for s in range(15):
+    rng = range(max(0, s - 7), min(s, 7) + 1)
+    for i in rng if s % 2 else reversed(rng):
+        _ZZ.append((i, s - i))
+ZIGZAG = tuple(_ZZ)
+
+
+def _dct_mat() -> np.ndarray:
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+    m[0] /= np.sqrt(2)
+    return m
+
+
+_M = _dct_mat()
+
+
+def _fdct(block: np.ndarray) -> np.ndarray:
+    return _M @ block @ _M.T
+
+
+def _idct(coef: np.ndarray) -> np.ndarray:
+    return _M.T @ coef @ _M
+
+
+# ---------------------------------------------------------------------------
+# canonical Huffman tables (encoder side)
+# ---------------------------------------------------------------------------
+
+# DC: categories 0..11, all 4-bit codes. AC: EOB, ZRL, and (run 0..15,
+# size 1..11), all 8-bit codes. Canonical assignment starts at 0, so
+# the all-1-bits codeword (forbidden by the spec) is never reached.
+_DC_SYMS = tuple(range(12))
+_AC_SYMS = (0x00, 0xF0) + tuple(
+    (r << 4) | s for r in range(16) for s in range(1, 12)
+)
+
+
+def _canonical(symbols: tuple, length: int) -> dict[int, tuple[int, int]]:
+    if len(symbols) >= (1 << length):
+        raise ValueError("too many symbols for code length")
+    return {sym: (i, length) for i, sym in enumerate(symbols)}
+
+
+_DC_ENC = _canonical(_DC_SYMS, 4)
+_AC_ENC = _canonical(_AC_SYMS, 8)
+
+
+def _dht_segment(table_class: int, table_id: int, enc: dict, length: int) -> bytes:
+    counts = [0] * 16
+    counts[length - 1] = len(enc)
+    # canonical order = ascending code value = insertion order here
+    vals = bytes(enc.keys())
+    payload = bytes([table_class << 4 | table_id]) + bytes(counts) + vals
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _amplitude(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def encode_jpeg_gray(px: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
+    """Encode a uint8 grayscale array as baseline JPEG. ``quant`` is a
+    uniform step or a full 8x8 table; edge blocks pad by edge
+    replication (the convention that keeps gradients flat, minimizing
+    ringing into the crop region)."""
+    if px.ndim != 2:
+        raise ValueError("grayscale 2-D array required")
+    h, w = px.shape
+    if not h or not w:
+        raise ValueError("empty image")
+    q = np.full((8, 8), quant, dtype=np.float64) if np.isscalar(quant) else (
+        np.asarray(quant, dtype=np.float64)
+    )
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant table must be 8x8 with entries in [1, 255]")
+    ph, pw = -h % 8, -w % 8
+    img = np.pad(px.astype(np.float64), ((0, ph), (0, pw)), mode="edge") - 128.0
+
+    head = bytearray(b"\xff\xd8")  # SOI
+    zz_q = bytes(int(q[r, c]) for r, c in ZIGZAG)
+    head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q  # DQT id 0
+    head += (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        + bytes([1, 0x11, 0])  # component 1, 1x1 sampling, qtable 0
+    )
+    head += _dht_segment(0, 0, _DC_ENC, 4)
+    head += _dht_segment(1, 0, _AC_ENC, 8)
+    head += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(img.shape[0] // 8):
+        for bx in range(img.shape[1] // 8):
+            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = np.rint(_fdct(block) / q).astype(np.int64)
+            zz = [int(coef[r, c]) for r, c in ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = _category(diff)
+            code, n = _DC_ENC[s]
+            bw.write(code, n)
+            if s:
+                bw.write(_amplitude(diff, s), s)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, n = _AC_ENC[0xF0]  # ZRL
+                    bw.write(code, n)
+                    run -= 16
+                s = _category(v)
+                if s > 11:
+                    raise ValueError("AC coefficient out of representable range")
+                code, n = _AC_ENC[(run << 4) | s]
+                bw.write(code, n)
+                bw.write(_amplitude(v, s), s)
+                run = 0
+            if last_nz < 63:
+                code, n = _AC_ENC[0x00]  # EOB
+                bw.write(code, n)
+    return bytes(head) + bw.flush() + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("entropy stream truncated at 0xFF")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                elif nxt == 0xD9:  # EOI reached while bits were needed
+                    raise ValueError("entropy stream truncated before EOI")
+                else:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        out = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+
+def _build_dec(counts: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol from a DHT's canonical description."""
+    table = {}
+    code = 0
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = vals[vi]
+            code += 1
+            vi += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(br: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(blob: bytes) -> np.ndarray:
+    """Decode a baseline grayscale JPEG to uint8. Fail-stops with
+    distinct messages on progressive (SOF2), arithmetic coding,
+    multi-component scans, restart intervals, and malformed segments —
+    the pgoutput skip-vs-fail discipline: APPn/COM skip, structure
+    errors raise."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    dims = None
+    qsel = 0
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("marker desync")
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        seg_len = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+        seg = blob[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT, possibly several tables per segment
+            sp = 0
+            while sp < len(seg):
+                prec, tid = seg[sp] >> 4, seg[sp] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros((8, 8))
+                for k, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = seg[sp + 1 + k]
+                qtables[tid] = tbl
+                sp += 65
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended SOF
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp != 1:
+                raise ValueError(
+                    "color JPEG unsupported (baseline grayscale codec)"
+                )
+            if seg[7] != 0x11:
+                raise ValueError("subsampled grayscale is malformed")
+            dims = (h, w)
+            qsel = seg[8]
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG (SOF2) unsupported")
+        elif marker in (0xC9, 0xCA, 0xCB):
+            raise ValueError("arithmetic-coded JPEG unsupported")
+        elif marker == 0xC4:  # DHT, possibly several tables
+            sp = 0
+            while sp < len(seg):
+                cls, tid = seg[sp] >> 4, seg[sp] & 0xF
+                counts = list(seg[sp + 1 : sp + 17])
+                n = sum(counts)
+                vals = seg[sp + 17 : sp + 17 + n]
+                htables[(cls, tid)] = _build_dec(counts, vals)
+                sp += 17 + n
+        elif marker == 0xDD:
+            raise ValueError("restart intervals (DRI) unsupported")
+        elif marker == 0xDA:  # SOS
+            if dims is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            if ns != 1:
+                raise ValueError("multi-component scan unsupported")
+            dc_sel, ac_sel = seg[2] >> 4, seg[2] & 0xF
+            scan = blob[pos + 2 + seg_len :]
+            return _decode_scan(
+                scan,
+                dims,
+                qtables[qsel],
+                htables[(0, dc_sel)],
+                htables[(1, ac_sel)],
+            )
+        # APPn / COM / anything else with a length field: skip
+        pos += 2 + seg_len
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(
+    scan: bytes, dims: tuple[int, int], q: np.ndarray, dc_tab: dict, ac_tab: dict
+) -> np.ndarray:
+    h, w = dims
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((bh * 8, bw_ * 8))
+    br = _BitReader(scan)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            zz = [0] * 64
+            s = _huff_read(br, dc_tab)
+            diff = _extend(br.read(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _huff_read(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(br.read(size), size)
+                k += 1
+            coef = np.zeros((8, 8))
+            for kk, (r, c) in enumerate(ZIGZAG):
+                coef[r, c] = zz[kk]
+            block = _idct(coef * q) + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    return np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)

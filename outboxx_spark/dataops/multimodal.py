@@ -415,9 +415,11 @@ def real_image_decode(blob: bytes) -> np.ndarray:
     codec (`dataops/png.py` — stdlib zlib inflate + full five-filter
     unfilter, round-trip-certified in tests/test_png.py), with the ITU-R
     601 luma the same L-conversion pillow applies, so adding pillow
-    later does not change grayscale values. Non-PNG formats without
-    pillow raise NotImplementedError (a from-scratch JPEG entropy
-    decoder is out of scope; pip has no network route in this sandbox,
+    later does not change grayscale values — and baseline grayscale
+    JPEGs decode through `dataops/jpeg.py` (real Huffman entropy decode
+    + dequant + IDCT, DC-exact-certified by the mm_jpeg_stats oracle).
+    Only color/progressive JPEG still needs pillow; that residual gate
+    raises NotImplementedError (pip has no network route here,
     re-verified r10)."""
     blob = bytes(blob)
     if _pil_available():
@@ -439,9 +441,15 @@ def real_image_decode(blob: bytes) -> np.ndarray:
             rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114
         ) / 1000
         return luma.astype(np.uint8)
+    if blob[:2] == b"\xff\xd8":
+        from outboxx_spark.dataops.jpeg import decode_jpeg_gray
+
+        # grayscale baseline decodes for real; color/progressive
+        # fail-stop inside with their own distinct messages
+        return decode_jpeg_gray(blob)
     raise NotImplementedError(
-        "non-PNG pixel decode requires PIL/pillow, not present in this "
-        "container (pip has no network route here, re-verified r10)"
+        "pixel decode for this format requires PIL/pillow, not present "
+        "in this container (pip has no network route here, re-verified r10)"
     )
 
 
@@ -599,6 +607,95 @@ def image_dhash_groups(docs: DataFrame) -> DataFrame:
     return hashed.groupBy("dhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("exemplar")
     )
+
+
+# ---------------------------------------------------------------------------
+# Real-JPEG certification (r10): constant-8x8-block images survive the
+# baseline JPEG path (dataops/jpeg.py) BIT-EXACTLY at quantization 1 —
+# the FDCT of a constant block is DC-only and the DC quantizes to an
+# exact integer — so DuckDB recomputes whole-image pixel stats from
+# the block-generating formula with no image code. A green row
+# certifies header walk -> Huffman entropy decode (DC diffs across
+# every category + EOB per block) -> dequant -> IDCT end-to-end.
+# ---------------------------------------------------------------------------
+
+JPEG_BLOCK_MOD = 5  # block grid dims in 2..6 -> images 16x16..48x48
+
+
+def synth_real_jpegs(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): real baseline JPEGs of constant 8x8 blocks,
+    block[by, bx] = (doc_id*37 + by*11 + bx*5) mod 256 over a
+    doc_id-derived (bh, bw) grid; the per-block values differ, so the
+    entropy stream exercises DC-difference categories, not just one."""
+    from outboxx_spark.dataops.jpeg import encode_jpeg_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bh = 2 + (d % JPEG_BLOCK_MOD + JPEG_BLOCK_MOD) % JPEG_BLOCK_MOD
+                bw = 2 + (d * 3 % JPEG_BLOCK_MOD + JPEG_BLOCK_MOD) % JPEG_BLOCK_MOD
+                by, bx = np.mgrid[0:bh, 0:bw]
+                blocks = ((d * 37 + by * 11 + bx * 5) % 256).astype(np.uint8)
+                px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                blobs.append(encode_jpeg_gray(px, 1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id")
+        .repartition(par)
+        .mapInPandas(gen, "doc_id long, blob binary")
+    )
+
+
+def jpeg_pixel_stats(docs: DataFrame) -> DataFrame:
+    """Certification body: real JPEGs -> REAL entropy decode
+    (real_image_decode, pure codec) -> integer whole-image stats."""
+    jpegs = synth_real_jpegs(docs)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, b in zip(pdf["doc_id"], pdf["blob"]):
+                px = real_image_decode(bytes(b)).astype(np.int64)
+                rows.append(
+                    (int(d), px.size, int(px.sum()), int(px.min()), int(px.max()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_px", "pixsum", "pixmin", "pixmax"]
+            )
+
+    return jpegs.mapInPandas(
+        stats, "doc_id long, n_px long, pixsum long, pixmin long, pixmax long"
+    )
+
+
+# DuckDB mirror: every 8x8 block contributes 64 copies of its constant
+# value — stats recomputed from the block formula alone.
+MM_JPEG_STATS_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         2 + ((doc_id % {JPEG_BLOCK_MOD}) + {JPEG_BLOCK_MOD})
+             % {JPEG_BLOCK_MOD} AS bh,
+         2 + (((doc_id * 3) % {JPEG_BLOCK_MOD}) + {JPEG_BLOCK_MOD})
+             % {JPEG_BLOCK_MOD} AS bw
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, bh, bw, i // bw AS by, i % bw AS bx,
+         (((doc_id * 37 + (i // bw) * 11 + (i % bw) * 5) % 256) + 256) % 256 AS v
+  FROM (SELECT d.*, unnest(range(bh * bw)) AS i FROM dims d)
+)
+SELECT doc_id,
+       CAST(count(*) * 64 AS BIGINT) AS n_px,
+       CAST(sum(v) * 64 AS BIGINT) AS pixsum,
+       CAST(min(v) AS BIGINT) AS pixmin,
+       CAST(max(v) AS BIGINT) AS pixmax
+FROM blocks
+GROUP BY doc_id
+"""
 
 
 def _array_split_idx_sql(pos: str, length: str, k: int) -> str:

@@ -350,19 +350,22 @@ def test_frame_sample_shapes(spark):
     assert b"".join(r["frame"] for r in frames) == b"x" * 150
 
 
-def test_real_decode_gate_covers_only_non_png():
-    # r10: PNG pixel decode is ALWAYS available (pure-Python codec,
-    # dataops/png.py); the pillow gate now covers only non-PNG formats.
-    # A malformed PNG must be loud (PngError), not NotImplementedError.
+def test_real_decode_gate_covers_only_formats_without_a_codec():
+    # r10: PNG (dataops/png.py) and baseline JPEG (dataops/jpeg.py)
+    # pixel decode are ALWAYS available; the pillow gate covers only
+    # formats with no pure codec. Malformed blobs of a supported format
+    # must be loud (PngError / ValueError), never NotImplementedError.
     from outboxx_spark.dataops.multimodal import _pil_available
     from outboxx_spark.dataops.png import PngError
 
     if _pil_available():
         pytest.skip("pillow present; the gated-raise branch is unreachable")
-    with pytest.raises(NotImplementedError):
-        real_image_decode(b"\xff\xd8\xff\xe0 jpeg needs pillow")
+    with pytest.raises(ValueError):
+        real_image_decode(b"\xff\xd8\xff\xe0 truncated jpeg")
     with pytest.raises(PngError):
         real_image_decode(b"\x89PNG\r\n\x1a\n truncated")
+    with pytest.raises(NotImplementedError):
+        real_image_decode(b"GIF89a" + b"\x00" * 16)
 
 
 def test_pixel_decode_features_on_real_png(spark):

@@ -1,0 +1,184 @@
+"""Baseline JPEG codec (dataops/jpeg.py): round-trips, spec corners,
+fail-stop paths, and the decode integration in real_image_decode.
+
+The oracle gate (mm_jpeg_stats) certifies the DC-exact path
+end-to-end against DuckDB; these tests pin the entropy-coding
+internals and the lossy/general-content behavior the oracle's
+constant blocks cannot reach."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from outboxx_spark.dataops.jpeg import (
+    ZIGZAG,
+    _BitReader,
+    _BitWriter,
+    _category,
+    _extend,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+
+
+def _const_block_image(blocks: np.ndarray) -> np.ndarray:
+    return np.kron(blocks, np.ones((8, 8), dtype=np.uint8)).astype(np.uint8)
+
+
+def test_zigzag_is_a_full_permutation():
+    assert sorted(ZIGZAG) == [(r, c) for r in range(8) for c in range(8)]
+    # spec prefix: the first six entries of the scan
+    assert ZIGZAG[:6] == ((0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2))
+
+
+def test_constant_blocks_roundtrip_bit_exact_at_quant_1():
+    rng = np.random.default_rng(3)
+    px = _const_block_image(rng.integers(0, 256, size=(5, 3)))
+    out = decode_jpeg_gray(encode_jpeg_gray(px, 1))
+    assert (out == px).all()
+
+
+def test_extreme_dc_contrast_exercises_large_diff_categories():
+    # alternating 0/255 blocks: DC differences near the +-2040 extreme
+    blocks = np.indices((6, 6)).sum(axis=0) % 2 * 255
+    px = _const_block_image(blocks)
+    out = decode_jpeg_gray(encode_jpeg_gray(px, 1))
+    assert (out == px).all()
+
+
+def test_random_content_roundtrips_within_one_at_quant_1():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(37, 41)).astype(np.uint8)  # non-mult-of-8
+    out = decode_jpeg_gray(encode_jpeg_gray(px, 1))
+    assert out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+
+
+def test_custom_quant_table_is_honored_and_bounded():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(32, 32)).astype(np.uint8)
+    q = np.full((8, 8), 2)
+    q[0, 0] = 1  # keep DC near-exact, quantize AC coarser
+    out = decode_jpeg_gray(encode_jpeg_gray(px, q))
+    # worst-case reconstruction error is bounded by the quant energy:
+    # sum of per-coefficient errors <= sum(q)/2 spread over the block
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 1 + q.max()
+
+
+def test_smooth_content_compresses_below_raw():
+    y, x = np.mgrid[0:64, 0:64]
+    px = ((np.sin(x / 9) + np.sin(y / 7)) * 60 + 128).astype(np.uint8)
+    blob = encode_jpeg_gray(px, 16)
+    assert len(blob) < px.size // 2
+    err = np.abs(
+        decode_jpeg_gray(blob).astype(int) - px.astype(int)
+    ).mean()
+    assert err < 4.0
+
+
+def test_app_and_com_segments_are_skipped():
+    px = _const_block_image(np.array([[9, 200], [63, 17]]))
+    blob = encode_jpeg_gray(px, 1)
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    app1 = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+    patched = blob[:2] + app1 + com + blob[2:]
+    assert (decode_jpeg_gray(patched) == px).all()
+
+
+def test_header_sniffer_reads_our_dims():
+    from outboxx_spark.dataops.multimodal import parse_image_dims
+
+    px = _const_block_image(np.array([[1, 2, 3], [4, 5, 6]]))
+    assert parse_image_dims(encode_jpeg_gray(px, 1)) == ("image/jpeg", 24, 16)
+
+
+def test_real_image_decode_routes_jpeg_through_the_codec():
+    from outboxx_spark.dataops.multimodal import real_image_decode
+
+    px = _const_block_image(np.array([[200, 30], [90, 255]]))
+    assert (real_image_decode(encode_jpeg_gray(px, 1)) == px).all()
+
+
+# ---------------------------------------------------------------------------
+# fail-stop paths
+# ---------------------------------------------------------------------------
+
+
+def _patch_marker(blob: bytes, find: bytes, repl: bytes) -> bytes:
+    i = blob.index(find)
+    return blob[:i] + repl + blob[i + len(find) :]
+
+
+def test_progressive_and_arithmetic_fail_stop_distinctly():
+    blob = encode_jpeg_gray(_const_block_image(np.array([[7]])), 1)
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg_gray(_patch_marker(blob, b"\xff\xc0", b"\xff\xc2"))
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg_gray(_patch_marker(blob, b"\xff\xc0", b"\xff\xc9"))
+
+
+def test_color_fail_stops_with_pillow_hint():
+    blob = bytearray(encode_jpeg_gray(_const_block_image(np.array([[7]])), 1))
+    i = blob.index(b"\xff\xc0")
+    blob[i + 9] = 3  # ncomp byte of SOF0
+    with pytest.raises(ValueError, match="color"):
+        decode_jpeg_gray(bytes(blob))
+
+
+def test_truncated_entropy_stream_fail_stops():
+    blob = encode_jpeg_gray(
+        _const_block_image(np.arange(16, dtype=np.uint8).reshape(4, 4) * 16), 1
+    )
+    with pytest.raises(ValueError, match="truncated|Huffman"):
+        decode_jpeg_gray(blob[: len(blob) - 12])
+
+
+def test_not_a_jpeg_fail_stops():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_dri_fail_stops():
+    blob = encode_jpeg_gray(_const_block_image(np.array([[7]])), 1)
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
+    with pytest.raises(ValueError, match="DRI"):
+        decode_jpeg_gray(blob[:2] + dri + blob[2:])
+
+
+def test_encode_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="2-D"):
+        encode_jpeg_gray(np.zeros((4, 4, 3), dtype=np.uint8), 1)
+    with pytest.raises(ValueError, match="quant"):
+        encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8), 0)
+    with pytest.raises(ValueError, match="empty"):
+        encode_jpeg_gray(np.zeros((0, 8), dtype=np.uint8), 1)
+
+
+# ---------------------------------------------------------------------------
+# entropy-coding internals
+# ---------------------------------------------------------------------------
+
+
+def test_bit_writer_reader_roundtrip_with_ff_stuffing():
+    bw = _BitWriter()
+    vals = [(0xFF, 8), (0x3, 2), (0xFFFF, 16), (0x0, 1), (0x1FF, 9)]
+    for v, n in vals:
+        bw.write(v, n)
+    data = bw.flush()
+    assert b"\xff\x00" in data  # stuffing actually happened
+    br = _BitReader(data)
+    assert [(br.read(n)) for _, n in vals] == [v for v, _ in vals]
+
+
+def test_category_amplitude_extend_are_inverses():
+    from outboxx_spark.dataops.jpeg import _amplitude
+
+    for v in list(range(-2047, 2048, 97)) + [-2040, -1, 1, 2040]:
+        s = _category(v)
+        if v == 0:
+            assert s == 0
+            continue
+        assert _extend(_amplitude(v, s), s) == v

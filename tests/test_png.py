@@ -158,8 +158,13 @@ def test_real_image_decode_uses_pure_codec_without_pillow():
     lum = real_image_decode(encode_png(rgb))
     assert np.array_equal(lum, np.full((2, 2), 76, np.uint8))
     if not _pil_available():
-        with pytest.raises(NotImplementedError, match="pillow"):
+        # r10 tail: baseline JPEG decodes through dataops/jpeg.py now,
+        # so a malformed JPEG is LOUD (ValueError from the codec); the
+        # pillow gate covers only formats with no pure codec (e.g. GIF)
+        with pytest.raises(ValueError):
             real_image_decode(b"\xff\xd8\xff\xe0 fake jpeg")
+        with pytest.raises(NotImplementedError, match="pillow"):
+            real_image_decode(b"GIF89a" + b"\x00" * 16)
 
 
 def test_pixel_band_stats_match_generating_formula(spark):
