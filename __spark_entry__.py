@@ -50,6 +50,7 @@ from outboxx_spark.operators.tally import tally
 from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
 from outboxx_spark import integrity, olap, olap_tpch, olap_tpch_heavy, olap_tpch_rest
 from outboxx_spark.dataops import audio as audio_mod
+from outboxx_spark.dataops import linededup
 from outboxx_spark.dataops import semdedup
 from outboxx_spark.dataops import substring as substr_mod
 from outboxx_spark.operators.asof import asof_join, asof_join_sql
@@ -1414,6 +1415,12 @@ def q_mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_dhash_groups(read_table(spark, sf_dir, "documents"))
 
 
+def q_docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence-wins paragraph dedup (dataops/linededup.py):
+    duplicated segments survive only at their smallest (doc_id, pos)."""
+    return linededup.dedup_paragraphs(read_table(spark, sf_dir, "documents"))
+
+
 def q_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline JPEG decode certification (dataops/jpeg.py): real
     constant-block JPEGs -> real Huffman/IDCT decode -> integer stats
@@ -1461,6 +1468,8 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_decimate": audio_mod.planted_audio_decimate,
         # -- baseline JPEG entropy decode certification (dataops/jpeg.py)
         "mm_jpeg_stats": q_mm_jpeg_stats,
+        # -- Dolma-style first-occurrence-wins paragraph dedup
+        "docs_paragraph_dedup": q_docs_paragraph_dedup,
     }
 
 
@@ -1489,4 +1498,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "mm_audio_features": audio_mod.AUDIO_FEATURES_SQL,
         "mm_audio_decimate": audio_mod.AUDIO_DECIMATE_SQL(),
         "mm_jpeg_stats": mm.MM_JPEG_STATS_SQL,
+        "docs_paragraph_dedup": linededup.DEDUP_PARAGRAPHS_SQL(),
     }
