@@ -51,6 +51,7 @@ from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
 from outboxx_spark import integrity, olap, olap_tpch, olap_tpch_heavy, olap_tpch_rest
 from outboxx_spark.dataops import audio as audio_mod
 from outboxx_spark.dataops import linededup
+from outboxx_spark.operators import zorder
 from outboxx_spark.dataops import semdedup
 from outboxx_spark.dataops import substring as substr_mod
 from outboxx_spark.operators.asof import asof_join, asof_join_sql
@@ -1470,6 +1471,8 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_stats": q_mm_jpeg_stats,
         # -- Dolma-style first-occurrence-wins paragraph dedup
         "docs_paragraph_dedup": q_docs_paragraph_dedup,
+        # -- Z-order layout keys (OPTIMIZE ZORDER primitive)
+        "olap_zorder_layout": zorder.q_zorder_keys,
     }
 
 
@@ -1499,4 +1502,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "mm_audio_decimate": audio_mod.AUDIO_DECIMATE_SQL(),
         "mm_jpeg_stats": mm.MM_JPEG_STATS_SQL,
         "docs_paragraph_dedup": linededup.DEDUP_PARAGRAPHS_SQL(),
+        "olap_zorder_layout": zorder.ZORDER_KEYS_SQL(),
     }
