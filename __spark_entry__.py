@@ -1422,6 +1422,13 @@ def q_docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linededup.dedup_paragraphs(read_table(spark, sf_dir, "documents"))
 
 
+def q_mm_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color-JPEG decode certification: real 4:4:4 JPEGs -> full
+    three-component decode -> per-channel sums DuckDB recomputes from
+    the block formulas + integer color-space round trip."""
+    return mm.jpeg_color_stats(read_table(spark, sf_dir, "documents"))
+
+
 def q_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline JPEG decode certification (dataops/jpeg.py): real
     constant-block JPEGs -> real Huffman/IDCT decode -> integer stats
@@ -1473,6 +1480,9 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_paragraph_dedup": q_docs_paragraph_dedup,
         # -- Z-order layout keys (OPTIMIZE ZORDER primitive)
         "olap_zorder_layout": zorder.q_zorder_keys,
+        # -- 4:4:4 color JPEG certification (three entropy streams +
+        # integer YCbCr both ways)
+        "mm_jpeg_color_stats": q_mm_jpeg_color_stats,
     }
 
 
@@ -1503,4 +1513,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "mm_jpeg_stats": mm.MM_JPEG_STATS_SQL,
         "docs_paragraph_dedup": linededup.DEDUP_PARAGRAPHS_SQL(),
         "olap_zorder_layout": zorder.ZORDER_KEYS_SQL(),
+        "mm_jpeg_color_stats": mm.MM_JPEG_COLOR_STATS_SQL(),
     }

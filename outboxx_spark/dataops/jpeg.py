@@ -10,10 +10,18 @@ DHT/SOS/EOI), canonical Huffman entropy coding with 0xFF byte
 stuffing, zigzag ordering, uniform or custom quantization, and the
 8x8 type-II DCT pair in float64.
 
-Scope is explicit, not sniffed: color (multi-component) and
-progressive (SOF2) streams fail-stop with a distinct message — the
-honest gate narrows from "JPEG needs pillow" to "only color/
-progressive JPEG needs pillow".
+Scope is explicit, not sniffed: grayscale and 4:4:4 YCbCr color both
+decode for real; progressive (SOF2), arithmetic-coded, and
+chroma-subsampled streams fail-stop with distinct messages — the
+honest gate narrows from "JPEG needs pillow" to "only progressive or
+subsampled JPEG needs pillow".
+
+Color conversions are INTEGER-defined (scaled coefficients + floor
+division + clip to [0, 255]) so the DuckDB oracle mirrors them
+exactly. Floor-vs-truncate divergence on negative numerators cannot
+leak: encoder numerators are provably non-negative at every RGB
+input, and decoder numerators go negative only when the clip floors
+the result to 0 on both engines anyway.
 
 Exactness contract the certification oracle builds on: an image whose
 8x8 blocks are each CONSTANT survives encode->decode bit-exactly at
@@ -119,12 +127,117 @@ class _BitWriter:
         return bytes(self.out)
 
 
+def rgb_to_ycbcr_int(rgb: np.ndarray) -> np.ndarray:
+    """JFIF YCbCr in exact integer arithmetic (micro-unit scaling,
+    +half, floor divide, clip). Every numerator is non-negative for
+    any RGB in [0, 255], so floor == truncate on both engines."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    y = (299_000 * r + 587_000 * g + 114_000 * b + 500_000) // 1_000_000
+    cb = (128_000_000 - 168_736 * r - 331_264 * g + 500_000 * b + 500_000) // 1_000_000
+    cr = (128_000_000 + 500_000 * r - 418_688 * g - 81_312 * b + 500_000) // 1_000_000
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def ycbcr_to_rgb_int(ycc: np.ndarray) -> np.ndarray:
+    """Inverse JFIF transform, same integer discipline. Negative
+    numerators only occur where the clip lands on 0 either way."""
+    y = ycc[..., 0].astype(np.int64)
+    cb = ycc[..., 1].astype(np.int64) - 128
+    cr = ycc[..., 2].astype(np.int64) - 128
+    r = (1_000_000 * y + 1_402_000 * cr + 500_000) // 1_000_000
+    g = (1_000_000 * y - 344_136 * cb - 714_136 * cr + 500_000) // 1_000_000
+    b = (1_000_000 * y + 1_772_000 * cb + 500_000) // 1_000_000
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
 def _amplitude(v: int, s: int) -> int:
     return v if v >= 0 else v + (1 << s) - 1
+
+
+def _check_quant(quant: int | np.ndarray) -> np.ndarray:
+    q = np.full((8, 8), quant, dtype=np.float64) if np.isscalar(quant) else (
+        np.asarray(quant, dtype=np.float64)
+    )
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant table must be 8x8 with entries in [1, 255]")
+    return q
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, q: np.ndarray, prev_dc: int) -> int:
+    coef = np.rint(_fdct(block) / q).astype(np.int64)
+    zz = [int(coef[r, c]) for r, c in ZIGZAG]
+    diff = zz[0] - prev_dc
+    s = _category(diff)
+    code, n = _DC_ENC[s]
+    bw.write(code, n)
+    if s:
+        bw.write(_amplitude(diff, s), s)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, n = _AC_ENC[0xF0]  # ZRL
+            bw.write(code, n)
+            run -= 16
+        s = _category(v)
+        if s > 11:
+            raise ValueError("AC coefficient out of representable range")
+        code, n = _AC_ENC[(run << 4) | s]
+        bw.write(code, n)
+        bw.write(_amplitude(v, s), s)
+        run = 0
+    if last_nz < 63:
+        code, n = _AC_ENC[0x00]  # EOB
+        bw.write(code, n)
+    return zz[0]
+
+
+def _encode(planes: list[np.ndarray], qs: list[np.ndarray], qsel: list[int], h: int, w: int) -> bytes:
+    """Shared writer: ``planes`` are level-shifted float64 arrays of
+    identical padded dims (4:4:4 — one block per plane per MCU);
+    ``qsel[i]`` picks each component's quant table id."""
+    head = bytearray(b"\xff\xd8")  # SOI
+    for tid, q in enumerate(qs):
+        zz_q = bytes(int(q[r, c]) for r, c in ZIGZAG)
+        head += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz_q
+    ncomp = len(planes)
+    head += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        head += bytes([ci + 1, 0x11, qsel[ci]])
+    head += _dht_segment(0, 0, _DC_ENC, 4)
+    head += _dht_segment(1, 0, _AC_ENC, 8)
+    head += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        head += bytes([ci + 1, 0x00])
+    head += bytes([0, 63, 0])
+
+    bw = _BitWriter()
+    prev = [0] * ncomp
+    for by in range(planes[0].shape[0] // 8):
+        for bx in range(planes[0].shape[1] // 8):
+            for ci, plane in enumerate(planes):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                prev[ci] = _encode_block(bw, block, qs[qsel[ci]], prev[ci])
+    return bytes(head) + bw.flush() + b"\xff\xd9"
+
+
+def _padded_plane(px: np.ndarray) -> np.ndarray:
+    h, w = px.shape
+    return np.pad(
+        px.astype(np.float64), ((0, -h % 8), (0, -w % 8)), mode="edge"
+    ) - 128.0
 
 
 def encode_jpeg_gray(px: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
@@ -137,62 +250,27 @@ def encode_jpeg_gray(px: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
     h, w = px.shape
     if not h or not w:
         raise ValueError("empty image")
-    q = np.full((8, 8), quant, dtype=np.float64) if np.isscalar(quant) else (
-        np.asarray(quant, dtype=np.float64)
-    )
-    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
-        raise ValueError("quant table must be 8x8 with entries in [1, 255]")
-    ph, pw = -h % 8, -w % 8
-    img = np.pad(px.astype(np.float64), ((0, ph), (0, pw)), mode="edge") - 128.0
+    q = _check_quant(quant)
+    return _encode([_padded_plane(px)], [q], [0], h, w)
 
-    head = bytearray(b"\xff\xd8")  # SOI
-    zz_q = bytes(int(q[r, c]) for r, c in ZIGZAG)
-    head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q  # DQT id 0
-    head += (
-        b"\xff\xc0"
-        + struct.pack(">HBHHB", 11, 8, h, w, 1)
-        + bytes([1, 0x11, 0])  # component 1, 1x1 sampling, qtable 0
-    )
-    head += _dht_segment(0, 0, _DC_ENC, 4)
-    head += _dht_segment(1, 0, _AC_ENC, 8)
-    head += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
 
-    bw = _BitWriter()
-    prev_dc = 0
-    for by in range(img.shape[0] // 8):
-        for bx in range(img.shape[1] // 8):
-            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = np.rint(_fdct(block) / q).astype(np.int64)
-            zz = [int(coef[r, c]) for r, c in ZIGZAG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            s = _category(diff)
-            code, n = _DC_ENC[s]
-            bw.write(code, n)
-            if s:
-                bw.write(_amplitude(diff, s), s)
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, last_nz + 1):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, n = _AC_ENC[0xF0]  # ZRL
-                    bw.write(code, n)
-                    run -= 16
-                s = _category(v)
-                if s > 11:
-                    raise ValueError("AC coefficient out of representable range")
-                code, n = _AC_ENC[(run << 4) | s]
-                bw.write(code, n)
-                bw.write(_amplitude(v, s), s)
-                run = 0
-            if last_nz < 63:
-                code, n = _AC_ENC[0x00]  # EOB
-                bw.write(code, n)
-    return bytes(head) + bw.flush() + b"\xff\xd9"
+def encode_jpeg_color(
+    rgb: np.ndarray,
+    quant_y: int | np.ndarray = 1,
+    quant_c: int | np.ndarray = 1,
+) -> bytes:
+    """Encode a uint8 (H, W, 3) RGB array as baseline 4:4:4 JPEG:
+    integer JFIF YCbCr, luma quant table 0, chroma table 1,
+    interleaved Y/Cb/Cr MCUs."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("RGB (H, W, 3) array required")
+    h, w = rgb.shape[:2]
+    if not h or not w:
+        raise ValueError("empty image")
+    qy, qc = _check_quant(quant_y), _check_quant(quant_c)
+    ycc = rgb_to_ycbcr_int(rgb)
+    planes = [_padded_plane(ycc[..., i]) for i in range(3)]
+    return _encode(planes, [qy, qc], [0, 1, 1], h, w)
 
 
 # ---------------------------------------------------------------------------
@@ -259,19 +337,19 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg_gray(blob: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JPEG to uint8. Fail-stops with
-    distinct messages on progressive (SOF2), arithmetic coding,
-    multi-component scans, restart intervals, and malformed segments —
-    the pgoutput skip-vs-fail discipline: APPn/COM skip, structure
-    errors raise."""
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Decode a baseline JPEG: (H, W) uint8 for grayscale, (H, W, 3)
+    RGB uint8 for 4:4:4 YCbCr color. Fail-stops with distinct messages
+    on progressive (SOF2), arithmetic coding, chroma subsampling,
+    restart intervals, and malformed segments — the pgoutput
+    skip-vs-fail discipline: APPn/COM skip, structure errors raise."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     dims = None
-    qsel = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("marker desync")
@@ -295,14 +373,17 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
-            if ncomp != 1:
-                raise ValueError(
-                    "color JPEG unsupported (baseline grayscale codec)"
-                )
-            if seg[7] != 0x11:
-                raise ValueError("subsampled grayscale is malformed")
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component JPEG unsupported")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError(
+                        "chroma-subsampled JPEG unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, qid))
             dims = (h, w)
-            qsel = seg[8]
         elif marker == 0xC2:
             raise ValueError("progressive JPEG (SOF2) unsupported")
         elif marker in (0xC9, 0xCA, 0xCB):
@@ -322,54 +403,81 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
             if dims is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != 1:
-                raise ValueError("multi-component scan unsupported")
-            dc_sel, ac_sel = seg[2] >> 4, seg[2] & 0xF
+            if ns != len(comps):
+                raise ValueError("scan does not cover all frame components")
+            plan = []
+            by_id = dict(comps)
+            for si in range(ns):
+                cid, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
+                if cid not in by_id:
+                    raise ValueError("scan references unknown component")
+                plan.append(
+                    (
+                        qtables[by_id[cid]],
+                        htables[(0, tabs >> 4)],
+                        htables[(1, tabs & 0xF)],
+                    )
+                )
             scan = blob[pos + 2 + seg_len :]
-            return _decode_scan(
-                scan,
-                dims,
-                qtables[qsel],
-                htables[(0, dc_sel)],
-                htables[(1, ac_sel)],
-            )
+            planes = _decode_scan(scan, dims, plan)
+            if len(planes) == 1:
+                return planes[0]
+            return ycbcr_to_rgb_int(np.stack(planes, axis=-1))
         # APPn / COM / anything else with a length field: skip
         pos += 2 + seg_len
     raise ValueError("no SOS marker found")
 
 
+def decode_jpeg_gray(blob: bytes) -> np.ndarray:
+    """Grayscale view of any decodable JPEG: 1-component streams pass
+    through; color collapses via the ITU-R 601 integer luma — the same
+    L formula the PNG path and pillow's convert('L') apply."""
+    px = decode_jpeg(blob)
+    if px.ndim == 2:
+        return px
+    rgb = px.astype(np.int64)
+    return (
+        (rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114) // 1000
+    ).astype(np.uint8)
+
+
 def _decode_scan(
-    scan: bytes, dims: tuple[int, int], q: np.ndarray, dc_tab: dict, ac_tab: dict
-) -> np.ndarray:
+    scan: bytes,
+    dims: tuple[int, int],
+    plan: list[tuple[np.ndarray, dict, dict]],
+) -> list[np.ndarray]:
     h, w = dims
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    out = np.zeros((bh * 8, bw_ * 8))
+    planes = [np.zeros((bh * 8, bw_ * 8)) for _ in plan]
     br = _BitReader(scan)
-    prev_dc = 0
+    prev = [0] * len(plan)
     for by in range(bh):
         for bx in range(bw_):
-            zz = [0] * 64
-            s = _huff_read(br, dc_tab)
-            diff = _extend(br.read(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _huff_read(br, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(br.read(size), size)
-                k += 1
-            coef = np.zeros((8, 8))
-            for kk, (r, c) in enumerate(ZIGZAG):
-                coef[r, c] = zz[kk]
-            block = _idct(coef * q) + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    return np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
+            for ci, (q, dc_tab, ac_tab) in enumerate(plan):
+                zz = [0] * 64
+                s = _huff_read(br, dc_tab)
+                diff = _extend(br.read(s), s) if s else 0
+                prev[ci] += diff
+                zz[0] = prev[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_read(br, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(br.read(size), size)
+                    k += 1
+                coef = np.zeros((8, 8))
+                for kk, (r, c) in enumerate(ZIGZAG):
+                    coef[r, c] = zz[kk]
+                block = _idct(coef * q) + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    return [
+        np.clip(np.rint(p[:h, :w]), 0, 255).astype(np.uint8) for p in planes
+    ]

@@ -415,12 +415,13 @@ def real_image_decode(blob: bytes) -> np.ndarray:
     codec (`dataops/png.py` — stdlib zlib inflate + full five-filter
     unfilter, round-trip-certified in tests/test_png.py), with the ITU-R
     601 luma the same L-conversion pillow applies, so adding pillow
-    later does not change grayscale values — and baseline grayscale
-    JPEGs decode through `dataops/jpeg.py` (real Huffman entropy decode
-    + dequant + IDCT, DC-exact-certified by the mm_jpeg_stats oracle).
-    Only color/progressive JPEG still needs pillow; that residual gate
-    raises NotImplementedError (pip has no network route here,
-    re-verified r10)."""
+    later does not change grayscale values — and baseline JPEGs
+    (grayscale AND 4:4:4 color) decode through `dataops/jpeg.py` (real
+    Huffman entropy decode + dequant + IDCT + integer YCbCr,
+    DC-exact-certified by the mm_jpeg_stats / mm_jpeg_color_stats
+    oracles). Only progressive or chroma-subsampled JPEG and GIF still
+    need pillow; that residual gate raises NotImplementedError (pip
+    has no network route here, re-verified r10)."""
     blob = bytes(blob)
     if _pil_available():
         import io
@@ -444,8 +445,8 @@ def real_image_decode(blob: bytes) -> np.ndarray:
     if blob[:2] == b"\xff\xd8":
         from outboxx_spark.dataops.jpeg import decode_jpeg_gray
 
-        # grayscale baseline decodes for real; color/progressive
-        # fail-stop inside with their own distinct messages
+        # baseline grayscale and 4:4:4 color decode for real;
+        # progressive/subsampled fail-stop inside with distinct messages
         return decode_jpeg_gray(blob)
     raise NotImplementedError(
         "pixel decode for this format requires PIL/pillow, not present "
@@ -670,6 +671,110 @@ def jpeg_pixel_stats(docs: DataFrame) -> DataFrame:
     return jpegs.mapInPandas(
         stats, "doc_id long, n_px long, pixsum long, pixmin long, pixmax long"
     )
+
+
+def synth_real_color_jpegs(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): real baseline 4:4:4 COLOR JPEGs of constant 8x8
+    blocks; per-channel block values from independent doc_id formulas
+    so the three entropy-coded components carry different streams."""
+    from outboxx_spark.dataops.jpeg import encode_jpeg_color
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bh = 2 + (d % JPEG_BLOCK_MOD + JPEG_BLOCK_MOD) % JPEG_BLOCK_MOD
+                bw = 2 + (d * 3 % JPEG_BLOCK_MOD + JPEG_BLOCK_MOD) % JPEG_BLOCK_MOD
+                by, bx = np.mgrid[0:bh, 0:bw]
+                r = (d * 37 + by * 11 + bx * 5) % 256
+                g = (d * 53 + by * 17 + bx * 7) % 256
+                b = (d * 71 + by * 23 + bx * 3) % 256
+                blocks = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                rgb = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                blobs.append(encode_jpeg_color(rgb, 1, 1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id")
+        .repartition(par)
+        .mapInPandas(gen, "doc_id long, blob binary")
+    )
+
+
+def jpeg_color_stats(docs: DataFrame) -> DataFrame:
+    """Color certification body: real color JPEGs -> full decode
+    (three entropy streams, integer YCbCr both ways) -> per-channel
+    integer sums. The decoded image equals the pure color-space
+    double-conversion of the source (the codec itself is transparent
+    on constant blocks), which DuckDB recomputes arithmetically."""
+    from outboxx_spark.dataops.jpeg import decode_jpeg
+
+    jpegs = synth_real_color_jpegs(docs)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, bb in zip(pdf["doc_id"], pdf["blob"]):
+                px = decode_jpeg(bytes(bb)).astype(np.int64)
+                rows.append(
+                    (
+                        int(d),
+                        int(px[..., 0].sum()),
+                        int(px[..., 1].sum()),
+                        int(px[..., 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "sum_r", "sum_g", "sum_b"])
+
+    return jpegs.mapInPandas(
+        stats, "doc_id long, sum_r long, sum_g long, sum_b long"
+    )
+
+
+def _ycc_rt_sql() -> tuple[str, str, str]:
+    """DuckDB mirror of rgb_to_ycbcr_int -> ycbcr_to_rgb_int on block
+    constants (r, g, b). Floor-vs-truncate on negative numerators is
+    clip-rescued (jpeg.py module docstring)."""
+    clip = lambda e: f"LEAST(255, GREATEST(0, {e}))"  # noqa: E731
+    y = clip("(299000*r + 587000*g + 114000*b + 500000) // 1000000")
+    cb = clip("(128000000 - 168736*r - 331264*g + 500000*b + 500000) // 1000000")
+    cr = clip("(128000000 + 500000*r - 418688*g - 81312*b + 500000) // 1000000")
+    r2 = clip(f"(1000000*({y}) + 1402000*(({cr}) - 128) + 500000) // 1000000")
+    g2 = clip(
+        f"(1000000*({y}) - 344136*(({cb}) - 128) - 714136*(({cr}) - 128)"
+        " + 500000) // 1000000"
+    )
+    b2 = clip(f"(1000000*({y}) + 1772000*(({cb}) - 128) + 500000) // 1000000")
+    return r2, g2, b2
+
+
+def MM_JPEG_COLOR_STATS_SQL() -> str:
+    r2, g2, b2 = _ycc_rt_sql()
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         2 + ((doc_id % {JPEG_BLOCK_MOD}) + {JPEG_BLOCK_MOD})
+             % {JPEG_BLOCK_MOD} AS bh,
+         2 + (((doc_id * 3) % {JPEG_BLOCK_MOD}) + {JPEG_BLOCK_MOD})
+             % {JPEG_BLOCK_MOD} AS bw
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id,
+         (((doc_id * 37 + (i // bw) * 11 + (i % bw) * 5) % 256) + 256) % 256 AS r,
+         (((doc_id * 53 + (i // bw) * 17 + (i % bw) * 7) % 256) + 256) % 256 AS g,
+         (((doc_id * 71 + (i // bw) * 23 + (i % bw) * 3) % 256) + 256) % 256 AS b
+  FROM (SELECT d.*, unnest(range(bh * bw)) AS i FROM dims d)
+)
+SELECT doc_id,
+       CAST(sum(({r2}) * 64) AS BIGINT) AS sum_r,
+       CAST(sum(({g2}) * 64) AS BIGINT) AS sum_g,
+       CAST(sum(({b2}) * 64) AS BIGINT) AS sum_b
+FROM blocks
+GROUP BY doc_id
+"""
 
 
 # DuckDB mirror: every 8x8 block contributes 64 copies of its constant

@@ -19,8 +19,12 @@ from outboxx_spark.dataops.jpeg import (
     _BitWriter,
     _category,
     _extend,
+    decode_jpeg,
     decode_jpeg_gray,
+    encode_jpeg_color,
     encode_jpeg_gray,
+    rgb_to_ycbcr_int,
+    ycbcr_to_rgb_int,
 )
 
 
@@ -120,12 +124,82 @@ def test_progressive_and_arithmetic_fail_stop_distinctly():
         decode_jpeg_gray(_patch_marker(blob, b"\xff\xc0", b"\xff\xc9"))
 
 
-def test_color_fail_stops_with_pillow_hint():
+def test_unsupported_component_count_fail_stops():
     blob = bytearray(encode_jpeg_gray(_const_block_image(np.array([[7]])), 1))
     i = blob.index(b"\xff\xc0")
-    blob[i + 9] = 3  # ncomp byte of SOF0
-    with pytest.raises(ValueError, match="color"):
+    blob[i + 9] = 2  # ncomp byte of SOF0: only 1 and 3 are supported
+    with pytest.raises(ValueError, match="2-component"):
         decode_jpeg_gray(bytes(blob))
+
+
+def test_subsampled_color_fail_stops():
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    blob = bytearray(encode_jpeg_color(rgb))
+    i = blob.index(b"\xff\xc0")
+    blob[i + 11] = 0x22  # Y sampling factor -> 4:2:0
+    with pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# color path
+# ---------------------------------------------------------------------------
+
+
+def _const_color_image(blocks: np.ndarray) -> np.ndarray:
+    return np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+
+
+def test_color_constant_blocks_equal_the_pure_colorspace_roundtrip():
+    rng = np.random.default_rng(21)
+    rgb = _const_color_image(rng.integers(0, 256, size=(4, 3, 3)))
+    out = decode_jpeg(encode_jpeg_color(rgb, 1, 1))
+    want = ycbcr_to_rgb_int(rgb_to_ycbcr_int(rgb))
+    assert (out == want).all()
+    # and the color-space round trip itself is within the JFIF bound
+    assert np.abs(want.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_color_random_content_stays_near_the_colorspace_roundtrip():
+    rng = np.random.default_rng(22)
+    rgb = rng.integers(0, 256, size=(21, 17, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_color(rgb, 1, 1))
+    want = ycbcr_to_rgb_int(rgb_to_ycbcr_int(rgb))
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 4
+
+
+def test_color_uses_separate_chroma_quant_table():
+    y, x = np.mgrid[0:32, 0:32]
+    rgb = np.stack([(x * 8) % 256, (y * 8) % 256, ((x + y) * 4) % 256], axis=-1)
+    rgb = rgb.astype(np.uint8)
+    fine = len(encode_jpeg_color(rgb, 1, 1))
+    coarse = len(encode_jpeg_color(rgb, 1, 32))
+    assert coarse < fine  # chroma table actually quantizes the chroma
+
+
+def test_gray_view_of_color_is_itu601_luma():
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[..., 0] = 255  # pure red
+    g = decode_jpeg_gray(encode_jpeg_color(rgb, 1, 1))
+    want = ycbcr_to_rgb_int(rgb_to_ycbcr_int(rgb)).astype(np.int64)
+    luma = (want[..., 0] * 299 + want[..., 1] * 587 + want[..., 2] * 114) // 1000
+    assert (g == luma.astype(np.uint8)).all()
+
+
+def test_encoder_numerators_nonnegative_over_rgb_extremes():
+    # the floor-vs-truncate safety argument rests on this invariant
+    corners = np.array(
+        [[r, g, b] for r in (0, 255) for g in (0, 255) for b in (0, 255)],
+        dtype=np.int64,
+    )
+    r, g, b = corners[:, 0], corners[:, 1], corners[:, 2]
+    assert (299_000 * r + 587_000 * g + 114_000 * b + 500_000).min() >= 0
+    assert (
+        128_000_000 - 168_736 * r - 331_264 * g + 500_000 * b + 500_000
+    ).min() >= 0
+    assert (
+        128_000_000 + 500_000 * r - 418_688 * g - 81_312 * b + 500_000
+    ).min() >= 0
 
 
 def test_truncated_entropy_stream_fail_stops():
