@@ -1422,6 +1422,13 @@ def q_docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linededup.dedup_paragraphs(read_table(spark, sf_dir, "documents"))
 
 
+def q_mm_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode certification: real LZW streams (interlace by doc
+    parity) -> lossless decode -> stats DuckDB recomputes from the
+    pixel formula."""
+    return mm.gif_pixel_stats(read_table(spark, sf_dir, "documents"))
+
+
 def q_mm_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Color-JPEG decode certification: real 4:4:4 JPEGs -> full
     three-component decode -> per-channel sums DuckDB recomputes from
@@ -1483,6 +1490,8 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 4:4:4 color JPEG certification (three entropy streams +
         # integer YCbCr both ways)
         "mm_jpeg_color_stats": q_mm_jpeg_color_stats,
+        # -- GIF LZW decode certification (lossless round trip)
+        "mm_gif_stats": q_mm_gif_stats,
     }
 
 
@@ -1514,4 +1523,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "docs_paragraph_dedup": linededup.DEDUP_PARAGRAPHS_SQL(),
         "olap_zorder_layout": zorder.ZORDER_KEYS_SQL(),
         "mm_jpeg_color_stats": mm.MM_JPEG_COLOR_STATS_SQL(),
+        "mm_gif_stats": mm.MM_GIF_STATS_SQL,
     }

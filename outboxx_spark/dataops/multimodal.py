@@ -448,6 +448,15 @@ def real_image_decode(blob: bytes) -> np.ndarray:
         # baseline grayscale and 4:4:4 color decode for real;
         # progressive/subsampled fail-stop inside with distinct messages
         return decode_jpeg_gray(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a") or blob[:2] == b"BM":
+        from outboxx_spark.dataops.gif import decode_bmp, decode_gif
+
+        rgb = (decode_gif if blob[:2] == b"GI" else decode_bmp)(blob)
+        rgb64 = rgb.astype(np.int64)
+        return (
+            (rgb64[..., 0] * 299 + rgb64[..., 1] * 587 + rgb64[..., 2] * 114)
+            // 1000
+        ).astype(np.uint8)
     raise NotImplementedError(
         "pixel decode for this format requires PIL/pillow, not present "
         "in this container (pip has no network route here, re-verified r10)"
@@ -671,6 +680,86 @@ def jpeg_pixel_stats(docs: DataFrame) -> DataFrame:
     return jpegs.mapInPandas(
         stats, "doc_id long, n_px long, pixsum long, pixmin long, pixmax long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real-GIF certification (r10 tail): GIF is LOSSLESS, so the formula
+# pixels survive LZW compress -> sub-block chain -> LZW decode ->
+# palette lookup bit-exactly — no DC-only trick needed. Interlace
+# alternates by doc_id so both row orders earn the green row. The
+# identity grayscale palette makes luma == index == formula value.
+# ---------------------------------------------------------------------------
+
+
+def synth_real_gifs(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): real GIF89a blobs, pixel[y, x] = (doc_id*31 +
+    y*7 + x*13) mod 256 over the PNG corpus's dims, interlaced when
+    doc_id is odd."""
+    from outboxx_spark.dataops.gif import encode_gif_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 16 + (d % PNG_DIM_MOD + PNG_DIM_MOD) % PNG_DIM_MOD
+                h = 16 + (d * 3 % PNG_DIM_MOD + PNG_DIM_MOD) % PNG_DIM_MOD
+                y, x = np.mgrid[0:h, 0:w]
+                px = ((d * 31 + y * 7 + x * 13) % 256).astype(np.uint8)
+                blobs.append(encode_gif_gray(px, interlace=bool(d % 2)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id")
+        .repartition(par)
+        .mapInPandas(gen, "doc_id long, blob binary")
+    )
+
+
+def gif_pixel_stats(docs: DataFrame) -> DataFrame:
+    """GIF certification body: real GIFs -> real LZW decode (via
+    real_image_decode's luma path over the identity palette) ->
+    integer whole-image stats."""
+    gifs = synth_real_gifs(docs)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, b in zip(pdf["doc_id"], pdf["blob"]):
+                px = real_image_decode(bytes(b)).astype(np.int64)
+                rows.append(
+                    (int(d), px.size, int(px.sum()), int(px.min()), int(px.max()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_px", "pixsum", "pixmin", "pixmax"]
+            )
+
+    return gifs.mapInPandas(
+        stats, "doc_id long, n_px long, pixsum long, pixmin long, pixmax long"
+    )
+
+
+MM_GIF_STATS_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         16 + ((doc_id % {PNG_DIM_MOD}) + {PNG_DIM_MOD}) % {PNG_DIM_MOD} AS w,
+         16 + (((doc_id * 3) % {PNG_DIM_MOD}) + {PNG_DIM_MOD}) % {PNG_DIM_MOD} AS h
+  FROM documents
+),
+vals AS (
+  SELECT doc_id,
+         (((doc_id * 31 + (i // w) * 7 + (i % w) * 13) % 256) + 256) % 256 AS b
+  FROM (SELECT d.*, unnest(range(w * h)) AS i FROM dims d)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(b) AS BIGINT) AS pixsum,
+       CAST(min(b) AS BIGINT) AS pixmin,
+       CAST(max(b) AS BIGINT) AS pixmax
+FROM vals
+GROUP BY doc_id
+"""
 
 
 def synth_real_color_jpegs(docs: DataFrame) -> DataFrame:

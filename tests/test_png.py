@@ -164,7 +164,7 @@ def test_real_image_decode_uses_pure_codec_without_pillow():
         with pytest.raises(ValueError):
             real_image_decode(b"\xff\xd8\xff\xe0 fake jpeg")
         with pytest.raises(NotImplementedError, match="pillow"):
-            real_image_decode(b"GIF89a" + b"\x00" * 16)
+            real_image_decode(b"II*\x00 tiff has no pure codec here")
 
 
 def test_pixel_band_stats_match_generating_formula(spark):
