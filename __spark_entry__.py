@@ -1422,6 +1422,12 @@ def q_docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linededup.dedup_paragraphs(read_table(spark, sf_dir, "documents"))
 
 
+def q_mm_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 JPEG decode certification: constant-macroblock subsampled
+    streams -> full MCU-interleaved decode -> per-channel sums."""
+    return mm.jpeg420_stats(read_table(spark, sf_dir, "documents"))
+
+
 def q_mm_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIF decode certification: real LZW streams (interlace by doc
     parity) -> lossless decode -> stats DuckDB recomputes from the
@@ -1492,6 +1498,8 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_color_stats": q_mm_jpeg_color_stats,
         # -- GIF LZW decode certification (lossless round trip)
         "mm_gif_stats": q_mm_gif_stats,
+        # -- 4:2:0 subsampled JPEG certification
+        "mm_jpeg420_stats": q_mm_jpeg420_stats,
     }
 
 
@@ -1524,4 +1532,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "olap_zorder_layout": zorder.ZORDER_KEYS_SQL(),
         "mm_jpeg_color_stats": mm.MM_JPEG_COLOR_STATS_SQL(),
         "mm_gif_stats": mm.MM_GIF_STATS_SQL,
+        "mm_jpeg420_stats": mm.MM_JPEG_420_STATS_SQL(),
     }

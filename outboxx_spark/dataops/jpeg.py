@@ -204,18 +204,24 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, q: np.ndarray, prev_dc: int
     return zz[0]
 
 
-def _encode(planes: list[np.ndarray], qs: list[np.ndarray], qsel: list[int], h: int, w: int) -> bytes:
-    """Shared writer: ``planes`` are level-shifted float64 arrays of
-    identical padded dims (4:4:4 — one block per plane per MCU);
-    ``qsel[i]`` picks each component's quant table id."""
+def _encode(
+    comps: list[tuple[np.ndarray, int, int, int]],
+    qs: list[np.ndarray],
+    h: int,
+    w: int,
+) -> bytes:
+    """Shared writer. ``comps`` = (plane, hi, vi, qsel) per component:
+    level-shifted float64 planes already padded so each holds exactly
+    hi x vi blocks per MCU; MCUs interleave in component order with
+    hi*vi raster-ordered blocks each (the baseline interleave rule)."""
     head = bytearray(b"\xff\xd8")  # SOI
     for tid, q in enumerate(qs):
         zz_q = bytes(int(q[r, c]) for r, c in ZIGZAG)
         head += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz_q
-    ncomp = len(planes)
+    ncomp = len(comps)
     head += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for ci in range(ncomp):
-        head += bytes([ci + 1, 0x11, qsel[ci]])
+    for ci, (_, hi, vi, qsel) in enumerate(comps):
+        head += bytes([ci + 1, (hi << 4) | vi, qsel])
     head += _dht_segment(0, 0, _DC_ENC, 4)
     head += _dht_segment(1, 0, _AC_ENC, 8)
     head += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
@@ -223,13 +229,22 @@ def _encode(planes: list[np.ndarray], qs: list[np.ndarray], qsel: list[int], h: 
         head += bytes([ci + 1, 0x00])
     head += bytes([0, 63, 0])
 
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    plane0 = comps[0][0]
+    mcuy = plane0.shape[0] // (8 * comps[0][2]) if comps[0][2] else 0
+    mcux = plane0.shape[1] // (8 * comps[0][1]) if comps[0][1] else 0
     bw = _BitWriter()
     prev = [0] * ncomp
-    for by in range(planes[0].shape[0] // 8):
-        for bx in range(planes[0].shape[1] // 8):
-            for ci, plane in enumerate(planes):
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                prev[ci] = _encode_block(bw, block, qs[qsel[ci]], prev[ci])
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (plane, hi, vi, qsel) in enumerate(comps):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8]
+                        prev[ci] = _encode_block(bw, block, qs[qsel], prev[ci])
     return bytes(head) + bw.flush() + b"\xff\xd9"
 
 
@@ -251,17 +266,21 @@ def encode_jpeg_gray(px: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
     if not h or not w:
         raise ValueError("empty image")
     q = _check_quant(quant)
-    return _encode([_padded_plane(px)], [q], [0], h, w)
+    return _encode([(_padded_plane(px), 1, 1, 0)], [q], h, w)
 
 
 def encode_jpeg_color(
     rgb: np.ndarray,
     quant_y: int | np.ndarray = 1,
     quant_c: int | np.ndarray = 1,
+    subsample: bool = False,
 ) -> bytes:
-    """Encode a uint8 (H, W, 3) RGB array as baseline 4:4:4 JPEG:
-    integer JFIF YCbCr, luma quant table 0, chroma table 1,
-    interleaved Y/Cb/Cr MCUs."""
+    """Encode a uint8 (H, W, 3) RGB array as baseline JPEG: integer
+    JFIF YCbCr, luma quant table 0, chroma table 1. ``subsample=True``
+    emits 4:2:0 — chroma reduced by an exact 2x2 integer mean
+    ``(a+b+c+d+2)//4`` over a 16-aligned edge-padded frame, the
+    deterministic counterpart of the decoder's nearest-neighbor
+    upsample (constant macroblocks round-trip bit-exactly)."""
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("RGB (H, W, 3) array required")
     h, w = rgb.shape[:2]
@@ -269,8 +288,19 @@ def encode_jpeg_color(
         raise ValueError("empty image")
     qy, qc = _check_quant(quant_y), _check_quant(quant_c)
     ycc = rgb_to_ycbcr_int(rgb)
-    planes = [_padded_plane(ycc[..., i]) for i in range(3)]
-    return _encode(planes, [qy, qc], [0, 1, 1], h, w)
+    if not subsample:
+        comps = [(_padded_plane(ycc[..., i]), 1, 1, 0 if i == 0 else 1) for i in range(3)]
+        return _encode(comps, [qy, qc], h, w)
+    pad = [(0, -h % 16), (0, -w % 16)]
+    planes16 = [
+        np.pad(ycc[..., i].astype(np.int64), pad, mode="edge") for i in range(3)
+    ]
+    y_plane = planes16[0].astype(np.float64) - 128.0
+    comps = [(y_plane, 2, 2, 0)]
+    for p in planes16[1:]:
+        sub = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) // 4
+        comps.append((sub.astype(np.float64) - 128.0, 1, 1, 1))
+    return _encode(comps, [qy, qc], h, w)
 
 
 # ---------------------------------------------------------------------------
@@ -378,11 +408,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError(
-                        "chroma-subsampled JPEG unsupported (4:4:4 only)"
-                    )
-                comps.append((cid, qid))
+                comps.append((cid, qid, samp >> 4, samp & 0xF))
+            samps = [(hi, vi) for _, _, hi, vi in comps]
+            if not (
+                all(s == (1, 1) for s in samps)
+                or (ncomp == 3 and samps == [(2, 2), (1, 1), (1, 1)])
+            ):
+                raise ValueError(
+                    "unsupported chroma subsampling (4:4:4 and 4:2:0 only)"
+                )
             dims = (h, w)
         elif marker == 0xC2:
             raise ValueError("progressive JPEG (SOF2) unsupported")
@@ -406,16 +440,19 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             if ns != len(comps):
                 raise ValueError("scan does not cover all frame components")
             plan = []
-            by_id = dict(comps)
+            by_id = {cid: (qid, hi, vi) for cid, qid, hi, vi in comps}
             for si in range(ns):
                 cid, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
                 if cid not in by_id:
                     raise ValueError("scan references unknown component")
+                qid, hi, vi = by_id[cid]
                 plan.append(
                     (
-                        qtables[by_id[cid]],
+                        qtables[qid],
                         htables[(0, tabs >> 4)],
                         htables[(1, tabs & 0xF)],
+                        hi,
+                        vi,
                     )
                 )
             scan = blob[pos + 2 + seg_len :]
@@ -441,43 +478,65 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
     ).astype(np.uint8)
 
 
+def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict, prev_dc: int):
+    zz = [0] * 64
+    s = _huff_read(br, dc_tab)
+    diff = _extend(br.read(s), s) if s else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = _huff_read(br, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0xF
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(br.read(size), size)
+        k += 1
+    coef = np.zeros((8, 8))
+    for kk, (r, c) in enumerate(ZIGZAG):
+        coef[r, c] = zz[kk]
+    return coef, dc
+
+
 def _decode_scan(
     scan: bytes,
     dims: tuple[int, int],
-    plan: list[tuple[np.ndarray, dict, dict]],
+    plan: list[tuple[np.ndarray, dict, dict, int, int]],
 ) -> list[np.ndarray]:
     h, w = dims
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bw_ * 8)) for _ in plan]
+    hmax = max(p[3] for p in plan)
+    vmax = max(p[4] for p in plan)
+    mcu_h, mcu_w = 8 * vmax, 8 * hmax
+    mcuy, mcux = (h + mcu_h - 1) // mcu_h, (w + mcu_w - 1) // mcu_w
+    # per-component plane at ITS resolution (hi/hmax of full)
+    planes = [
+        np.zeros((mcuy * 8 * vi, mcux * 8 * hi)) for (_, _, _, hi, vi) in plan
+    ]
     br = _BitReader(scan)
     prev = [0] * len(plan)
-    for by in range(bh):
-        for bx in range(bw_):
-            for ci, (q, dc_tab, ac_tab) in enumerate(plan):
-                zz = [0] * 64
-                s = _huff_read(br, dc_tab)
-                diff = _extend(br.read(s), s) if s else 0
-                prev[ci] += diff
-                zz[0] = prev[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_read(br, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(br.read(size), size)
-                    k += 1
-                coef = np.zeros((8, 8))
-                for kk, (r, c) in enumerate(ZIGZAG):
-                    coef[r, c] = zz[kk]
-                block = _idct(coef * q) + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    return [
-        np.clip(np.rint(p[:h, :w]), 0, 255).astype(np.uint8) for p in planes
-    ]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (q, dc_tab, ac_tab, hi, vi) in enumerate(plan):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        coef, prev[ci] = _decode_block(
+                            br, dc_tab, ac_tab, prev[ci]
+                        )
+                        block = _idct(coef * q) + 128.0
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    out = []
+    for p, (_, _, _, hi, vi) in zip(planes, plan):
+        if hi != hmax or vi != vmax:
+            # nearest-neighbor chroma upsample: deterministic, integer-
+            # preserving (the property the 4:2:0 certification uses)
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out.append(np.clip(np.rint(p[:h, :w]), 0, 255).astype(np.uint8))
+    return out

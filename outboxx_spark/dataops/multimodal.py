@@ -415,13 +415,16 @@ def real_image_decode(blob: bytes) -> np.ndarray:
     codec (`dataops/png.py` — stdlib zlib inflate + full five-filter
     unfilter, round-trip-certified in tests/test_png.py), with the ITU-R
     601 luma the same L-conversion pillow applies, so adding pillow
-    later does not change grayscale values — and baseline JPEGs
-    (grayscale AND 4:4:4 color) decode through `dataops/jpeg.py` (real
-    Huffman entropy decode + dequant + IDCT + integer YCbCr,
-    DC-exact-certified by the mm_jpeg_stats / mm_jpeg_color_stats
-    oracles). Only progressive or chroma-subsampled JPEG and GIF still
-    need pillow; that residual gate raises NotImplementedError (pip
-    has no network route here, re-verified r10)."""
+    later does not change grayscale values — baseline JPEGs (gray,
+    4:4:4 color, AND 4:2:0 subsampled) decode through
+    `dataops/jpeg.py` (real Huffman entropy decode + dequant + IDCT +
+    integer YCbCr, DC-exact-certified by the mm_jpeg_stats /
+    mm_jpeg_color_stats / mm_jpeg420_stats oracles), and GIF/BMP
+    decode through `dataops/gif.py` (real LZW; mm_gif_stats). The
+    residual pillow gate is progressive JPEG and exotic subsampling
+    (4:2:2/4:1:1) plus formats with no sniffer entry; it raises
+    NotImplementedError (pip has no network route here, re-verified
+    r10)."""
     blob = bytes(blob)
     if _pil_available():
         import io
@@ -861,6 +864,94 @@ SELECT doc_id,
        CAST(sum(({r2}) * 64) AS BIGINT) AS sum_r,
        CAST(sum(({g2}) * 64) AS BIGINT) AS sum_g,
        CAST(sum(({b2}) * 64) AS BIGINT) AS sum_b
+FROM blocks
+GROUP BY doc_id
+"""
+
+
+def synth_real_jpegs_420(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): real 4:2:0 color JPEGs of constant 16x16
+    MACROBLOCKS (constant across each full MCU, so the 2x2 chroma
+    mean is the constant itself and the subsampled round trip is
+    bit-exact); same per-channel formulas as the 4:4:4 corpus."""
+    from outboxx_spark.dataops.jpeg import encode_jpeg_color
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bh = 2 + (d % JPEG_BLOCK_MOD + JPEG_BLOCK_MOD) % JPEG_BLOCK_MOD
+                bw = 2 + (d * 3 % JPEG_BLOCK_MOD + JPEG_BLOCK_MOD) % JPEG_BLOCK_MOD
+                by, bx = np.mgrid[0:bh, 0:bw]
+                r = (d * 37 + by * 11 + bx * 5) % 256
+                g = (d * 53 + by * 17 + bx * 7) % 256
+                b = (d * 71 + by * 23 + bx * 3) % 256
+                blocks = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                rgb = np.repeat(np.repeat(blocks, 16, axis=0), 16, axis=1)
+                blobs.append(encode_jpeg_color(rgb, 1, 1, subsample=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id")
+        .repartition(par)
+        .mapInPandas(gen, "doc_id long, blob binary")
+    )
+
+
+def jpeg420_stats(docs: DataFrame) -> DataFrame:
+    """4:2:0 certification body: subsampled encode -> full decode
+    (4-Y-blocks-per-MCU interleave, chroma mean down, nearest-neighbor
+    up) -> per-channel sums."""
+    from outboxx_spark.dataops.jpeg import decode_jpeg
+
+    jpegs = synth_real_jpegs_420(docs)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, bb in zip(pdf["doc_id"], pdf["blob"]):
+                px = decode_jpeg(bytes(bb)).astype(np.int64)
+                rows.append(
+                    (
+                        int(d),
+                        int(px[..., 0].sum()),
+                        int(px[..., 1].sum()),
+                        int(px[..., 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "sum_r", "sum_g", "sum_b"])
+
+    return jpegs.mapInPandas(
+        stats, "doc_id long, sum_r long, sum_g long, sum_b long"
+    )
+
+
+def MM_JPEG_420_STATS_SQL() -> str:
+    # identical color-space round trip to the 4:4:4 mirror; each
+    # macroblock contributes 256 pixels
+    r2, g2, b2 = _ycc_rt_sql()
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         2 + ((doc_id % {JPEG_BLOCK_MOD}) + {JPEG_BLOCK_MOD})
+             % {JPEG_BLOCK_MOD} AS bh,
+         2 + (((doc_id * 3) % {JPEG_BLOCK_MOD}) + {JPEG_BLOCK_MOD})
+             % {JPEG_BLOCK_MOD} AS bw
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id,
+         (((doc_id * 37 + (i // bw) * 11 + (i % bw) * 5) % 256) + 256) % 256 AS r,
+         (((doc_id * 53 + (i // bw) * 17 + (i % bw) * 7) % 256) + 256) % 256 AS g,
+         (((doc_id * 71 + (i // bw) * 23 + (i % bw) * 3) % 256) + 256) % 256 AS b
+  FROM (SELECT d.*, unnest(range(bh * bw)) AS i FROM dims d)
+)
+SELECT doc_id,
+       CAST(sum(({r2}) * 256) AS BIGINT) AS sum_r,
+       CAST(sum(({g2}) * 256) AS BIGINT) AS sum_g,
+       CAST(sum(({b2}) * 256) AS BIGINT) AS sum_b
 FROM blocks
 GROUP BY doc_id
 """

@@ -132,13 +132,43 @@ def test_unsupported_component_count_fail_stops():
         decode_jpeg_gray(bytes(blob))
 
 
-def test_subsampled_color_fail_stops():
+def test_unsupported_subsampling_layout_fail_stops():
     rgb = np.zeros((8, 8, 3), dtype=np.uint8)
     blob = bytearray(encode_jpeg_color(rgb))
     i = blob.index(b"\xff\xc0")
-    blob[i + 11] = 0x22  # Y sampling factor -> 4:2:0
-    with pytest.raises(ValueError, match="subsampled"):
+    blob[i + 11] = 0x21  # Y sampling factor -> 4:2:2 (not 4:4:4/4:2:0)
+    with pytest.raises(ValueError, match="subsampling"):
         decode_jpeg(bytes(blob))
+
+
+def test_420_constant_macroblocks_roundtrip_exactly():
+    rng = np.random.default_rng(31)
+    mb = rng.integers(0, 256, size=(3, 2, 3))
+    rgb = np.repeat(np.repeat(mb, 16, axis=0), 16, axis=1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_color(rgb, 1, 1, subsample=True))
+    want = ycbcr_to_rgb_int(rgb_to_ycbcr_int(rgb))
+    assert (out == want).all()
+
+
+def test_420_smooth_content_and_odd_dims():
+    y, x = np.mgrid[0:35, 0:29]  # not multiples of 16
+    rgb = np.stack(
+        [(x * 4) % 256, (y * 4) % 256, ((x + y) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_color(rgb, 1, 1, subsample=True))
+    assert out.shape == rgb.shape
+    want = ycbcr_to_rgb_int(rgb_to_ycbcr_int(rgb))
+    err = np.abs(out.astype(int) - want.astype(int))
+    # chroma halving on a smooth gradient: small bounded error
+    assert err.mean() < 3.0, err.mean()
+
+
+def test_420_is_smaller_than_444_on_real_content():
+    rng = np.random.default_rng(33)
+    rgb = rng.integers(0, 256, size=(64, 64, 3)).astype(np.uint8)
+    assert len(encode_jpeg_color(rgb, 8, 8, subsample=True)) < len(
+        encode_jpeg_color(rgb, 8, 8)
+    )
 
 
 # ---------------------------------------------------------------------------
