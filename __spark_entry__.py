@@ -51,7 +51,7 @@ from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
 from outboxx_spark import integrity, olap, olap_tpch, olap_tpch_heavy, olap_tpch_rest
 from outboxx_spark.dataops import audio as audio_mod
 from outboxx_spark.dataops import linededup
-from outboxx_spark.operators import zorder
+from outboxx_spark.operators import pagerank, zorder
 from outboxx_spark.dataops import semdedup
 from outboxx_spark.dataops import substring as substr_mod
 from outboxx_spark.operators.asof import asof_join, asof_join_sql
@@ -1500,6 +1500,8 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_gif_stats": q_mm_gif_stats,
         # -- 4:2:0 subsampled JPEG certification
         "mm_jpeg420_stats": q_mm_jpeg420_stats,
+        # -- integer fixed-point PageRank (iterative graph analytics)
+        "olap_pagerank": pagerank.q_pagerank,
     }
 
 
@@ -1533,4 +1535,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "mm_jpeg_color_stats": mm.MM_JPEG_COLOR_STATS_SQL(),
         "mm_gif_stats": mm.MM_GIF_STATS_SQL,
         "mm_jpeg420_stats": mm.MM_JPEG_420_STATS_SQL(),
+        "olap_pagerank": pagerank.PAGERANK_SQL(),
     }
