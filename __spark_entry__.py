@@ -1422,6 +1422,14 @@ def q_docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linededup.dedup_paragraphs(read_table(spark, sf_dir, "documents"))
 
 
+def q_mm_jpeg_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG decode certification: successive-approximation
+    scan scripts (DC+AC refinement, EOB runs) over the constant-block
+    corpus; decoded pixels must match the same block formula the
+    baseline oracle uses."""
+    return mm.jpeg_progressive_stats(read_table(spark, sf_dir, "documents"))
+
+
 def q_mm_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4:2:0 JPEG decode certification: constant-macroblock subsampled
     streams -> full MCU-interleaved decode -> per-channel sums."""
@@ -1502,6 +1510,8 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg420_stats": q_mm_jpeg420_stats,
         # -- integer fixed-point PageRank (iterative graph analytics)
         "olap_pagerank": pagerank.q_pagerank,
+        # -- progressive JPEG (successive approximation) certification
+        "mm_jpeg_prog_stats": q_mm_jpeg_prog_stats,
     }
 
 
@@ -1536,4 +1546,7 @@ def oracle_sql_staged() -> dict[str, str]:
         "mm_gif_stats": mm.MM_GIF_STATS_SQL,
         "mm_jpeg420_stats": mm.MM_JPEG_420_STATS_SQL(),
         "olap_pagerank": pagerank.PAGERANK_SQL(),
+        # same corpus formula as the baseline-JPEG oracle: the scan
+        # script must be invisible to the decoded pixels
+        "mm_jpeg_prog_stats": mm.MM_JPEG_STATS_SQL,
     }

@@ -10,11 +10,14 @@ DHT/SOS/EOI), canonical Huffman entropy coding with 0xFF byte
 stuffing, zigzag ordering, uniform or custom quantization, and the
 8x8 type-II DCT pair in float64.
 
-Scope is explicit, not sniffed: grayscale and 4:4:4 YCbCr color both
-decode for real; progressive (SOF2), arithmetic-coded, and
-chroma-subsampled streams fail-stop with distinct messages — the
-honest gate narrows from "JPEG needs pillow" to "only progressive or
-subsampled JPEG needs pillow".
+Scope (r10 final): grayscale, YCbCr color at any integral sampling
+ratio (4:4:4 / 4:2:0 / 4:2:2 / 4:1:1 / 4:4:0), and PROGRESSIVE
+(SOF2) streams — spectral selection and successive approximation
+with libjpeg's EOB-run/correction-bit semantics — all decode for
+real, and the encoder can emit each of them for round-trip pinning.
+The remaining fail-stops are arithmetic-coded streams (0xC9-0xCB, a
+separate entropy coder), restart intervals, and non-integral
+sampling ratios — each with a distinct message.
 
 Color conversions are INTEGER-defined (scaled coefficients + floor
 division + clip to [0, 255]) so the DuckDB oracle mirrors them
@@ -75,12 +78,16 @@ def _idct(coef: np.ndarray) -> np.ndarray:
 # canonical Huffman tables (encoder side)
 # ---------------------------------------------------------------------------
 
-# DC: categories 0..11, all 4-bit codes. AC: EOB, ZRL, and (run 0..15,
-# size 1..11), all 8-bit codes. Canonical assignment starts at 0, so
-# the all-1-bits codeword (forbidden by the spec) is never reached.
+# DC: categories 0..11, all 4-bit codes. AC: EOB/EOBn (run 0..14,
+# size 0 — the n>0 runs are progressive EOB-run lengths), ZRL, and
+# (run 0..15, size 1..11), all 8-bit codes (192 symbols <= 255).
+# Canonical assignment starts at 0, so the all-1-bits codeword
+# (forbidden by the spec) is never reached.
 _DC_SYMS = tuple(range(12))
-_AC_SYMS = (0x00, 0xF0) + tuple(
-    (r << 4) | s for r in range(16) for s in range(1, 12)
+_AC_SYMS = (
+    tuple(r << 4 for r in range(15))
+    + (0xF0,)
+    + tuple((r << 4) | s for r in range(16) for s in range(1, 12))
 )
 
 
@@ -273,14 +280,16 @@ def encode_jpeg_color(
     rgb: np.ndarray,
     quant_y: int | np.ndarray = 1,
     quant_c: int | np.ndarray = 1,
-    subsample: bool = False,
+    subsample: bool | tuple[int, int] = False,
 ) -> bytes:
     """Encode a uint8 (H, W, 3) RGB array as baseline JPEG: integer
-    JFIF YCbCr, luma quant table 0, chroma table 1. ``subsample=True``
-    emits 4:2:0 — chroma reduced by an exact 2x2 integer mean
-    ``(a+b+c+d+2)//4`` over a 16-aligned edge-padded frame, the
+    JFIF YCbCr, luma quant table 0, chroma table 1. ``subsample``
+    picks the chroma layout: False = 4:4:4, True = 4:2:0, or an
+    explicit (sh, sv) factor pair — (2, 1) = 4:2:2, (4, 1) = 4:1:1.
+    Chroma reduces by an exact sh x sv integer mean
+    ``(sum + n//2) // n`` over an MCU-aligned edge-padded frame, the
     deterministic counterpart of the decoder's nearest-neighbor
-    upsample (constant macroblocks round-trip bit-exactly)."""
+    upsample (constant MCUs round-trip bit-exactly)."""
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("RGB (H, W, 3) array required")
     h, w = rgb.shape[:2]
@@ -288,17 +297,25 @@ def encode_jpeg_color(
         raise ValueError("empty image")
     qy, qc = _check_quant(quant_y), _check_quant(quant_c)
     ycc = rgb_to_ycbcr_int(rgb)
-    if not subsample:
+    if subsample is False:
         comps = [(_padded_plane(ycc[..., i]), 1, 1, 0 if i == 0 else 1) for i in range(3)]
         return _encode(comps, [qy, qc], h, w)
-    pad = [(0, -h % 16), (0, -w % 16)]
-    planes16 = [
+    sh, sv = (2, 2) if subsample is True else subsample
+    if sh not in (1, 2, 4) or sv not in (1, 2, 4) or (sh, sv) == (1, 1):
+        raise ValueError("subsample factors must be in {1,2,4}, not both 1")
+    mcu_h, mcu_w = 8 * sv, 8 * sh
+    pad = [(0, -h % mcu_h), (0, -w % mcu_w)]
+    planes = [
         np.pad(ycc[..., i].astype(np.int64), pad, mode="edge") for i in range(3)
     ]
-    y_plane = planes16[0].astype(np.float64) - 128.0
-    comps = [(y_plane, 2, 2, 0)]
-    for p in planes16[1:]:
-        sub = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) // 4
+    comps = [(planes[0].astype(np.float64) - 128.0, sh, sv, 0)]
+    n = sh * sv
+    for p in planes[1:]:
+        acc = np.zeros((p.shape[0] // sv, p.shape[1] // sh), dtype=np.int64)
+        for dy in range(sv):
+            for dx in range(sh):
+                acc += p[dy::sv, dx::sh]
+        sub = (acc + n // 2) // n
         comps.append((sub.astype(np.float64) - 128.0, 1, 1, 1))
     return _encode(comps, [qy, qc], h, w)
 
@@ -409,17 +426,25 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             for ci in range(ncomp):
                 cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, qid, samp >> 4, samp & 0xF))
-            samps = [(hi, vi) for _, _, hi, vi in comps]
-            if not (
-                all(s == (1, 1) for s in samps)
-                or (ncomp == 3 and samps == [(2, 2), (1, 1), (1, 1)])
-            ):
+            hmax = max(hi for _, _, hi, _ in comps)
+            vmax = max(vi for _, _, _, vi in comps)
+            ok = (
+                1 <= hmax <= 4
+                and 1 <= vmax <= 4
+                and all(
+                    hi >= 1 and vi >= 1 and hmax % hi == 0 and vmax % vi == 0
+                    for _, _, hi, vi in comps
+                )
+            )
+            if not ok:
+                # nearest-neighbor upsampling needs integral ratios;
+                # non-dividing factors (legal but pathological) bail out
                 raise ValueError(
-                    "unsupported chroma subsampling (4:4:4 and 4:2:0 only)"
+                    "unsupported chroma subsampling (non-integral ratio)"
                 )
             dims = (h, w)
         elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) unsupported")
+            return _decode_progressive(blob, pos)
         elif marker in (0xC9, 0xCA, 0xCB):
             raise ValueError("arithmetic-coded JPEG unsupported")
         elif marker == 0xC4:  # DHT, possibly several tables
@@ -540,3 +565,471 @@ def _decode_scan(
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         out.append(np.clip(np.rint(p[:h, :w]), 0, 255).astype(np.uint8))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+#
+# Coefficients accumulate across scans into per-block zigzag arrays;
+# the IDCT runs once at the end. The refinement semantics follow
+# libjpeg's jdphuff/jcphuff flow (EOB runs shared across blocks,
+# correction bits buffered behind the next emitted symbol) — both the
+# decoder here and the encoder below implement them, so round-trip
+# tests pin the bit-level contract without an external library.
+# Arithmetic-shift point transforms on two's-complement ints behave
+# identically in Python and C for this use: (v >> a) << a clears low
+# bits, and the refinement OR sets them back, signs included.
+
+
+def _next_marker(blob: bytes, p: int) -> int:
+    """First non-stuffing marker position at or after ``p``."""
+    n = len(blob)
+    while p + 1 < n:
+        if blob[p] == 0xFF and blob[p + 1] not in (0x00, 0xFF):
+            return p
+        p += 1
+    raise ValueError("ran off the stream looking for a marker")
+
+
+def _decode_progressive(blob: bytes, _sof_pos: int | None = None) -> np.ndarray:
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, [(cid, qid, hi, vi)])
+    coefs: list[list[list[list[int]]]] = []  # [comp][by][bx] -> 64 zigzag ints
+    grids: list[tuple[int, int]] = []  # interleaved (bh, bw) per comp
+    pos = 2
+    while pos + 2 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("marker desync")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+        seg = blob[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            sp = 0
+            while sp < len(seg):
+                prec, tid = seg[sp] >> 4, seg[sp] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros((8, 8))
+                for k, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = seg[sp + 1 + k]
+                qtables[tid] = tbl
+                sp += 65
+        elif marker == 0xC4:
+            sp = 0
+            while sp < len(seg):
+                cls, tid = seg[sp] >> 4, seg[sp] & 0xF
+                counts = list(seg[sp + 1 : sp + 17])
+                nv = sum(counts)
+                htables[(cls, tid)] = _build_dec(counts, seg[sp + 17 : sp + 17 + nv])
+                sp += 17 + nv
+        elif marker == 0xC2:
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, qid, samp >> 4, samp & 0xF))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            if any(hmax % c[2] or vmax % c[3] for c in comps):
+                raise ValueError("unsupported chroma subsampling (non-integral ratio)")
+            frame = (h, w, comps, hmax, vmax)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for _, _, hi, vi in comps:
+                bh_i, bw_i = mcuy * vi, mcux * hi
+                grids.append((bh_i, bw_i))
+                coefs.append(
+                    [[[0] * 64 for _ in range(bw_i)] for _ in range(bh_i)]
+                )
+        elif marker in (0xC0, 0xC1):
+            raise ValueError("mixed baseline SOF inside a progressive stream")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals (DRI) unsupported")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            consumed = _progressive_scan(blob, pos, seg, frame, coefs, grids, htables)
+            pos = consumed
+            continue
+        pos += 2 + seg_len
+    if frame is None:
+        raise ValueError("no SOF2 frame found")
+    h, w, comps, hmax, vmax = frame
+    planes = []
+    for ci, (_, qid, hi, vi) in enumerate(comps):
+        q = qtables[qid]
+        bh_i, bw_i = grids[ci]
+        plane = np.zeros((bh_i * 8, bw_i * 8))
+        for by in range(bh_i):
+            for bx in range(bw_i):
+                zz = coefs[ci][by][bx]
+                coef = np.zeros((8, 8))
+                for kk, (r, c) in enumerate(ZIGZAG):
+                    coef[r, c] = zz[kk]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct(coef * q) + 128.0
+                )
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        planes.append(np.clip(np.rint(plane[:h, :w]), 0, 255).astype(np.uint8))
+    if len(planes) == 1:
+        return planes[0]
+    return ycbcr_to_rgb_int(np.stack(planes, axis=-1))
+
+
+def _progressive_scan(blob, pos, seg, frame, coefs, grids, htables) -> int:
+    """Decode one SOS's entropy data into the coefficient arrays;
+    returns the stream position of the next marker."""
+    h, w, comps, hmax, vmax = frame
+    ns = seg[0]
+    sel = []
+    for si in range(ns):
+        cid, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
+        idx = next(
+            (i for i, c in enumerate(comps) if c[0] == cid), None
+        )
+        if idx is None:
+            raise ValueError("scan references unknown component")
+        sel.append((idx, tabs >> 4, tabs & 0xF))
+    ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+    ah, al = a >> 4, a & 0xF
+    seg_len = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+    scan = blob[pos + 2 + seg_len :]
+    br = _BitReader(scan)
+
+    if ss == 0:  # DC scan (Se must be 0)
+        if se != 0:
+            raise ValueError("DC scan with nonzero Se")
+        if ah == 0:
+            preds = [0] * ns
+        if ns == 1:
+            ci, dsel, _ = sel[0]
+            _, _, hi, vi = comps[ci]
+            bh_n = ((h * vi + vmax - 1) // vmax + 7) // 8
+            bw_n = ((w * hi + hmax - 1) // hmax + 7) // 8
+            blocks = [
+                coefs[ci][by][bx]
+                for by in range(bh_n)
+                for bx in range(bw_n)
+            ]
+            if ah == 0:
+                dc_tab = htables[(0, dsel)]
+                pred = 0
+                for zz in blocks:
+                    s = _huff_read(br, dc_tab)
+                    pred += _extend(br.read(s), s) if s else 0
+                    zz[0] = pred << al
+            else:
+                for zz in blocks:
+                    if br.read(1):
+                        zz[0] |= 1 << al
+        else:  # interleaved DC over all scan components, MCU order
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for si, (ci, dsel, _) in enumerate(sel):
+                        _, _, hi, vi = comps[ci]
+                        for byy in range(vi):
+                            for bxx in range(hi):
+                                zz = coefs[ci][my * vi + byy][mx * hi + bxx]
+                                if ah == 0:
+                                    s = _huff_read(br, htables[(0, dsel)])
+                                    preds[si] += (
+                                        _extend(br.read(s), s) if s else 0
+                                    )
+                                    zz[0] = preds[si] << al
+                                else:
+                                    if br.read(1):
+                                        zz[0] |= 1 << al
+    else:  # AC scan: non-interleaved single component
+        if ns != 1:
+            raise ValueError("interleaved AC scan is malformed")
+        ci, _, asel = sel[0]
+        ac_tab = htables[(1, asel)]
+        _, _, hi, vi = comps[ci]
+        bh_n = ((h * vi + vmax - 1) // vmax + 7) // 8
+        bw_n = ((w * hi + hmax - 1) // hmax + 7) // 8
+        eobrun = 0
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                zz = coefs[ci][by][bx]
+                if ah == 0:
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _huff_read(br, ac_tab)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        zz[k] = _extend(br.read(s), s) << al
+                        k += 1
+                else:
+                    eobrun = _refine_ac_block(br, zz, ss, se, al, eobrun, ac_tab)
+    return _next_marker(blob, pos + 2 + seg_len + br.pos)
+
+
+def _refine_ac_block(br, zz, ss, se, al, eobrun, ac_tab) -> int:
+    """AC successive-approximation refinement for one block
+    (jdphuff.c decode_mcu_AC_refine semantics)."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_read(br, ac_tab)
+            r, s = sym >> 4, sym & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # ZRL: run over 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement magnitude")
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if br.read(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+
+def _blocks_zigzag(plane: np.ndarray, q: np.ndarray) -> list[list[int]]:
+    """Quantized zigzag coefficient lists for every 8x8 block of a
+    level-shifted plane, raster order."""
+    out = []
+    for by in range(plane.shape[0] // 8):
+        for bx in range(plane.shape[1] // 8):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = np.rint(_fdct(block) / q).astype(np.int64)
+            out.append([int(coef[r, c]) for r, c in ZIGZAG])
+    return out
+
+
+class _ProgACEmitter:
+    """EOB-run + buffered-correction-bit state shared across the
+    blocks of one AC scan (jcphuff.c semantics)."""
+
+    def __init__(self, bw: _BitWriter) -> None:
+        self.bw = bw
+        self.eobrun = 0
+        self.bebuf: list[int] = []
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, n = _AC_ENC[r << 4]
+            self.bw.write(code, n)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            self.flush_bits()
+
+    def flush_bits(self) -> None:
+        for b in self.bebuf:
+            self.bw.write(b, 1)
+        self.bebuf = []
+
+
+def _emit_ac_first(em: _ProgACEmitter, zz: list[int], ss: int, se: int, al: int):
+    vals = []
+    for k in range(ss, se + 1):
+        v = zz[k]
+        mag = (abs(v)) >> al
+        vals.append(mag if v >= 0 else -mag)
+    last = max((i for i, v in enumerate(vals) if v), default=-1)
+    if last < 0:
+        em.eobrun += 1
+        if em.eobrun == 0x7FFF:
+            em.emit_eobrun()
+        return
+    em.emit_eobrun()
+    r = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, n = _AC_ENC[0xF0]
+            em.bw.write(code, n)
+            r -= 16
+        s = _category(v)
+        if s > 11:
+            raise ValueError("AC coefficient out of representable range")
+        code, n = _AC_ENC[(r << 4) | s]
+        em.bw.write(code, n)
+        em.bw.write(_amplitude(v, s), s)
+        r = 0
+    if last < se - ss:
+        em.eobrun += 1
+        if em.eobrun == 0x7FFF:
+            em.emit_eobrun()
+
+
+def _emit_ac_refine(em: _ProgACEmitter, zz: list[int], ss: int, se: int, al: int):
+    absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+    eobpos = max((i for i, v in enumerate(absv) if v == 1), default=-1)
+    r = 0
+    pending: list[int] = []  # correction bits since the last emitted symbol
+    for i, k in enumerate(range(ss, se + 1)):
+        t = absv[i]
+        if t == 0:
+            r += 1
+            continue
+        if t > 1:
+            pending.append(absv[i] & 1)
+            continue
+        # newly-nonzero coefficient
+        while r > 15 and i <= eobpos:
+            em.emit_eobrun()
+            code, n = _AC_ENC[0xF0]
+            em.bw.write(code, n)
+            r -= 16
+            for b in pending:
+                em.bw.write(b, 1)
+            pending = []
+        em.emit_eobrun()
+        code, n = _AC_ENC[(r << 4) | 1]
+        em.bw.write(code, n)
+        em.bw.write(1 if zz[k] > 0 else 0, 1)
+        for b in pending:
+            em.bw.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        em.eobrun += 1
+        em.bebuf.extend(pending)
+        if em.eobrun == 0x7FFF:
+            em.emit_eobrun()
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray,
+    quant: int | np.ndarray = 1,
+    dc_al: int = 1,
+    ac_al: int = 1,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode grayscale (H, W) or RGB (H, W, 3) as PROGRESSIVE JPEG
+    (SOF2): one DC-first scan per component at point transform
+    ``dc_al`` followed by DC refinement scans down to 0, then per-band
+    AC-first scans at ``ac_al`` and AC refinement scans down to 0 —
+    the full successive-approximation scan script, so a decoder must
+    implement EOB runs and correction-bit refinement to read these
+    files (libjpeg's default progressive script has the same shape).
+    Color is 4:4:4 with non-interleaved DC scans."""
+    if px.ndim == 2:
+        planes_u8 = [px]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        ycc = rgb_to_ycbcr_int(px)
+        planes_u8 = [ycc[..., i] for i in range(3)]
+    else:
+        raise ValueError("grayscale 2-D or RGB (H, W, 3) array required")
+    h, w = planes_u8[0].shape
+    if not h or not w:
+        raise ValueError("empty image")
+    q = _check_quant(quant)
+    ncomp = len(planes_u8)
+    blocks = [_blocks_zigzag(_padded_plane(p), q) for p in planes_u8]
+
+    head = bytearray(b"\xff\xd8")
+    zz_q = bytes(int(q[r, c]) for r, c in ZIGZAG)
+    head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    head += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        head += bytes([ci + 1, 0x11, 0])
+    head += _dht_segment(0, 0, _DC_ENC, 4)
+    head += _dht_segment(1, 0, _AC_ENC, 8)
+
+    def sos(comp_id: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        return (
+            b"\xff\xda"
+            + struct.pack(">HB", 8, 1)
+            + bytes([comp_id, 0x00, ss, se, (ah << 4) | al])
+        )
+
+    body = bytearray()
+    for ci in range(ncomp):
+        # DC first
+        body += sos(ci + 1, 0, 0, 0, dc_al)
+        bw = _BitWriter()
+        pred = 0
+        for zz in blocks[ci]:
+            tdc = zz[0] >> dc_al
+            diff = tdc - pred
+            pred = tdc
+            s = _category(diff)
+            code, n = _DC_ENC[s]
+            bw.write(code, n)
+            if s:
+                bw.write(_amplitude(diff, s), s)
+        body += bw.flush()
+        # DC refinements
+        for level in range(dc_al - 1, -1, -1):
+            body += sos(ci + 1, 0, 0, level + 1, level)
+            bw = _BitWriter()
+            for zz in blocks[ci]:
+                bw.write((zz[0] >> level) & 1, 1)
+            body += bw.flush()
+    for ci in range(ncomp):
+        for ss, se in bands:
+            body += sos(ci + 1, ss, se, 0, ac_al)
+            bw = _BitWriter()
+            em = _ProgACEmitter(bw)
+            for zz in blocks[ci]:
+                _emit_ac_first(em, zz, ss, se, ac_al)
+            em.emit_eobrun()
+            body += bw.flush()
+        for level in range(ac_al - 1, -1, -1):
+            for ss, se in bands:
+                body += sos(ci + 1, ss, se, level + 1, level)
+                bw = _BitWriter()
+                em = _ProgACEmitter(bw)
+                for zz in blocks[ci]:
+                    _emit_ac_refine(em, zz, ss, se, level)
+                em.emit_eobrun()
+                body += bw.flush()
+    return bytes(head) + body + b"\xff\xd9"

@@ -415,14 +415,17 @@ def real_image_decode(blob: bytes) -> np.ndarray:
     codec (`dataops/png.py` — stdlib zlib inflate + full five-filter
     unfilter, round-trip-certified in tests/test_png.py), with the ITU-R
     601 luma the same L-conversion pillow applies, so adding pillow
-    later does not change grayscale values — baseline JPEGs (gray,
-    4:4:4 color, AND 4:2:0 subsampled) decode through
+    later does not change grayscale values — JPEGs decode through
     `dataops/jpeg.py` (real Huffman entropy decode + dequant + IDCT +
-    integer YCbCr, DC-exact-certified by the mm_jpeg_stats /
-    mm_jpeg_color_stats / mm_jpeg420_stats oracles), and GIF/BMP
-    decode through `dataops/gif.py` (real LZW; mm_gif_stats). The
-    residual pillow gate is progressive JPEG and exotic subsampling
-    (4:2:2/4:1:1) plus formats with no sniffer entry; it raises
+    integer YCbCr; baseline gray/color at every integral sampling
+    ratio AND progressive successive-approximation streams,
+    DC-exact-certified by the mm_jpeg_stats / mm_jpeg_color_stats /
+    mm_jpeg420_stats / mm_jpeg_prog_stats oracles), and GIF/BMP
+    decode through `dataops/gif.py` (real LZW; mm_gif_stats). EVERY
+    format the sniffer recognizes decodes with no image library; the
+    residual pillow gate is formats with no sniffer entry (TIFF/WebP)
+    and the rare in-format corners jpeg.py fail-stops on
+    (arithmetic-coded streams, restart intervals). It raises
     NotImplementedError (pip has no network route here, re-verified
     r10)."""
     blob = bytes(blob)
@@ -763,6 +766,59 @@ SELECT doc_id,
 FROM vals
 GROUP BY doc_id
 """
+
+
+def synth_real_progressive_jpegs(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): real PROGRESSIVE (SOF2) grayscale JPEGs of the
+    same constant-block corpus as mm_jpeg_stats, with successive
+    approximation (dc_al=1, ac_al=1) so the refinement scans — DC bit
+    scans and AC correction-bit scans with EOB runs — are all on the
+    decode path, not just spectral selection."""
+    from outboxx_spark.dataops.jpeg import encode_jpeg_progressive
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bh = 2 + (d % JPEG_BLOCK_MOD + JPEG_BLOCK_MOD) % JPEG_BLOCK_MOD
+                bw = 2 + (d * 3 % JPEG_BLOCK_MOD + JPEG_BLOCK_MOD) % JPEG_BLOCK_MOD
+                by, bx = np.mgrid[0:bh, 0:bw]
+                blocks = ((d * 37 + by * 11 + bx * 5) % 256).astype(np.uint8)
+                px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                blobs.append(encode_jpeg_progressive(px, 1, dc_al=1, ac_al=1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id")
+        .repartition(par)
+        .mapInPandas(gen, "doc_id long, blob binary")
+    )
+
+
+def jpeg_progressive_stats(docs: DataFrame) -> DataFrame:
+    """Progressive certification body: multi-scan decode -> integer
+    stats; the oracle (MM_JPEG_STATS_SQL — same corpus formula as the
+    baseline query) is blind to the scan script, which is the point:
+    both encodings must invert to the identical pixels."""
+    jpegs = synth_real_progressive_jpegs(docs)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, b in zip(pdf["doc_id"], pdf["blob"]):
+                px = real_image_decode(bytes(b)).astype(np.int64)
+                rows.append(
+                    (int(d), px.size, int(px.sum()), int(px.min()), int(px.max()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_px", "pixsum", "pixmin", "pixmax"]
+            )
+
+    return jpegs.mapInPandas(
+        stats, "doc_id long, n_px long, pixsum long, pixmin long, pixmax long"
+    )
 
 
 def synth_real_color_jpegs(docs: DataFrame) -> DataFrame:

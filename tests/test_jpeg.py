@@ -116,12 +116,15 @@ def _patch_marker(blob: bytes, find: bytes, repl: bytes) -> bytes:
     return blob[:i] + repl + blob[i + len(find) :]
 
 
-def test_progressive_and_arithmetic_fail_stop_distinctly():
+def test_arithmetic_fail_stops_and_mislabeled_progressive_is_loud():
     blob = encode_jpeg_gray(_const_block_image(np.array([[7]])), 1)
-    with pytest.raises(ValueError, match="progressive"):
-        decode_jpeg_gray(_patch_marker(blob, b"\xff\xc0", b"\xff\xc2"))
     with pytest.raises(ValueError, match="arithmetic"):
         decode_jpeg_gray(_patch_marker(blob, b"\xff\xc0", b"\xff\xc9"))
+    # a baseline stream whose SOF is patched to SOF2 routes to the
+    # progressive decoder, whose scan-header rules reject the baseline
+    # full-band SOS loudly (never a silent mis-decode)
+    with pytest.raises(ValueError, match="DC scan with nonzero Se"):
+        decode_jpeg_gray(_patch_marker(blob, b"\xff\xc0", b"\xff\xc2"))
 
 
 def test_unsupported_component_count_fail_stops():
@@ -132,13 +135,32 @@ def test_unsupported_component_count_fail_stops():
         decode_jpeg_gray(bytes(blob))
 
 
-def test_unsupported_subsampling_layout_fail_stops():
+def test_non_integral_sampling_ratio_fail_stops():
     rgb = np.zeros((8, 8, 3), dtype=np.uint8)
     blob = bytearray(encode_jpeg_color(rgb))
     i = blob.index(b"\xff\xc0")
-    blob[i + 11] = 0x21  # Y sampling factor -> 4:2:2 (not 4:4:4/4:2:0)
-    with pytest.raises(ValueError, match="subsampling"):
+    blob[i + 11] = 0x31  # Y -> (3, 1)
+    blob[i + 14] = 0x21  # Cb -> (2, 1): 3 % 2 != 0, no integral upsample
+    with pytest.raises(ValueError, match="non-integral"):
         decode_jpeg(bytes(blob))
+
+
+@pytest.mark.parametrize("factors", [(2, 1), (4, 1), (1, 2)])
+def test_general_subsampling_constant_mcus_roundtrip(factors):
+    sh, sv = factors
+    rng = np.random.default_rng(40 + sh * 4 + sv)
+    mb = rng.integers(0, 256, size=(2, 3, 3))
+    rgb = np.repeat(np.repeat(mb, 8 * sv, axis=0), 8 * sh, axis=1).astype(
+        np.uint8
+    )
+    out = decode_jpeg(encode_jpeg_color(rgb, 1, 1, subsample=(sh, sv)))
+    want = ycbcr_to_rgb_int(rgb_to_ycbcr_int(rgb))
+    assert (out == want).all()
+    # odd dims keep their crop
+    rgb2 = rng.integers(0, 256, size=(21, 19, 3)).astype(np.uint8)
+    assert decode_jpeg(
+        encode_jpeg_color(rgb2, 1, 1, subsample=(sh, sv))
+    ).shape == rgb2.shape
 
 
 def test_420_constant_macroblocks_roundtrip_exactly():
@@ -214,6 +236,63 @@ def test_gray_view_of_color_is_itu601_luma():
     want = ycbcr_to_rgb_int(rgb_to_ycbcr_int(rgb)).astype(np.int64)
     luma = (want[..., 0] * 299 + want[..., 1] * 587 + want[..., 2] * 114) // 1000
     assert (g == luma.astype(np.uint8)).all()
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_constant_blocks_roundtrip_exactly():
+    from outboxx_spark.dataops.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(51)
+    px = _const_block_image(rng.integers(0, 256, size=(4, 3)))
+    assert (decode_jpeg(encode_jpeg_progressive(px, 1)) == px).all()
+
+
+def test_progressive_decodes_identically_to_baseline_at_every_script():
+    # the strongest check available: the scan script transmits the SAME
+    # quantized coefficients, so the decoded image must be bit-equal to
+    # the baseline decode — across spectral-selection-only, default,
+    # and deep successive-approximation scripts, for gray and color
+    from outboxx_spark.dataops.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(52)
+    px = rng.integers(0, 256, size=(37, 41)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(px, 1))
+    for kw in (
+        dict(dc_al=0, ac_al=0),
+        dict(dc_al=1, ac_al=1),
+        dict(dc_al=3, ac_al=3, bands=((1, 2), (3, 9), (10, 63))),
+    ):
+        got = decode_jpeg(encode_jpeg_progressive(px, 1, **kw))
+        assert (got == base).all(), kw
+    rgb = rng.integers(0, 256, size=(19, 23, 3)).astype(np.uint8)
+    cbase = decode_jpeg(encode_jpeg_color(rgb, 1, 1))
+    cprog = decode_jpeg(encode_jpeg_progressive(rgb, 1, dc_al=2, ac_al=2))
+    assert (cprog == cbase).all()
+
+
+def test_progressive_lossy_matches_lossy_baseline():
+    from outboxx_spark.dataops.jpeg import encode_jpeg_progressive
+
+    y, x = np.mgrid[0:64, 0:64]
+    px = ((np.sin(x / 9) + np.sin(y / 7)) * 60 + 128).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_progressive(px, 16))
+        == decode_jpeg(encode_jpeg_gray(px, 16))
+    ).all()
+
+
+def test_progressive_eob_runs_span_blocks():
+    # an image with long runs of all-zero AC bands forces multi-block
+    # EOB runs (the (r<<4) symbols with extra bits) in both directions
+    from outboxx_spark.dataops.jpeg import encode_jpeg_progressive
+
+    px = _const_block_image(np.full((8, 8), 77, dtype=np.uint8))
+    blob = encode_jpeg_progressive(px, 1, dc_al=1, ac_al=1)
+    assert (decode_jpeg(blob) == px).all()
 
 
 def test_encoder_numerators_nonnegative_over_rgb_extremes():
