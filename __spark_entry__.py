@@ -1422,6 +1422,13 @@ def q_docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linededup.dedup_paragraphs(read_table(spark, sf_dir, "documents"))
 
 
+def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-container certification: real animated GIFs -> per-frame
+    LZW decode -> every-2nd-frame temporal sample -> pixel sums DuckDB
+    recomputes from the frame formula."""
+    return mm.video_frame_stats(read_table(spark, sf_dir, "documents"))
+
+
 def q_mm_jpeg_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Progressive-JPEG decode certification: successive-approximation
     scan scripts (DC+AC refinement, EOB runs) over the constant-block
@@ -1512,6 +1519,11 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_pagerank": pagerank.q_pagerank,
         # -- progressive JPEG (successive approximation) certification
         "mm_jpeg_prog_stats": q_mm_jpeg_prog_stats,
+        # -- G.711 telephony audio (mu-law/A-law) certification
+        "mm_audio_g711": audio_mod.planted_g711_stats,
+        # -- real video container: animated-GIF frame extraction +
+        # temporal sampling
+        "mm_video_frames": q_mm_video_frames,
     }
 
 
@@ -1549,4 +1561,6 @@ def oracle_sql_staged() -> dict[str, str]:
         # same corpus formula as the baseline-JPEG oracle: the scan
         # script must be invisible to the decoded pixels
         "mm_jpeg_prog_stats": mm.MM_JPEG_STATS_SQL,
+        "mm_audio_g711": audio_mod.G711_STATS_SQL,
+        "mm_video_frames": mm.VIDEO_FRAME_STATS_SQL(),
     }

@@ -283,3 +283,124 @@ SELECT doc_id,
 FROM samples
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# G.711 telephony audio (r10 tail): mu-law / A-law WAVs decode for
+# real (dataops/wav.py format tags 7/6). Certification trick: the
+# synthesized samples are already G.711-CANONICAL — sample value =
+# expand(formula_byte) — so compress->container->decode returns
+# exactly those values (value-level idempotence is pinned for all 256
+# bytes in tests), and the DuckDB mirror only needs the EXPAND
+# formula, a direct integer expression of the byte's bit fields.
+# ---------------------------------------------------------------------------
+
+
+def synth_real_g711(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): real G.711 WAVs — mu-law for even doc_id,
+    A-law for odd — of canonical-valued mono samples derived from
+    byte[t] = (doc_id*131 + t*7919) mod 256."""
+    from outboxx_spark.dataops.wav import (
+        alaw_expand,
+        encode_wav_g711,
+        ulaw_expand,
+    )
+
+    ulut = np.array([ulaw_expand(b) for b in range(256)], dtype=np.int64)
+    alut = np.array([alaw_expand(b) for b in range(256)], dtype=np.int64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n_frames = FRAME_BASE + (d % FRAME_MOD) * FRAME_STEP
+                t = np.arange(n_frames)
+                bytes_ = (d * 131 + t * 7919) % 256
+                law = "ulaw" if d % 2 == 0 else "alaw"
+                lut = ulut if d % 2 == 0 else alut
+                blobs.append(encode_wav_g711(lut[bytes_], 8000, law))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id")
+        .repartition(par)
+        .mapInPandas(gen, "doc_id long, blob binary")
+    )
+
+
+def g711_stats(docs: DataFrame) -> DataFrame:
+    """G.711 certification body: real companded WAVs -> expand decode
+    -> integer stats (frames, energy, peak)."""
+    from outboxx_spark.dataops.wav import decode_wav
+
+    wavs = synth_real_g711(docs)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, b in zip(pdf["doc_id"], pdf["blob"]):
+                rate, arr = decode_wav(bytes(b))
+                a64 = arr.astype(np.int64)
+                rows.append(
+                    (
+                        int(d),
+                        arr.shape[0],
+                        int((a64 * a64).sum()),
+                        int(np.abs(a64).max()) if a64.size else 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "sumsq", "peak"])
+
+    return wavs.mapInPandas(
+        stats, "doc_id long, n_frames long, sumsq long, peak long"
+    )
+
+
+def planted_g711_stats(spark, sf_dir: str) -> DataFrame:
+    from outboxx_spark.sources.tables import read_table
+
+    return g711_stats(read_table(spark, sf_dir, "documents"))
+
+
+# DuckDB mirror: expand() as direct integer bit arithmetic on the
+# formula byte. mu-law: u = 255 - b; sign = u >= 128; mag =
+# ((u%16)*8 + 132) * 2^((u//16)%8) - 132. A-law: a = b XOR 0x55
+# (xor(b, 85)); exp = (a//16)%8; mant = a%16; mag = mant*16 + 8 for
+# exp 0, else (mant*16 + 264) * 2^(exp-1); sign bit SET means
+# positive (the inverse of mu-law, pinned in tests).
+G711_STATS_SQL = f"""
+WITH params AS (
+  SELECT doc_id,
+         {FRAME_BASE} + (((doc_id % {FRAME_MOD}) + {FRAME_MOD}) % {FRAME_MOD})
+           * {FRAME_STEP} AS n_frames
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, n_frames,
+         (((doc_id * 131 + t * 7919) % 256) + 256) % 256 AS b,
+         doc_id % 2 = 0 AS is_ulaw
+  FROM (SELECT p.*, unnest(range(n_frames)) AS t FROM params p)
+),
+expanded AS (
+  SELECT doc_id, n_frames,
+    CASE WHEN is_ulaw THEN
+      CASE WHEN (255 - b) >= 128 THEN -1 ELSE 1 END
+      * ((((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8)) - 132)
+    ELSE
+      CASE WHEN (xor(b, 85) // 128) = 1 THEN 1 ELSE -1 END
+      * (CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+              THEN (xor(b, 85) % 16) * 16 + 8
+              ELSE ((xor(b, 85) % 16) * 16 + 264)
+                   * (1 << (((xor(b, 85) // 16) % 8) - 1)) END)
+    END AS s
+  FROM bytes
+)
+SELECT doc_id,
+       CAST(any_value(n_frames) AS BIGINT) AS n_frames,
+       CAST(sum(s * s) AS BIGINT) AS sumsq,
+       CAST(max(abs(s)) AS BIGINT) AS peak
+FROM expanded
+GROUP BY doc_id
+"""

@@ -290,3 +290,104 @@ def decode_bmp(blob: bytes) -> np.ndarray:
             rows.append(row.reshape(w, 3)[:, ::-1])  # BGR -> RGB
         out = np.stack(rows)
     return out if top_down else out[::-1]
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF: the testbed's real VIDEO container (r10 tail)
+# ---------------------------------------------------------------------------
+#
+# A multi-frame GIF is the one video-ish container expressible with
+# the codecs already here: per-frame LZW streams behind one global
+# palette. frame extraction + temporal sampling — the operations a
+# training pipeline runs on video — get a REAL container instead of
+# the byte-stride stand-in.
+
+
+def encode_gif_frames(frames: list[np.ndarray], delay_cs: int = 4) -> bytes:
+    """Encode same-sized grayscale frames as an animated GIF89a
+    (identity palette, per-frame graphic-control extensions)."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise ValueError("all frames must share dimensions")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes([i, i, i])
+    # NETSCAPE2.0 looping application extension (loop forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in frames:
+        out += b"\x21\xf9\x04\x04" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        data = _lzw_compress(f.reshape(-1), 8)
+        out.append(8)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(blob: bytes) -> list[np.ndarray]:
+    """Decode EVERY frame of a GIF to (H, W, 3) RGB arrays. Frames
+    are decoded independently against their color table — no disposal
+    compositing (our encoder emits full frames; partial-frame
+    animations would need the previous canvas, documented out of
+    scope with a fail-stop on sub-region descriptors)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(blob[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02X}")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", blob[pos + 1 : pos + 10])
+        if (left, top) != (0, 0) or (w, h) != (sw, sh):
+            raise ValueError(
+                "sub-region animation frames (disposal compositing) unsupported"
+            )
+        pos += 10
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(blob[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image without any color table")
+        min_code = blob[pos]
+        pos += 1
+        data = bytearray()
+        while blob[pos] != 0:
+            ln = blob[pos]
+            data += blob[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # block terminator
+        idx = _lzw_decompress(bytes(data), min_code, w * h).reshape(h, w)
+        if iflags & 0x40:
+            de = np.empty_like(idx)
+            de[_interlace_order(h)] = idx
+            idx = de
+        if idx.max() >= len(ct):
+            raise ValueError("pixel index outside the color table")
+        frames.append(ct[idx])
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return frames

@@ -821,6 +821,95 @@ def jpeg_progressive_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Video modality (r10 tail): animated GIF as the real multi-frame
+# container. Frame extraction + temporal sampling — what a training
+# pipeline runs on video — operate on real per-frame LZW streams
+# instead of the byte-stride stand-in (frame_sample keeps serving the
+# opaque-codec case).
+# ---------------------------------------------------------------------------
+
+VIDEO_DIM = 16  # frame dims; frame count varies 2..5 by doc_id
+
+
+def synth_real_videos(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): real animated GIFs; frame f's pixels =
+    (doc_id*31 + f*97 + y*7 + x*13) mod 256 over VIDEO_DIM^2, with
+    2 + doc_id%4 frames."""
+    from outboxx_spark.dataops.gif import encode_gif_frames
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf = 2 + (d % 4 + 4) % 4
+                y, x = np.mgrid[0:VIDEO_DIM, 0:VIDEO_DIM]
+                frames = [
+                    ((d * 31 + f * 97 + y * 7 + x * 13) % 256).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                blobs.append(encode_gif_frames(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id")
+        .repartition(par)
+        .mapInPandas(gen, "doc_id long, blob binary")
+    )
+
+
+def video_frame_stats(docs: DataFrame, every_k: int = 2) -> DataFrame:
+    """Temporal sampling over REAL frame extraction: decode every
+    frame, keep frame indices ≡ 0 (mod every_k), one row per sampled
+    frame with its integer pixel sum (identity-palette GIF: the R
+    channel IS the grayscale value). Long/skinny output — the shape a
+    downstream embed-every-nth-frame stage consumes."""
+    from outboxx_spark.dataops.gif import decode_gif_frames
+
+    vids = synth_real_videos(docs)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, b in zip(pdf["doc_id"], pdf["blob"]):
+                frames = decode_gif_frames(bytes(b))
+                for fi in range(0, len(frames), every_k):
+                    px = frames[fi][..., 0].astype(np.int64)
+                    rows.append((int(d), len(frames), fi, int(px.sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "frame_idx", "pixsum"]
+            )
+
+    return vids.mapInPandas(
+        stats, "doc_id long, n_frames long, frame_idx long, pixsum long"
+    )
+
+
+def VIDEO_FRAME_STATS_SQL(every_k: int = 2) -> str:
+    return f"""
+WITH vids AS (
+  SELECT doc_id, 2 + ((doc_id % 4) + 4) % 4 AS nf FROM documents
+),
+sampled AS (
+  SELECT doc_id, nf, f
+  FROM (SELECT v.*, unnest(range(nf)) AS f FROM vids v)
+  WHERE f % {every_k} = 0
+),
+px AS (
+  SELECT doc_id, nf, f,
+         (((doc_id * 31 + f * 97 + (i // {VIDEO_DIM}) * 7
+            + (i % {VIDEO_DIM}) * 13) % 256) + 256) % 256 AS b
+  FROM (SELECT s.*, unnest(range({VIDEO_DIM * VIDEO_DIM})) AS i FROM sampled s)
+)
+SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, CAST(f AS BIGINT) AS frame_idx,
+       CAST(sum(b) AS BIGINT) AS pixsum
+FROM px
+GROUP BY doc_id, nf, f
+"""
+
+
 def synth_real_color_jpegs(docs: DataFrame) -> DataFrame:
     """(doc_id, blob): real baseline 4:4:4 COLOR JPEGs of constant 8x8
     blocks; per-channel block values from independent doc_id formulas

@@ -147,11 +147,19 @@ def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
     tag, n_ch, rate, _, block_align, bits = fmt
     if tag == _FMT_EXTENSIBLE:
         raise ValueError("WAVE_FORMAT_EXTENSIBLE without PCM subformat support")
-    if tag != _FMT_PCM:
-        raise ValueError(f"unsupported WAV format tag 0x{tag:04X} (PCM only)")
     if n_ch < 1:
         raise ValueError("zero channels")
-    if bits == 16:
+    if tag in (_FMT_ULAW, _FMT_ALAW):  # G.711 companded, 8 bits/sample
+        if bits != 8:
+            raise ValueError("G.711 WAV must be 8 bits/sample")
+        lut = _g711_lut(tag)
+        raw = np.frombuffer(data[: len(data) - len(data) % n_ch], "u1")
+        arr = lut[raw]
+    elif tag != _FMT_PCM:
+        raise ValueError(
+            f"unsupported WAV format tag 0x{tag:04X} (PCM/G.711 only)"
+        )
+    elif bits == 16:
         raw = np.frombuffer(data[: len(data) - len(data) % (2 * n_ch)], "<i2")
         arr = raw.astype(np.int32)
     elif bits == 8:
@@ -162,3 +170,92 @@ def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
     if arr.size % n_ch:
         raise ValueError("sample count not divisible by channel count")
     return int(rate), arr.reshape(-1, n_ch)
+
+
+def _g711_lut(tag: int) -> np.ndarray:
+    exp = ulaw_expand if tag == _FMT_ULAW else alaw_expand
+    return np.array([exp(b) for b in range(256)], dtype=np.int32)
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding (format tags 6 = A-law, 7 = mu-law)
+# ---------------------------------------------------------------------------
+#
+# Telephony WAVs store 8-bit companded samples; both laws are pure
+# integer maps, so expansion is exactly mirrorable in SQL (the
+# mm_audio certification pattern extends to them unchanged).
+
+_FMT_ALAW = 0x0006
+_FMT_ULAW = 0x0007
+
+
+def ulaw_expand(u: int) -> int:
+    """ITU-T G.711 mu-law byte -> linear PCM (int, 16-bit range)."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    x = (((mant << 3) + 0x84) << exp) - 0x84
+    return -x if sign else x
+
+
+def ulaw_compress(x: int) -> int:
+    """Linear PCM -> mu-law byte (the 0x84-bias, clamp-at-32635
+    variant every G.711 implementation ships)."""
+    sign = 0x80 if x < 0 else 0
+    x = min(abs(x), 32635) + 0x84
+    exp = x.bit_length() - 8  # x in [0x84, 32767+0x84] -> exp in 0..7
+    mant = (x >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def alaw_expand(a: int) -> int:
+    """ITU-T G.711 A-law byte -> linear PCM. A-law's sign bit is the
+    INVERSE of mu-law's: set (after the 0x55 toggle) means positive."""
+    a ^= 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    if exp == 0:
+        x = (mant << 4) + 8
+    else:
+        x = ((mant << 4) + 0x108) << (exp - 1)
+    return x if sign else -x
+
+
+def alaw_compress(x: int) -> int:
+    """Linear PCM -> A-law byte."""
+    sign = 0x80 if x >= 0 else 0
+    x = min(abs(x), 32767)
+    if x < 256:
+        out = x >> 4
+    else:
+        exp = x.bit_length() - 8  # x in [256, 32767] -> exp in 1..7
+        out = (exp << 4) | ((x >> (exp + 3)) & 0x0F)
+    return (out | sign) ^ 0x55
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """Encode int16-range samples as a G.711 WAV (8 bits/sample,
+    format tag 6/7). Mono or multi-channel like encode_wav."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    comp = ulaw_compress if law == "ulaw" else alaw_compress
+    tag = _FMT_ULAW if law == "ulaw" else _FMT_ALAW
+    flat = samples.reshape(-1).tolist()
+    data = bytes(comp(int(v)) for v in flat)
+    n_ch = samples.shape[1]
+    fmt = struct.pack("<HHIIHH", tag, n_ch, sample_rate, sample_rate * n_ch, n_ch, 8)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -206,3 +206,68 @@ def test_feature_pass_never_moves_blobs_through_a_shuffle(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding (mu-law / A-law)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_value_idempotence_and_error_bound():
+    from outboxx_spark.dataops.wav import (
+        alaw_compress,
+        alaw_expand,
+        ulaw_compress,
+        ulaw_expand,
+    )
+
+    for x in list(range(-33000, 33001, 97)) + [0, 1, -1, 32767, -32768]:
+        for comp, exp in (
+            (ulaw_compress, ulaw_expand),
+            (alaw_compress, alaw_expand),
+        ):
+            v = exp(comp(x))
+            # the canonical value is a fixed point of the codec
+            assert exp(comp(v)) == v, (comp.__name__, x)
+            clamp = max(min(x, 32767), -32767)
+            # logarithmic quantization: error <= ~1/16 of magnitude
+            assert abs(v - clamp) <= max(abs(clamp) >> 4, 64), (comp.__name__, x)
+
+
+def test_g711_every_byte_decodes_to_a_fixed_point():
+    from outboxx_spark.dataops.wav import (
+        alaw_compress,
+        alaw_expand,
+        ulaw_compress,
+        ulaw_expand,
+    )
+
+    for b in range(256):
+        assert ulaw_expand(ulaw_compress(ulaw_expand(b))) == ulaw_expand(b)
+        assert alaw_expand(alaw_compress(alaw_expand(b))) == alaw_expand(b)
+
+
+def test_g711_wav_container_roundtrip():
+    from outboxx_spark.dataops.wav import (
+        decode_wav,
+        encode_wav_g711,
+        parse_wav_meta,
+        ulaw_expand,
+    )
+
+    # canonical-valued samples survive the container bit-exactly
+    vals = np.array([ulaw_expand(b) for b in range(0, 256, 3)])
+    blob = encode_wav_g711(vals, 8000, "ulaw")
+    rate, arr = decode_wav(blob)
+    assert rate == 8000 and (arr[:, 0] == vals).all()
+    meta = parse_wav_meta(blob)
+    assert meta["bits"] == 8 and meta["n_frames"] == len(vals)
+
+
+def test_g711_alaw_sign_convention():
+    from outboxx_spark.dataops.wav import alaw_compress, alaw_expand
+
+    # A-law's sign bit is the inverse of mu-law's; a regression here
+    # silently negates the whole stream
+    assert alaw_expand(alaw_compress(1000)) > 0
+    assert alaw_expand(alaw_compress(-1000)) < 0

@@ -132,3 +132,46 @@ def test_real_image_decode_routes_gif_and_bmp():
     # identity grayscale palette -> luma == index == pixel
     assert (real_image_decode(encode_gif_gray(px)) == px).all()
     assert (real_image_decode(encode_bmp_gray(px)) == px).all()
+
+
+# ---------------------------------------------------------------------------
+# animated GIF (the video container)
+# ---------------------------------------------------------------------------
+
+
+def test_animated_gif_roundtrips_every_frame():
+    from outboxx_spark.dataops.gif import decode_gif_frames, encode_gif_frames
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, size=(13, 17)).astype(np.uint8) for _ in range(5)]
+    out = decode_gif_frames(encode_gif_frames(frames))
+    assert len(out) == 5
+    assert all((o[..., 0] == f).all() for o, f in zip(out, frames))
+
+
+def test_first_frame_decode_skips_netscape_extension():
+    from outboxx_spark.dataops.gif import decode_gif, encode_gif_frames
+
+    frames = [_grad(6, 6, seed=i) for i in range(3)]
+    blob = encode_gif_frames(frames)
+    assert (decode_gif(blob)[..., 0] == frames[0]).all()
+
+
+def test_subregion_frames_fail_stop():
+    import struct as _s
+
+    from outboxx_spark.dataops.gif import decode_gif_frames, encode_gif_frames
+
+    frames = [_grad(8, 8, seed=2)] * 2
+    blob = bytearray(encode_gif_frames(frames))
+    # locate the SECOND image descriptor via its preceding GCE (a bare
+    # 0x2C search could false-match LZW data bytes)
+    import re
+
+    gces = [m.start() for m in re.finditer(b"\x21\xf9", bytes(blob))]
+    assert len(gces) == 2
+    desc = gces[1] + 8  # GCE is 8 bytes: 21 F9 04 .. .. .. .. 00
+    assert blob[desc] == 0x2C
+    blob[desc + 1 : desc + 3] = _s.pack("<H", 1)
+    with pytest.raises(ValueError, match="sub-region"):
+        decode_gif_frames(bytes(blob))
