@@ -1422,6 +1422,12 @@ def q_docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linededup.dedup_paragraphs(read_table(spark, sf_dir, "documents"))
 
 
+def q_mm_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF decode certification: real PackBits TIFFs (run-heavy
+    formula) -> IFD walk + RLE decode -> stats DuckDB recomputes."""
+    return mm.tiff_pixel_stats(read_table(spark, sf_dir, "documents"))
+
+
 def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-container certification: real animated GIFs -> per-frame
     LZW decode -> every-2nd-frame temporal sample -> pixel sums DuckDB
@@ -1524,6 +1530,8 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- real video container: animated-GIF frame extraction +
         # temporal sampling
         "mm_video_frames": q_mm_video_frames,
+        # -- TIFF decode certification (IFD walk + PackBits RLE)
+        "mm_tiff_stats": q_mm_tiff_stats,
     }
 
 
@@ -1563,4 +1571,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "mm_jpeg_prog_stats": mm.MM_JPEG_STATS_SQL,
         "mm_audio_g711": audio_mod.G711_STATS_SQL,
         "mm_video_frames": mm.VIDEO_FRAME_STATS_SQL(),
+        "mm_tiff_stats": mm.MM_TIFF_STATS_SQL,
     }

@@ -94,6 +94,14 @@ def parse_image_dims(blob: bytes) -> tuple[str, int, int] | None:
             h = int.from_bytes(blob[20:24], "big")
             return ("image/png", w, h)
         return None
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: width/height live in the first IFD (r10 tail)
+        from outboxx_spark.dataops.tiff import parse_tiff_meta
+
+        meta = parse_tiff_meta(blob)
+        if meta is not None:
+            return ("image/tiff", meta[0], meta[1])
+        return None
     if blob[:2] == b"\xff\xd8":
         pos = 2
         n = len(blob)
@@ -463,6 +471,17 @@ def real_image_decode(blob: bytes) -> np.ndarray:
             (rgb64[..., 0] * 299 + rgb64[..., 1] * 587 + rgb64[..., 2] * 114)
             // 1000
         ).astype(np.uint8)
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from outboxx_spark.dataops.tiff import decode_tiff
+
+        px = decode_tiff(blob)
+        if px.ndim == 2:
+            return px
+        rgb64 = px.astype(np.int64)
+        return (
+            (rgb64[..., 0] * 299 + rgb64[..., 1] * 587 + rgb64[..., 2] * 114)
+            // 1000
+        ).astype(np.uint8)
     raise NotImplementedError(
         "pixel decode for this format requires PIL/pillow, not present "
         "in this container (pip has no network route here, re-verified r10)"
@@ -819,6 +838,78 @@ def jpeg_progressive_stats(docs: DataFrame) -> DataFrame:
     return jpegs.mapInPandas(
         stats, "doc_id long, n_px long, pixsum long, pixmin long, pixmax long"
     )
+
+
+def synth_real_tiffs(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): real PackBits TIFFs. pixel[y, x] = (doc_id*31 +
+    y*7 + (x // 6)*13) mod 256 — constant 6-pixel segments, so the
+    PackBits stream carries genuine repeat runs AND the literal
+    transitions between them."""
+    from outboxx_spark.dataops.tiff import encode_tiff_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 16 + (d % PNG_DIM_MOD + PNG_DIM_MOD) % PNG_DIM_MOD
+                h = 16 + (d * 3 % PNG_DIM_MOD + PNG_DIM_MOD) % PNG_DIM_MOD
+                y, x = np.mgrid[0:h, 0:w]
+                px = ((d * 31 + y * 7 + (x // 6) * 13) % 256).astype(np.uint8)
+                blobs.append(encode_tiff_gray(px, packbits=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id")
+        .repartition(par)
+        .mapInPandas(gen, "doc_id long, blob binary")
+    )
+
+
+def tiff_pixel_stats(docs: DataFrame) -> DataFrame:
+    """TIFF certification body: real PackBits TIFFs -> IFD walk ->
+    RLE decode (via real_image_decode) -> integer whole-image stats."""
+    tiffs = synth_real_tiffs(docs)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, b in zip(pdf["doc_id"], pdf["blob"]):
+                px = real_image_decode(bytes(b)).astype(np.int64)
+                rows.append(
+                    (int(d), px.size, int(px.sum()), int(px.min()), int(px.max()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_px", "pixsum", "pixmin", "pixmax"]
+            )
+
+    return tiffs.mapInPandas(
+        stats, "doc_id long, n_px long, pixsum long, pixmin long, pixmax long"
+    )
+
+
+MM_TIFF_STATS_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         16 + ((doc_id % {PNG_DIM_MOD}) + {PNG_DIM_MOD}) % {PNG_DIM_MOD} AS w,
+         16 + (((doc_id * 3) % {PNG_DIM_MOD}) + {PNG_DIM_MOD}) % {PNG_DIM_MOD} AS h
+  FROM documents
+),
+vals AS (
+  SELECT doc_id,
+         (((doc_id * 31 + (i // w) * 7 + ((i % w) // 6) * 13) % 256) + 256)
+           % 256 AS b
+  FROM (SELECT d.*, unnest(range(w * h)) AS i FROM dims d)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(b) AS BIGINT) AS pixsum,
+       CAST(min(b) AS BIGINT) AS pixmin,
+       CAST(max(b) AS BIGINT) AS pixmax
+FROM vals
+GROUP BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------

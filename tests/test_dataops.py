@@ -365,7 +365,7 @@ def test_real_decode_gate_covers_only_formats_without_a_codec():
     with pytest.raises(PngError):
         real_image_decode(b"\x89PNG\r\n\x1a\n truncated")
     with pytest.raises(NotImplementedError):
-        real_image_decode(b"II*\x00 tiff has no pure codec here")
+        real_image_decode(b"RIFF\x00\x00\x00\x00WEBP no pure codec here")
 
 
 def test_pixel_decode_features_on_real_png(spark):

@@ -160,11 +160,11 @@ def test_real_image_decode_uses_pure_codec_without_pillow():
     if not _pil_available():
         # r10 tail: baseline JPEG decodes through dataops/jpeg.py now,
         # so a malformed JPEG is LOUD (ValueError from the codec); the
-        # pillow gate covers only formats with no pure codec (e.g. GIF)
+        # pillow gate covers only formats with no pure codec (e.g. WebP)
         with pytest.raises(ValueError):
             real_image_decode(b"\xff\xd8\xff\xe0 fake jpeg")
         with pytest.raises(NotImplementedError, match="pillow"):
-            real_image_decode(b"II*\x00 tiff has no pure codec here")
+            real_image_decode(b"RIFF\x00\x00\x00\x00WEBP no pure codec here")
 
 
 def test_pixel_band_stats_match_generating_formula(spark):
