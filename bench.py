@@ -638,6 +638,7 @@ def main() -> None:
     dedup_store_b1_sec = dedup_store_b2_sec = None
     dedup_store_vs_4x_sec = dedup_store_compact_sec = None
     dedup_store_files_before = dedup_store_files_after = None
+    dedup_store_bytes = None
     store_root = tempfile.mkdtemp(prefix="bench_dedupstore_")
     try:
         from outboxx_spark.dataops.incremental import (
@@ -652,8 +653,8 @@ def main() -> None:
         # min of 2 full b1->b2 trials on fresh stores (the queries' own
         # min-of-3 noise policy; r10 measured the cold first trial at
         # 8.3/5.2s vs 2.4/3.7s warm — first-execution warmup, not the
-        # ingest protocol under test). The LAST trial's store carries
-        # the valid two-batch state the 4x/compaction legs below grow.
+        # ingest protocol under test). BOTH trial stores carry valid
+        # two-batch state; the 4x/compaction legs below grow each one.
         b1_trials, b2_trials = [], []
         for trial in range(2):
             store = f"{store_root}/store{trial}"
@@ -685,46 +686,71 @@ def main() -> None:
         probe_reruns.append(
             (("dedup_store_b1_sec", "dedup_store_b2_sec"), _rerun_dedup_store)
         )
-        # Store-SIZE independence: grow the store to ~4x the corpus with
-        # alphabet-rotated copies (disjoint shingle sets, no clone
-        # clusters), then time one more half-corpus batch. The probe is
-        # partition-pruned + broadcast-batch, so this must cost the same
-        # order as b2 against the small store — a store-scan per batch
-        # would grow with store size instead.
-        alpha = "abcdefghijklmnopqrstuvwxyz"
-        for r in (1, 2, 3):
-            rot = alpha[r:] + alpha[:r]
-            copy = docs.select(
-                (F.col("doc_id") + r * n_docs).alias("doc_id"),
-                F.translate("text", alpha, rot).alias("text"),
-            )
-            incremental_minhash_dedup_batch(copy, store, batch_id=1 + r)
-            gc.collect()  # release each growth batch's checkpoint blocks
-        probe_batch = docs.select(
-            (F.col("doc_id") + 4 * n_docs).alias("doc_id"),
-            F.translate("text", alpha, alpha[4:] + alpha[:4]).alias("text"),
-        ).filter(F.col("doc_id") < 4 * n_docs + n_docs // 2)
-        dedup_store_vs_4x_sec = round(
-            _timed(lambda: incremental_minhash_dedup_batch(probe_batch, store, batch_id=5)),
-            4,
-        )
-        gc.collect()
-        # Compaction: bin-pack the 6 batch generations, track the
-        # parquet file-count drop (the small-files debt it erases).
+        # Store-SIZE independence + compaction, min of 2 FULL trials
+        # (r10 final): the grown-store legs (growth probe + compact)
+        # swung 2.4-5.6s on identical code across three same-day runs
+        # while b1/b2 sat at their pins — single samples of the LATE
+        # legs absorb whatever session pressure accumulated by then.
+        # Both trial stores from the b1/b2 loop already exist, so each
+        # gets the identical grow->probe->compact sequence and every
+        # leg reports its min, the same policy the timed queries use.
+        #
+        # Growth: ~4x the corpus via alphabet-rotated copies (disjoint
+        # shingle sets, no clone clusters); the probe batch then must
+        # cost the same order as b2 against the small store — a
+        # store-scan per batch would grow with store size instead.
         import os as _os
 
-        def _pq_files() -> int:
+        def _pq_files(st: str) -> int:
             total = 0
             for tree in ("buckets", "docs"):
-                for _, _, files in _os.walk(f"{store}/{tree}"):
+                for _, _, files in _os.walk(f"{st}/{tree}"):
                     total += sum(1 for f in files if f.endswith(".parquet"))
             return total
 
-        dedup_store_files_before = _pq_files()
-        dedup_store_compact_sec = round(
-            _timed(lambda: compact_dedup_store(spark, store)), 4
-        )
-        dedup_store_files_after = _pq_files()
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        vs4x_trials, compact_trials = [], []
+        for trial in range(2):
+            store = f"{store_root}/store{trial}"
+            for r in (1, 2, 3):
+                rot = alpha[r:] + alpha[:r]
+                copy = docs.select(
+                    (F.col("doc_id") + r * n_docs).alias("doc_id"),
+                    F.translate("text", alpha, rot).alias("text"),
+                )
+                incremental_minhash_dedup_batch(copy, store, batch_id=1 + r)
+                gc.collect()  # release each growth batch's checkpoint blocks
+            probe_batch = docs.select(
+                (F.col("doc_id") + 4 * n_docs).alias("doc_id"),
+                F.translate("text", alpha, alpha[4:] + alpha[:4]).alias("text"),
+            ).filter(F.col("doc_id") < 4 * n_docs + n_docs // 2)
+            vs4x_trials.append(
+                _timed(
+                    lambda: incremental_minhash_dedup_batch(
+                        probe_batch, store, batch_id=5
+                    )
+                )
+            )
+            gc.collect()
+            if trial == 0:
+                # data-volume attribution for this family (the rows_*
+                # probes' rationale): the grown store's bytes move with
+                # the corpus's shingle volume, so a cross-round timing
+                # diff can be read against the data it ingested
+                dedup_store_bytes = 0
+                for _r, _, _files in _os.walk(store):
+                    dedup_store_bytes += sum(
+                        _os.path.getsize(_os.path.join(_r, f)) for f in _files
+                    )
+                dedup_store_files_before = _pq_files(store)
+            compact_trials.append(
+                _timed(lambda: compact_dedup_store(spark, store))
+            )
+            gc.collect()
+            if trial == 0:
+                dedup_store_files_after = _pq_files(store)
+        dedup_store_vs_4x_sec = round(min(vs4x_trials), 4)
+        dedup_store_compact_sec = round(min(compact_trials), 4)
     except Exception as e:  # the probe must never sink the bench
         print(f"# dedup store probe failed: {type(e).__name__}: {e}", file=sys.stderr)
     finally:
@@ -757,6 +783,7 @@ def main() -> None:
         "dedup_store_compact_sec": dedup_store_compact_sec,
         "dedup_store_files_before": dedup_store_files_before,
         "dedup_store_files_after": dedup_store_files_after,
+        "dedup_store_bytes": dedup_store_bytes,
         "emb_lsh_1x_sec": emb_lsh_1x,
         "emb_lsh_4x_sec": emb_lsh_4x,
         "emb_lsh_4x_time_ratio": (
