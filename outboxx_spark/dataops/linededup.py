@@ -48,14 +48,18 @@ from outboxx_spark.dataops.chunking import chunk_documents, chunk_documents_sql
 SEG_TOKENS = 3  # segment length; window == stride -> non-overlapping
 
 
-def dedup_paragraphs(df: DataFrame, seg_len: int = SEG_TOKENS) -> DataFrame:
-    """(doc_id, kept, dropped, new_text): every duplicated segment
-    survives only at its first corpus-order occurrence; new_text is
-    the document with later occurrences removed, original order
-    preserved."""
-    segs = chunk_documents(df, window=seg_len, stride=seg_len).select(
+def segment_occurrences(df: DataFrame, seg_len: int = SEG_TOKENS) -> DataFrame:
+    """(doc_id, chunk_id, seg): the occurrence frame both the batch
+    and streaming dedup mark up."""
+    return chunk_documents(df, window=seg_len, stride=seg_len).select(
         "doc_id", "chunk_id", F.col("chunk").alias("seg")
     )
+
+
+def mark_owners(segs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, seg, keep): keep = this occurrence is the
+    segment's smallest (doc_id, chunk_id) within ``segs`` — the
+    first-occurrence-wins rule, frame-local."""
     own = segs.groupBy("seg").agg(
         F.min(F.struct("doc_id", "chunk_id")).alias("owner"),
         F.count(F.lit(1)).alias("n_occ"),
@@ -64,9 +68,14 @@ def dedup_paragraphs(df: DataFrame, seg_len: int = SEG_TOKENS) -> DataFrame:
         (F.col("owner.doc_id") == F.col("doc_id"))
         & (F.col("owner.chunk_id") == F.col("chunk_id"))
     )
-    marked = segs.join(own, "seg").select(
+    return segs.join(own, "seg").select(
         "doc_id", "chunk_id", "seg", keep_flag.alias("keep")
     )
+
+
+def reassemble(marked: DataFrame) -> DataFrame:
+    """(doc_id, kept, dropped, new_text) from a marked occurrence
+    frame: per-document sorted aggregate, original order preserved."""
     kept_list = F.transform(
         F.array_sort(
             F.collect_list(
@@ -87,6 +96,14 @@ def dedup_paragraphs(df: DataFrame, seg_len: int = SEG_TOKENS) -> DataFrame:
             F.array_join(kept_list, " ").alias("new_text"),
         )
     )
+
+
+def dedup_paragraphs(df: DataFrame, seg_len: int = SEG_TOKENS) -> DataFrame:
+    """(doc_id, kept, dropped, new_text): every duplicated segment
+    survives only at its first corpus-order occurrence; new_text is
+    the document with later occurrences removed, original order
+    preserved."""
+    return reassemble(mark_owners(segment_occurrences(df, seg_len)))
 
 
 def DEDUP_PARAGRAPHS_SQL(seg_len: int = SEG_TOKENS) -> str:
