@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from outboxx_spark.config import TOAST_PLACEHOLDER
-from outboxx_spark.dataops import bloom, cms, dedup_recall, hll
+from outboxx_spark.dataops import bloom, cms, dedup_recall, hll, theta
 from outboxx_spark.dataops import corpus_diff as corpus_diff_mod
 from outboxx_spark.dataops import normalize as normalize_mod
 from outboxx_spark.operators import drift, incragg
@@ -1532,6 +1532,9 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_frames": q_mm_video_frames,
         # -- TIFF decode certification (IFD walk + PackBits RLE)
         "mm_tiff_stats": q_mm_tiff_stats,
+        # -- relational Theta/KMV sketch: mergeable set state with
+        # direct intersection (corpus-overlap / contamination at scale)
+        "olap_theta_sketch": theta.theta_sketch_check,
     }
 
 
@@ -1572,4 +1575,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "mm_audio_g711": audio_mod.G711_STATS_SQL,
         "mm_video_frames": mm.VIDEO_FRAME_STATS_SQL(),
         "mm_tiff_stats": mm.MM_TIFF_STATS_SQL,
+        "olap_theta_sketch": theta.THETA_SKETCH_SQL,
     }

@@ -1,0 +1,211 @@
+"""Relational Theta/KMV sketch: distinct-SET state as a mergeable
+DataFrame — the fourth member of the sketch family next to `cms.py`
+(frequency), `bloom.py` (membership) and `hll.py` (cardinality).
+
+What HLL cannot do and this can: **set intersection**. Estimating
+|A ∩ B| from two HLLs needs inclusion-exclusion, whose error compounds
+with the set sizes rather than the intersection size; a theta sketch
+intersects the retained hash samples directly, so overlap between two
+independently-sketched corpora (train-vs-benchmark contamination, two
+corpus versions, per-source shingle overlap) is a first-class query.
+At 100 TB the workflow is: sketch each source/version once at write
+time (k rows of parquet each), then answer any pairwise union /
+intersection / Jaccard question from the sketches alone — no second
+scan of either corpus.
+
+Sketch state = the k smallest distinct xxhash64 values of the key set
+(KMV, Beyer et al. 2007 / Dasgupta et al. 2016 theta sketch). Hashes
+stay signed longs relationally; ranks map monotonically to [0, 1) via
+u = (h + 2^63) / 2^64, so ORDER BY the signed long IS the KMV order.
+
+- estimate:  n ≈ (k - 1) / u_k   (u_k = k-th smallest rank); exact
+  (theta = 1, est = row count) while |set| <= k.
+- union:     union the hash frames, distinct, keep k smallest again.
+- intersect: theta = min(theta_A, theta_B); retained = hashes present
+  in BOTH frames with rank < theta; est = |retained| / theta. Each
+  retained hash is an (almost) Bernoulli(theta) sample of A ∩ B, so
+  rel. sigma ≈ sqrt((1-theta) / (|A∩B| * theta)).
+
+Scale shape: the k-smallest selection is `sort + limit`, which
+Catalyst executes as TakeOrderedAndProject — per-partition partial
+top-k, then a k·numPartitions driver merge. k = 2048 keeps that
+metadata-sized (32 MB even at 1000 partitions); for k large enough to
+matter, pre-shrink with one `groupBy(pmod(h, P)).agg(sort+slice)`
+round so the driver merge sees P·k rows max. Everything else is
+joins/aggregates over at-most-k-row frames.
+
+Certification (staged oracle ``olap_theta_sketch``): 3-token shingle
+sets of the even/odd doc_id halves of `documents` — the contamination
+use-case in miniature. Exact |A|, |B|, |A∩B|, |A∪B| are the checked
+columns; the sketch estimates fold in as literals (deterministic
+functions of the same input) and the flags pin each estimate within
+5 sigma of exact. xxhash64 is fixed, so the flags are stable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from outboxx_spark.dataops.chunking import chunk_documents
+from outboxx_spark.sources.tables import read_table
+
+K_DEFAULT = 2048
+_TWO63 = float(1 << 63)
+_TWO64 = float(1 << 64)
+
+
+def _rank(h: int) -> float:
+    """Signed long -> (0, 1] KMV rank, monotone in the signed order."""
+    return (float(h) + _TWO63 + 1.0) / _TWO64
+
+
+def theta_sketch(df: DataFrame, key_col: str, k: int = K_DEFAULT) -> DataFrame:
+    """(h,): the k smallest distinct xxhash64 values of ``key_col``.
+    sort+limit => TakeOrderedAndProject (partial top-k per partition,
+    k-row driver merge) after the one distinct shuffle."""
+    return (
+        df.select(F.xxhash64(F.col(key_col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def theta_union(a: DataFrame, b: DataFrame, k: int = K_DEFAULT) -> DataFrame:
+    """Sketch of A ∪ B: merge the retained samples, re-trim to k.
+    Associative and commutative — fold any number of per-source
+    sketches this way."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def _collect_hashes(sketch: DataFrame) -> list[int]:
+    return sorted(r["h"] for r in sketch.collect())  # <= k rows
+
+
+def theta_estimate(sketch: DataFrame, k: int = K_DEFAULT) -> float:
+    """KMV estimator over the (<= k)-row frame: exact below k, else
+    (k-1)/u_k. Driver work is sketch-sized by construction."""
+    hs = _collect_hashes(sketch)
+    if len(hs) < k:
+        return float(len(hs))
+    return (k - 1) / _rank(hs[-1])
+
+
+def theta_intersect_estimate(
+    a: DataFrame, b: DataFrame, k: int = K_DEFAULT
+) -> float:
+    """|A ∩ B| from the two sketches alone: cut both at the smaller
+    theta, count hashes retained by BOTH, divide by theta."""
+    ha, hb = _collect_hashes(a), _collect_hashes(b)
+    theta = min(
+        1.0 if len(ha) < k else _rank(ha[-1]),
+        1.0 if len(hb) < k else _rank(hb[-1]),
+    )
+    both = set(h for h in ha if _rank(h) < theta or theta == 1.0) & set(
+        h for h in hb if _rank(h) < theta or theta == 1.0
+    )
+    return len(both) / theta
+
+
+def _shingles(spark: SparkSession, sf_dir: str, seg_len: int = 3) -> DataFrame:
+    """(doc_id, seg): non-overlapping seg_len-token segments — the
+    linededup segmentation, reused so the oracle CTE matches."""
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=seg_len, stride=seg_len).select(
+        "doc_id", F.col("chunk").alias("seg")
+    )
+
+
+def theta_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification (staged oracle ``olap_theta_sketch``): even/odd
+    doc_id shingle sets; exact sizes as checked columns, sketch
+    estimates pinned within 5 sigma via boolean flags.
+
+    Bands: distinct/union rel. sigma = 1/sqrt(k-2) (Beyer et al.);
+    intersection rel. sigma = sqrt((1-theta)/(n_inter*theta)), both
+    evaluated against the exact counts the query itself computes.
+    """
+    k = K_DEFAULT
+    segs = _shingles(spark, sf_dir)
+    a_rows = segs.filter(F.col("doc_id") % 2 == 0)
+    b_rows = segs.filter(F.col("doc_id") % 2 == 1)
+    sk_a = theta_sketch(a_rows, "seg", k)
+    sk_b = theta_sketch(b_rows, "seg", k)
+    est_a = theta_estimate(sk_a, k)
+    est_b = theta_estimate(sk_b, k)
+    est_union = theta_estimate(theta_union(sk_a, sk_b, k), k)
+    est_inter = theta_intersect_estimate(sk_a, sk_b, k)
+
+    sigma_kmv = 1.0 / math.sqrt(k - 2)
+    exact = (
+        segs.select(
+            "seg",
+            (F.col("doc_id") % 2 == 0).alias("in_a"),
+            (F.col("doc_id") % 2 == 1).alias("in_b"),
+        )
+        .groupBy("seg")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .agg(
+            F.count(F.when(F.col("in_a"), 1)).cast("long").alias("exact_a"),
+            F.count(F.when(F.col("in_b"), 1)).cast("long").alias("exact_b"),
+            F.count(F.when(F.col("in_a") & F.col("in_b"), 1))
+            .cast("long")
+            .alias("exact_inter"),
+            F.count(F.lit(1)).cast("long").alias("exact_union"),
+        )
+    )
+
+    def _within(est: float, col: str, rel_sigma) -> F.Column:
+        return F.abs(F.lit(est) - F.col(col)) <= 5.0 * rel_sigma * F.col(col)
+
+    # theta actually applied to the intersection sample: min of the two
+    # per-sketch cut ranks (1.0 while a side is exact). Folded in as a
+    # literal for the sigma formula, like the estimates themselves.
+    ha, hb = _collect_hashes(sk_a), _collect_hashes(sk_b)
+    theta = min(
+        1.0 if len(ha) < k else _rank(ha[-1]),
+        1.0 if len(hb) < k else _rank(hb[-1]),
+    )
+    inter_sigma = F.when(
+        F.lit(theta) >= 1.0, F.lit(0.0)  # exact regime: demand equality
+    ).otherwise(
+        F.sqrt((1.0 - theta) / (F.col("exact_inter") * theta))
+    )
+    return exact.select(
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+        "exact_union",
+        _within(est_a, "exact_a", F.lit(sigma_kmv)).alias("a_ok"),
+        _within(est_b, "exact_b", F.lit(sigma_kmv)).alias("b_ok"),
+        _within(est_union, "exact_union", F.lit(sigma_kmv)).alias("union_ok"),
+        _within(est_inter, "exact_inter", inter_sigma).alias("inter_ok"),
+    )
+
+
+THETA_SKETCH_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s0 AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 3)) AS st FROM t
+),
+s AS (
+  SELECT doc_id, array_to_string(toks[st + 1 : st + 3], ' ') AS seg FROM s0
+),
+o AS (
+  SELECT seg,
+         bool_or(doc_id % 2 = 0) AS in_a,
+         bool_or(doc_id % 2 = 1) AS in_b
+  FROM s GROUP BY seg
+)
+SELECT CAST(count(*) FILTER (in_a) AS BIGINT)          AS exact_a,
+       CAST(count(*) FILTER (in_b) AS BIGINT)          AS exact_b,
+       CAST(count(*) FILTER (in_a AND in_b) AS BIGINT) AS exact_inter,
+       CAST(count(*) AS BIGINT)                        AS exact_union,
+       TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok
+FROM o
+"""

@@ -1,0 +1,90 @@
+"""Relational Theta/KMV sketch: exact-below-k regime, accuracy bands,
+merge == sketch-of-union, intersection estimation, partition and
+duplication invariance (dataops/theta.py)."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from outboxx_spark.dataops.theta import (
+    K_DEFAULT,
+    theta_estimate,
+    theta_intersect_estimate,
+    theta_sketch,
+    theta_union,
+)
+
+
+def _keys(spark, keys):
+    return spark.createDataFrame([(str(k),) for k in keys], "k string")
+
+
+def _hashes(sketch):
+    return sorted(r["h"] for r in sketch.collect())
+
+
+def test_exact_below_k(spark):
+    est = theta_estimate(theta_sketch(_keys(spark, range(500)), "k"))
+    assert est == 500.0
+
+
+def test_estimate_within_five_sigma(spark):
+    sigma = 1.0 / math.sqrt(K_DEFAULT - 2)
+    for n in (5000, 60000):
+        est = theta_estimate(theta_sketch(_keys(spark, range(n)), "k"))
+        assert abs(est - n) <= 5 * sigma * n, (n, est)
+
+
+def test_duplicates_do_not_move_the_sketch(spark):
+    once = theta_sketch(_keys(spark, list(range(6000))), "k")
+    thrice = theta_sketch(_keys(spark, list(range(6000)) * 3), "k")
+    assert _hashes(once) == _hashes(thrice)
+
+
+def test_sketch_is_partition_invariant(spark):
+    keys = _keys(spark, range(6000))
+    assert _hashes(theta_sketch(keys.repartition(1), "k")) == _hashes(
+        theta_sketch(keys.repartition(17), "k")
+    )
+
+
+def test_union_equals_sketch_of_union(spark):
+    a, b = list(range(6000)), list(range(4000, 10000))
+    merged = theta_union(
+        theta_sketch(_keys(spark, a), "k"), theta_sketch(_keys(spark, b), "k")
+    )
+    whole = theta_sketch(_keys(spark, sorted(set(a) | set(b))), "k")
+    assert _hashes(merged) == _hashes(whole)
+
+
+def test_sketch_size_is_bounded(spark):
+    assert theta_sketch(_keys(spark, range(50000)), "k").count() == K_DEFAULT
+
+
+def test_intersection_estimate(spark):
+    # |A| = |B| = 8000, |A ∩ B| = 4000: sketching regime on both sides.
+    a = theta_sketch(_keys(spark, range(8000)), "k")
+    b = theta_sketch(_keys(spark, range(4000, 12000)), "k")
+    est = theta_intersect_estimate(a, b)
+    # theta ≈ k/8000; rel sigma ≈ sqrt((1-θ)/(4000 θ)) ≈ 2.9%
+    theta_cut = K_DEFAULT / 8000
+    sigma = math.sqrt((1 - theta_cut) / (4000 * theta_cut))
+    assert abs(est - 4000) <= 5 * sigma * 4000, est
+
+
+def test_intersection_exact_when_both_below_k(spark):
+    a = theta_sketch(_keys(spark, range(1000)), "k")
+    b = theta_sketch(_keys(spark, range(600, 1600)), "k")
+    assert theta_intersect_estimate(a, b) == 400.0
+
+
+def test_disjoint_sets_intersect_to_near_zero(spark):
+    a = theta_sketch(_keys(spark, range(8000)), "k")
+    b = theta_sketch(_keys(spark, range(100000, 108000)), "k")
+    est = theta_intersect_estimate(a, b)
+    # binomial(0-mean) fluctuation only: a handful of collisions at most
+    assert est <= 5 / (K_DEFAULT / 8000)
