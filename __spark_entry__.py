@@ -51,7 +51,7 @@ from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
 from outboxx_spark import integrity, olap, olap_tpch, olap_tpch_heavy, olap_tpch_rest
 from outboxx_spark.dataops import audio as audio_mod
 from outboxx_spark.dataops import linededup
-from outboxx_spark.operators import pagerank, zorder
+from outboxx_spark.operators import pagerank, triangles, zorder
 from outboxx_spark.dataops import semdedup
 from outboxx_spark.dataops import substring as substr_mod
 from outboxx_spark.operators.asof import asof_join, asof_join_sql
@@ -1535,6 +1535,9 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- relational Theta/KMV sketch: mergeable set state with
         # direct intersection (corpus-overlap / contamination at scale)
         "olap_theta_sketch": theta.theta_sketch_check,
+        # -- degree-ordered triangle counting (local clustering
+        # numerator/denominator, skew-proof wedge generation)
+        "olap_triangles": triangles.q_triangles,
     }
 
 
@@ -1576,4 +1579,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "mm_video_frames": mm.VIDEO_FRAME_STATS_SQL(),
         "mm_tiff_stats": mm.MM_TIFF_STATS_SQL,
         "olap_theta_sketch": theta.THETA_SKETCH_SQL,
+        "olap_triangles": triangles.TRIANGLES_SQL,
     }
