@@ -1538,6 +1538,9 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- degree-ordered triangle counting (local clustering
         # numerator/denominator, skew-proof wedge generation)
         "olap_triangles": triangles.q_triangles,
+        # -- per-group HLL with the estimator itself relational (no
+        # driver work however many groups)
+        "olap_hll_by_group": hll.hll_by_group_check,
     }
 
 
@@ -1580,4 +1583,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "mm_tiff_stats": mm.MM_TIFF_STATS_SQL,
         "olap_theta_sketch": theta.THETA_SKETCH_SQL,
         "olap_triangles": triangles.TRIANGLES_SQL,
+        "olap_hll_by_group": hll.HLL_BY_GROUP_SQL,
     }

@@ -93,6 +93,94 @@ def hll_estimate(sketch: DataFrame, p: int = P_BITS) -> float:
     return raw
 
 
+P_BITS_BY = 8  # per-group registers: m = 256, sigma ~ 6.5%
+
+
+def hll_sketch_by(
+    df: DataFrame, group_col: str, key_col: str, p: int = P_BITS_BY
+) -> DataFrame:
+    """(group, bucket, max_rho): one register frame PER GROUP — at most
+    2^p rows per group, map-side combined. Merging two corpora's
+    grouped sketches is the same groupBy(group, bucket).max."""
+    m = 1 << p
+    w = 64 - p
+    h = F.xxhash64(F.col(key_col))
+    bucket = F.pmod(h, F.lit(m))
+    v = F.expr(f"shiftrightunsigned(xxhash64({key_col}), {p})")
+    lowbit = v.bitwiseAND(-v)
+    rho = F.when(v == 0, F.lit(w + 1)).otherwise(
+        (F.round(F.log2(lowbit.cast("double"))) + 1).cast("int")
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("group"),
+            bucket.cast("int").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("group", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_by(sketch: DataFrame, p: int = P_BITS_BY) -> DataFrame:
+    """(group, est): the Flajolet estimator evaluated RELATIONALLY —
+    one groupBy over the register frame, every arithmetic step a JVM
+    expression. No collect anywhere: per-source cardinality over a
+    million sources is one aggregation, where the global sketch's
+    driver-side estimate would serialize. Small-range correction
+    branches per group exactly like the scalar path."""
+    m = 1 << p
+    alpha = _alpha(m)
+    agg = sketch.groupBy("group").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nz"),
+    )
+    empties = F.lit(m) - F.col("_nz")
+    raw = F.lit(alpha * m * m) / (F.col("_s") + empties)  # absent: 2^0
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / empties)
+    return agg.select(
+        "group",
+        F.when((raw <= 2.5 * m) & (empties > 0), small)
+        .otherwise(raw)
+        .alias("est"),
+    )
+
+
+def hll_by_group_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification (staged oracle ``olap_hll_by_group``): per
+    event_type exact distinct user_id count plus ``hll_ok`` = the
+    fully-relational grouped estimate within 5 sigma. One query, two
+    plans joined on the group key — the estimate column never leaves
+    the JVM."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    est = hll_estimate_by(hll_sketch_by(ev, "event_type", "user_id"))
+    band = 5.0 * 1.04 / math.sqrt(1 << P_BITS_BY)
+    exact = ev.groupBy(F.col("event_type").alias("group")).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        exact.join(est, "group")
+        .select(
+            F.col("group").alias("event_type"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= F.lit(band) * F.col("exact_users")
+            ).alias("hll_ok"),
+        )
+    )
+
+
+HLL_BY_GROUP_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_ok
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def hll_relational_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certification (staged oracle ``olap_hll_relational``): exact
     distinct user_id count plus ``hll_ok`` = the relational-register
