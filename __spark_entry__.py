@@ -1541,6 +1541,9 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- per-group HLL with the estimator itself relational (no
         # driver work however many groups)
         "olap_hll_by_group": hll.hll_by_group_check,
+        # -- per-source theta sketches -> full pairwise overlap matrix
+        # from the samples alone (sketch-at-write-time workflow)
+        "docs_source_overlap": theta.source_overlap_check,
     }
 
 
@@ -1584,4 +1587,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "olap_theta_sketch": theta.THETA_SKETCH_SQL,
         "olap_triangles": triangles.TRIANGLES_SQL,
         "olap_hll_by_group": hll.HLL_BY_GROUP_SQL,
+        "docs_source_overlap": theta.SOURCE_OVERLAP_SQL,
     }

@@ -110,6 +110,51 @@ def theta_intersect_estimate(
     return len(both) / theta
 
 
+def theta_sketch_by(
+    df: DataFrame, group_col: str, key_col: str, k: int = K_DEFAULT
+) -> DataFrame:
+    """(group, h): one KMV sample PER GROUP — the k smallest distinct
+    hashes within each group, via a window rank instead of the global
+    sort+limit (one shuffle on the group key, no driver merge at all;
+    the per-source sketch-at-write-time shape)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group").orderBy("h")
+    return (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.xxhash64(F.col(key_col)).alias("h"),
+        )
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _pairwise_intersections(
+    sketches: dict[str, list[int]], k: int
+) -> dict[tuple[str, str], tuple[float, float]]:
+    """{(a, b): (est_inter, theta)} for every a < b group pair, from
+    the collected per-group samples (G*k rows total — the matrix costs
+    nothing more than the sketches)."""
+    out = {}
+    for ga in sorted(sketches):
+        for gb in sorted(sketches):
+            if ga >= gb:
+                continue
+            ha, hb = sketches[ga], sketches[gb]
+            theta = min(
+                1.0 if len(ha) < k else _rank(ha[-1]),
+                1.0 if len(hb) < k else _rank(hb[-1]),
+            )
+            both = set(
+                h for h in ha if _rank(h) < theta or theta == 1.0
+            ) & set(h for h in hb if _rank(h) < theta or theta == 1.0)
+            out[(ga, gb)] = (len(both) / theta, theta)
+    return out
+
+
 def _shingles(spark: SparkSession, sf_dir: str, seg_len: int = 3) -> DataFrame:
     """(doc_id, seg): non-overlapping seg_len-token segments — the
     linededup segmentation, reused so the oracle CTE matches."""
@@ -184,6 +229,80 @@ def theta_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         _within(est_union, "exact_union", F.lit(sigma_kmv)).alias("union_ok"),
         _within(est_inter, "exact_inter", inter_sigma).alias("inter_ok"),
     )
+
+
+def source_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification (staged oracle ``docs_source_overlap``): the
+    per-source workflow end-to-end — ONE grouped sketch pass over the
+    corpus, then the full pairwise overlap matrix computed from the
+    G·k collected sample rows alone. Exact pair intersections are the
+    checked columns; each estimate's flag pins it within 5 sigma
+    (equality in the exact-below-k regime)."""
+    k = K_DEFAULT
+    docs = read_table(spark, sf_dir, "documents")
+    segs = chunk_documents(docs, window=3, stride=3).select(
+        "doc_id", F.col("chunk").alias("seg")
+    )
+    lsegs = segs.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang", "seg"
+    )
+    per: dict[str, list[int]] = {}
+    for r in theta_sketch_by(lsegs, "lang", "seg", k).collect():  # G*k rows
+        per.setdefault(r["group"], []).append(r["h"])
+    for hs in per.values():
+        hs.sort()
+    ests = _pairwise_intersections(per, k)
+    est_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (a, b, float(est), float(theta))
+                for (a, b), (est, theta) in ests.items()
+            ],
+            "lang_a string, lang_b string, est double, theta double",
+        )
+    )
+    d = lsegs.distinct()
+    exact = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    sigma = F.sqrt((1.0 - F.col("theta")) / (F.col("exact_inter") * F.col("theta")))
+    ok = F.when(
+        F.col("theta") >= 1.0, F.col("est") == F.col("exact_inter")
+    ).otherwise(
+        F.abs(F.col("est") - F.col("exact_inter"))
+        <= 5.0 * sigma * F.col("exact_inter")
+    )
+    return exact.join(est_df, ["lang_a", "lang_b"]).select(
+        "lang_a", "lang_b", "exact_inter", ok.alias("inter_ok")
+    )
+
+
+SOURCE_OVERLAP_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+s0 AS (
+  SELECT lang, toks, unnest(range(0, len(toks), 3)) AS st FROM t
+),
+s AS (
+  SELECT DISTINCT lang, array_to_string(toks[st + 1 : st + 3], ' ') AS seg
+  FROM s0
+)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       CAST(count(*) AS BIGINT) AS exact_inter,
+       TRUE AS inter_ok
+FROM s a JOIN s b ON a.seg = b.seg AND a.lang < b.lang
+GROUP BY 1, 2
+"""
 
 
 THETA_SKETCH_SQL = """

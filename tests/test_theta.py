@@ -12,9 +12,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from outboxx_spark.dataops.theta import (
     K_DEFAULT,
+    _pairwise_intersections,
     theta_estimate,
     theta_intersect_estimate,
     theta_sketch,
+    theta_sketch_by,
     theta_union,
 )
 
@@ -80,6 +82,37 @@ def test_intersection_exact_when_both_below_k(spark):
     a = theta_sketch(_keys(spark, range(1000)), "k")
     b = theta_sketch(_keys(spark, range(600, 1600)), "k")
     assert theta_intersect_estimate(a, b) == 400.0
+
+
+def test_grouped_sketch_equals_global_sketch_per_group(spark):
+    rows = [(f"g{i % 3}", str(k)) for i, k in enumerate(range(9000))]
+    df = spark.createDataFrame(rows, "g string, k string")
+    grouped = theta_sketch_by(df, "g", "k")
+    per = {}
+    for r in grouped.collect():
+        per.setdefault(r["group"], []).append(r["h"])
+    for g in ("g0", "g1", "g2"):
+        want = _hashes(theta_sketch(df.filter(df.g == g), "k"))
+        assert sorted(per[g]) == want, g
+
+
+def test_pairwise_matrix_exact_below_k(spark):
+    rows = (
+        [("a", str(k)) for k in range(1000)]
+        + [("b", str(k)) for k in range(700, 1700)]
+        + [("c", str(k)) for k in range(5000, 6000)]
+    )
+    df = spark.createDataFrame(rows, "g string, k string")
+    per = {}
+    for r in theta_sketch_by(df, "g", "k").collect():
+        per.setdefault(r["group"], []).append(r["h"])
+    for hs in per.values():
+        hs.sort()
+    got = {
+        pair: est
+        for pair, (est, _) in _pairwise_intersections(per, K_DEFAULT).items()
+    }
+    assert got == {("a", "b"): 300.0, ("a", "c"): 0.0, ("b", "c"): 0.0}
 
 
 def test_disjoint_sets_intersect_to_near_zero(spark):
