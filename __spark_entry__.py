@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from outboxx_spark.config import TOAST_PLACEHOLDER
-from outboxx_spark.dataops import bloom, cms, dedup_recall, hll, theta
+from outboxx_spark.dataops import bloom, cms, dedup_recall, hll, reservoir, theta
 from outboxx_spark.dataops import corpus_diff as corpus_diff_mod
 from outboxx_spark.dataops import normalize as normalize_mod
 from outboxx_spark.operators import drift, incragg
@@ -1544,6 +1544,9 @@ def queries_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- per-source theta sketches -> full pairwise overlap matrix
         # from the samples alone (sketch-at-write-time workflow)
         "docs_source_overlap": theta.source_overlap_check,
+        # -- deterministic mergeable uniform sample + certified
+        # sample-quantile rank bands
+        "olap_sample_quantiles": reservoir.sample_quantiles_check,
     }
 
 
@@ -1588,4 +1591,5 @@ def oracle_sql_staged() -> dict[str, str]:
         "olap_triangles": triangles.TRIANGLES_SQL,
         "olap_hll_by_group": hll.HLL_BY_GROUP_SQL,
         "docs_source_overlap": theta.SOURCE_OVERLAP_SQL,
+        "olap_sample_quantiles": reservoir.SAMPLE_QUANTILES_SQL,
     }
