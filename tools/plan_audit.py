@@ -60,6 +60,12 @@ CARTESIAN_OK = {
     # ONE-ROW (sum_u4, cnt) aggregate — BNLJ with a 1-row build side
     # is the intended shape (olap_tpch_heavy.dormant_rich_customers)
     "olap_dormant_rich_customers",
+    # Q11's decorrelated scalar threshold: part totals crossJoin the
+    # ONE-ROW nation-total aggregate (olap_tpch_rest.important_stock)
+    "olap_important_stock",
+    # min-max normalization joins the ONE-ROW per-dimension bounds
+    # frame back onto every row (operators/zorder.py docstring)
+    "olap_zorder_layout",
 }
 
 THRESHOLDS = {"py_nodes": 2, "from_json": 4, "to_json": 12, "cartesian": 0}
