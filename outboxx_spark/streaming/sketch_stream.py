@@ -111,6 +111,99 @@ def read_cardinalities(
     return hll_estimate_by(read_registers(spark, state_dir), p)
 
 
+def apply_theta_batch(
+    batch: DataFrame,
+    state_dir: str,
+    epoch: int,
+    group_col: str,
+    key_col: str,
+    k: int | None = None,
+) -> None:
+    """Theta-ledger sibling of :func:`apply_sketch_batch`: fold each
+    batch's per-group KMV samples into the newest snapshot with
+    union + re-trim (distinct hashes make even an unguarded re-merge
+    value-safe, like the HLL MAX). The served state is the per-source
+    sample frame `theta_sketch_by` would produce over the whole
+    history — so the LIVE pairwise overlap matrix
+    (`dataops/theta._pairwise_intersections`) comes straight off the
+    snapshot: which sources are converging RIGHT NOW, no rescan."""
+    from pyspark.sql import Window
+
+    from outboxx_spark.dataops.theta import K_DEFAULT, theta_sketch_by
+
+    k = K_DEFAULT if k is None else k
+    spark = batch.sparkSession
+    if gen_committed(spark, state_dir, epoch):
+        return
+    if batch.isEmpty():
+        return
+    regs = theta_sketch_by(batch, group_col, key_col, k)
+    prev = _committed_gens(spark, state_dir)
+    if prev:
+        prev_df = spark.read.schema("group string, h long").parquet(
+            f"{state_dir}/gen={prev[-1]}/registers"
+        )
+        w = Window.partitionBy("group").orderBy("h")
+        regs = (
+            regs.unionByName(prev_df)
+            .distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    gen_dir = f"{state_dir}/gen={epoch}"
+    regs.coalesce(1).write.mode("overwrite").parquet(f"{gen_dir}/registers")
+    fs_write_text(spark, f"{gen_dir}/{_GEN_COMMIT}", "{}")
+    fs, _, jvm = hadoop_fs(spark, state_dir)
+    for g in _committed_gens(spark, state_dir)[:-2]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/gen={g}"), True)
+
+
+def read_theta_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    gens = _committed_gens(spark, state_dir)
+    if not gens:
+        raise FileNotFoundError(f"no committed sketch state under {state_dir}")
+    return spark.read.schema("group string, h long").parquet(
+        f"{state_dir}/gen={gens[-1]}/registers"
+    )
+
+
+def read_overlap_matrix(
+    spark: SparkSession, state_dir: str, k: int | None = None
+) -> dict[tuple[str, str], float]:
+    """{(source_a, source_b): est_intersection} from the newest
+    snapshot's G*k sample rows alone."""
+    from outboxx_spark.dataops.theta import K_DEFAULT, _pairwise_intersections
+
+    k = K_DEFAULT if k is None else k
+    per: dict[str, list[int]] = {}
+    for r in read_theta_state(spark, state_dir).collect():
+        per.setdefault(r["group"], []).append(r["h"])
+    for hs in per.values():
+        hs.sort()
+    return {
+        pair: est for pair, (est, _) in _pairwise_intersections(per, k).items()
+    }
+
+
+def start_theta_stream(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    key_col: str,
+    *,
+    k: int | None = None,
+    available_now: bool = True,
+):
+    writer = stream_df.writeStream.foreachBatch(
+        lambda b, e: apply_theta_batch(b, state_dir, e, group_col, key_col, k)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_sketch_stream(
     stream_df: DataFrame,
     state_dir: str,

@@ -137,3 +137,70 @@ def test_real_stream_run_end_to_end(spark, tmp_path):
 def test_reader_refuses_empty_state(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_registers(spark, str(tmp_path / "nope"))
+
+
+# -- theta ledger (live per-source set samples) ---------------------
+
+
+def _theta_regs(df):
+    return {(r["group"], r["h"]) for r in df.collect()}
+
+
+def test_theta_epochs_fold_to_the_batch_sketch(spark, tmp_path):
+    from outboxx_spark.dataops.theta import theta_sketch_by
+    from outboxx_spark.streaming.sketch_stream import (
+        apply_theta_batch,
+        read_theta_state,
+    )
+
+    ev, h1, h2 = _halves(spark)
+    state = str(tmp_path / "theta")
+    apply_theta_batch(h1, state, 0, "event_type", "user_id")
+    apply_theta_batch(h2, state, 1, "event_type", "user_id")
+    want = _theta_regs(theta_sketch_by(ev, "event_type", "user_id"))
+    assert _theta_regs(read_theta_state(spark, state)) == want
+
+
+def test_theta_replay_and_torn_gen(spark, tmp_path):
+    from outboxx_spark.streaming.sketch_stream import (
+        apply_theta_batch,
+        read_theta_state,
+    )
+
+    _, h1, h2 = _halves(spark)
+    state = str(tmp_path / "theta")
+    apply_theta_batch(h1, state, 0, "event_type", "user_id")
+    apply_theta_batch(h2, state, 1, "event_type", "user_id")
+    want = _theta_regs(read_theta_state(spark, state))
+    apply_theta_batch(h2, state, 1, "event_type", "user_id")  # replay
+    assert _theta_regs(read_theta_state(spark, state)) == want
+    (Path(state) / "gen=1" / _GEN_COMMIT).unlink()  # crash window
+    assert _committed_gens(spark, state) == [0]
+    apply_theta_batch(h2, state, 1, "event_type", "user_id")
+    assert _theta_regs(read_theta_state(spark, state)) == want
+
+
+def test_live_overlap_matrix_matches_batch(spark, tmp_path):
+    from outboxx_spark.dataops.theta import (
+        K_DEFAULT,
+        _pairwise_intersections,
+        theta_sketch_by,
+    )
+    from outboxx_spark.streaming.sketch_stream import (
+        apply_theta_batch,
+        read_overlap_matrix,
+    )
+
+    ev, h1, h2 = _halves(spark)
+    state = str(tmp_path / "theta")
+    apply_theta_batch(h1, state, 0, "event_type", "user_id")
+    apply_theta_batch(h2, state, 1, "event_type", "user_id")
+    per = {}
+    for r in theta_sketch_by(ev, "event_type", "user_id").collect():
+        per.setdefault(r["group"], []).append(r["h"])
+    for hs in per.values():
+        hs.sort()
+    want = {
+        p: est for p, (est, _) in _pairwise_intersections(per, K_DEFAULT).items()
+    }
+    assert read_overlap_matrix(spark, state) == want
