@@ -17,8 +17,10 @@ the k smallest priorities. That makes it
   a corpus sample without touching the corpus again;
 - **uniform over identities**: xxhash64 is a fixed pseudorandom
   function of the id, so any k-subset of distinct ids is equally
-  likely under the hash's design; duplicate ids stay together (the
-  draw is per identity, not per row).
+  likely under the hash's design. ``id_col`` must be unique per row
+  (every table here has one); duplicated ids would tie in priority
+  and the trim at the k boundary would split them arbitrarily —
+  dedupe first if sampling a multiset by identity.
 
 Scale: sort+limit = TakeOrderedAndProject (per-partition partial
 top-k, k-row driver merge), the same shape as the theta sketch —
