@@ -58,7 +58,10 @@ _TWO64 = float(1 << 64)
 
 
 def _rank(h: int) -> float:
-    """Signed long -> (0, 1] KMV rank, monotone in the signed order."""
+    """Signed long -> (0, 1] KMV rank, monotone (non-strictly: hashes
+    within one double ulp — 2^11 near the extremes — share a rank;
+    sample neighbors sit ~2^64/n apart, so collisions are statistical
+    noise far below the estimator's own sigma) in the signed order."""
     return (float(h) + _TWO63 + 1.0) / _TWO64
 
 
