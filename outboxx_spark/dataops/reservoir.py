@@ -66,6 +66,63 @@ def merge_samples(a: DataFrame, b: DataFrame, k: int = K_SAMPLE) -> DataFrame:
     return a.unionByName(b).orderBy("_pri").limit(k)
 
 
+def uniform_sample_by(
+    df: DataFrame, group_col: str, id_col: str, k: int = K_SAMPLE
+) -> DataFrame:
+    """k-per-group samples (stratified inspection): the window-rank
+    formulation — one shuffle on the group key, zero driver merge,
+    same determinism/merge algebra per stratum."""
+    w = Window.partitionBy(group_col).orderBy("_pri")
+    return (
+        df.withColumn("_pri", F.xxhash64(F.col(id_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int = K_SAMPLE
+) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement, the
+    deterministic distributed form: each row's key is u^(1/w) with
+    u = the id's fixed uniform draw ((xxhash64 + 2^63 + 1) / 2^64)
+    and w its weight; the sample is the k LARGEST keys. Inclusion
+    probabilities match sequential weighted reservoir sampling
+    exactly (E-S 2006, Thm 1 — the max-of-powers order statistic
+    argument never uses arrival order), but here the draw is a hash,
+    so the sample is reproducible, partition-invariant, and mergeable
+    by union + re-trim like the uniform sample. Weights must be > 0;
+    the operator fail-stops rather than silently dropping rows.
+
+    The data-mixing use: sample a pretraining mix with per-document
+    quality/temperature weights in ONE distributed pass, and fold
+    per-shard samples without a second scan. Keys are kept in log
+    space (ln u / w): u^(1/w) underflows a double for tiny weights,
+    ln u / w never does, and the order is identical.
+    """
+    u = (
+        F.xxhash64(F.col(id_col)).cast("double") + F.lit(_TWO63 + 1.0)
+    ) / F.lit(_TWO64)
+    guarded = F.when(
+        F.col(weight_col) > 0, F.log(u) / F.col(weight_col)
+    ).otherwise(F.raise_error(F.lit("weighted_sample: weight must be > 0")))
+    return (
+        df.withColumn("_logkey", guarded)
+        .orderBy(F.col("_logkey").desc())
+        .limit(k)
+    )
+
+
+def merge_weighted_samples(a: DataFrame, b: DataFrame, k: int = K_SAMPLE) -> DataFrame:
+    """Fold per-shard weighted samples (disjoint id spaces)."""
+    return a.unionByName(b).orderBy(F.col("_logkey").desc()).limit(k)
+
+
+_TWO63 = float(1 << 63)
+_TWO64 = float(1 << 64)
+
+
 def sample_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certification (staged oracle ``olap_sample_quantiles``): per
     probed q, the exact discrete percentile of events.value as checked

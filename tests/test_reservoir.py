@@ -10,10 +10,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from pyspark.sql import functions as F
+
 from outboxx_spark.dataops.reservoir import (
     K_SAMPLE,
     merge_samples,
+    merge_weighted_samples,
     uniform_sample,
+    uniform_sample_by,
+    weighted_sample,
 )
 
 
@@ -56,6 +61,74 @@ def test_payload_rides_with_the_sample(spark):
     }
     assert len(got) == K_SAMPLE
     assert all(v == i * 1.5 for i, v in got.items())
+
+
+def _weighted(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), float(w)) for i, w in rows], "id long, w double"
+    )
+
+
+def test_weighted_sample_is_partition_invariant(spark):
+    df = _weighted(spark, [(i, 1 + i % 7) for i in range(40000)])
+    a = weighted_sample(df.repartition(1), "id", "w")
+    b = weighted_sample(df.repartition(19), "id", "w")
+    assert _ids(a) == _ids(b)
+
+
+def test_weighted_merge_equals_sample_of_union(spark):
+    a = _weighted(spark, [(i, 1 + i % 5) for i in range(20000)])
+    b = _weighted(spark, [(i, 1 + i % 3) for i in range(20000, 40000)])
+    merged = merge_weighted_samples(
+        weighted_sample(a, "id", "w"), weighted_sample(b, "id", "w")
+    )
+    whole = weighted_sample(a.unionByName(b), "id", "w")
+    assert _ids(merged) == _ids(whole)
+
+
+def test_raising_a_weight_never_evicts_the_item(spark):
+    rows = [(i, 1.0) for i in range(20000)]
+    df = _weighted(spark, rows)
+    kept = _ids(weighted_sample(df, "id", "w"))
+    probe = kept[len(kept) // 2]
+    boosted = df.withColumn(
+        "w", F.when(F.col("id") == probe, 10.0).otherwise(F.col("w"))
+    )
+    assert probe in _ids(weighted_sample(boosted, "id", "w"))
+
+
+def test_heavy_weights_dominate_the_sample(spark):
+    rows = [(i, 100.0) for i in range(1000)] + [
+        (i, 1.0) for i in range(1000, 50000)
+    ]
+    got = _ids(weighted_sample(_weighted(spark, rows), "id", "w"))
+    heavy_in = sum(1 for i in got if i < 1000)
+    # E-S theory at this mix: threshold t solves 1000(1-e^-100t) +
+    # 49000(1-e^-t) = k -> ~905 heavies expected; the hash makes the
+    # draw deterministic, so the observed 901 is stable. Uniform
+    # sampling would keep 1000/50000*k ~ 41.
+    assert heavy_in >= 850
+
+
+def test_nonpositive_weight_fail_stops(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = _weighted(spark, [(1, 2.0), (2, 0.0)])
+    with pytest.raises(SparkRuntimeException, match="weight"):
+        weighted_sample(df, "id", "w").collect()
+
+
+def test_grouped_sample_matches_per_group_uniform(spark):
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i, float(i)) for i in range(30000)],
+        "g string, id long, payload double",
+    )
+    grouped = uniform_sample_by(df, "g", "id", k=500)
+    for g in ("g0", "g1", "g2"):
+        want = _ids(uniform_sample(df.filter(df.g == g), "id", k=500))
+        got = sorted(r["id"] for r in grouped.filter(grouped.g == g).collect())
+        assert got == want, g
 
 
 def test_sample_quantiles_within_rank_band(spark):
