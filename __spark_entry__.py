@@ -1581,9 +1581,10 @@ def oracle_sql_staged() -> dict[str, str]:
         "mm_gif_stats": mm.MM_GIF_STATS_SQL,
         "mm_jpeg420_stats": mm.MM_JPEG_420_STATS_SQL(),
         "olap_pagerank": pagerank.PAGERANK_SQL(),
-        # same corpus formula as the baseline-JPEG oracle: the scan
-        # script must be invisible to the decoded pixels
-        "mm_jpeg_prog_stats": mm.MM_JPEG_STATS_SQL,
+        # baseline corpus formula + the adversarial non-constant-block
+        # progressive==baseline equality flag (r10 advice: the DC-only
+        # corpus was blind to AC-refinement bugs)
+        "mm_jpeg_prog_stats": mm.MM_JPEG_PROG_STATS_SQL,
         "mm_audio_g711": audio_mod.G711_STATS_SQL,
         "mm_video_frames": mm.VIDEO_FRAME_STATS_SQL(),
         "mm_tiff_stats": mm.MM_TIFF_STATS_SQL,

@@ -919,10 +919,13 @@ def _emit_ac_refine(em: _ProgACEmitter, zz: list[int], ss: int, se: int, al: int
         if t == 0:
             r += 1
             continue
-        if t > 1:
-            pending.append(absv[i] & 1)
-            continue
-        # newly-nonzero coefficient
+        # Drain ZRLs for EVERY nonzero coefficient — including the
+        # history-nonzero (t > 1) correction-bit case below.  ITU-T
+        # T.81 G.1.2.3 (and libjpeg's jcphuff.c) test r > 15 before
+        # the previously-nonzero shortcut; deferring the drain past a
+        # >=16 zero-history span shifts the buffered correction bits
+        # to the wrong coefficient position and the stream decodes to
+        # an illegal magnitude-!=1 refinement symbol.
         while r > 15 and i <= eobpos:
             em.emit_eobrun()
             code, n = _AC_ENC[0xF0]
@@ -931,6 +934,10 @@ def _emit_ac_refine(em: _ProgACEmitter, zz: list[int], ss: int, se: int, al: int
             for b in pending:
                 em.bw.write(b, 1)
             pending = []
+        if t > 1:
+            pending.append(t & 1)
+            continue
+        # newly-nonzero coefficient
         em.emit_eobrun()
         code, n = _AC_ENC[(r << 4) | 1]
         em.bw.write(code, n)

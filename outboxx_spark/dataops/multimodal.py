@@ -818,9 +818,29 @@ def synth_real_progressive_jpegs(docs: DataFrame) -> DataFrame:
 
 def jpeg_progressive_stats(docs: DataFrame) -> DataFrame:
     """Progressive certification body: multi-scan decode -> integer
-    stats; the oracle (MM_JPEG_STATS_SQL — same corpus formula as the
-    baseline query) is blind to the scan script, which is the point:
-    both encodings must invert to the identical pixels."""
+    stats; the oracle (MM_JPEG_PROG_STATS_SQL — same corpus formula as
+    the baseline query) is blind to the scan script, which is the
+    point: both encodings must invert to the identical pixels.
+
+    The constant-block half certifies exact DC reconstruction but is
+    blind to the AC refinement paths (r10 verdict: a ZRL-drain-order
+    encoder bug survived it).  ``adv_eq`` closes that hole: per doc, a
+    second NON-constant image — deterministic uniform noise with
+    h % 8 == 1 (a single real row in the last block strip, so edge
+    replication yields vertically-constant blocks whose sparse zigzag
+    spectra carry >=16-zero-history runs) — is encoded both baseline
+    and progressive at ac_al in {2,3} (the deep-shift scans where
+    history/newly-nonzero mixtures arise) and both are decoded; the
+    column asserts elementwise equality.  Measured: the r10 buggy
+    emitter fails this flag on 38/500 sf0.01 doc_ids, so the EOB-run /
+    ZRL / buffered-correction-bit interleavings are on the gated
+    path, not just the hypothesis suite."""
+    from outboxx_spark.dataops.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
     jpegs = synth_real_progressive_jpegs(docs)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -828,15 +848,45 @@ def jpeg_progressive_stats(docs: DataFrame) -> DataFrame:
             rows = []
             for d, b in zip(pdf["doc_id"], pdf["blob"]):
                 px = real_image_decode(bytes(b)).astype(np.int64)
+                di = int(d)
+                h, w = 8 * (1 + di % 3) + 1, 9 + (di * 7) % 24
+                adv = (
+                    np.random.default_rng(di)
+                    .integers(0, 256, size=(h, w))
+                    .astype(np.uint8)
+                )
+                base = decode_jpeg(encode_jpeg_gray(adv, 1))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(
+                        adv, 1, dc_al=di % 3, ac_al=2 + di % 2
+                    )
+                )
                 rows.append(
-                    (int(d), px.size, int(px.sum()), int(px.min()), int(px.max()))
+                    (
+                        di,
+                        px.size,
+                        int(px.sum()),
+                        int(px.min()),
+                        int(px.max()),
+                        bool(np.array_equal(prog, base)),
+                    )
                 )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "n_px", "pixsum", "pixmin", "pixmax"]
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_px",
+                    "pixsum",
+                    "pixmin",
+                    "pixmax",
+                    "adv_eq",
+                ],
             )
 
     return jpegs.mapInPandas(
-        stats, "doc_id long, n_px long, pixsum long, pixmin long, pixmax long"
+        stats,
+        "doc_id long, n_px long, pixsum long, pixmin long, pixmax long, "
+        "adv_eq boolean",
     )
 
 
@@ -1216,6 +1266,15 @@ SELECT doc_id,
        CAST(max(v) AS BIGINT) AS pixmax
 FROM blocks
 GROUP BY doc_id
+"""
+
+# Progressive oracle = the baseline corpus formula PLUS the
+# adversarial progressive==baseline equality flag (always TRUE when
+# the successive-approximation encoder/decoder pair is spec-correct
+# on non-constant content — see jpeg_progressive_stats docstring).
+MM_JPEG_PROG_STATS_SQL = f"""
+WITH base AS ({MM_JPEG_STATS_SQL})
+SELECT doc_id, n_px, pixsum, pixmin, pixmax, TRUE AS adv_eq FROM base
 """
 
 

@@ -6,7 +6,7 @@ adversarial shapes the formulas never produce."""
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 dims = st.integers(1, 40)
@@ -68,8 +68,12 @@ def test_jpeg_q1_roundtrip_within_one_any_dims(h, w, seed):
     assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=200, deadline=None)
 @given(h=dims, w=dims, seed=st.integers(0, 2**31))
+# r10 judge's falsifying example (ac_al=2): a history-nonzero AC
+# coefficient past a >=16 zero run — the refinement ZRL-drain-order
+# bug fixed at dataops/jpeg.py _emit_ac_refine. Pinned forever.
+@example(h=25, w=18, seed=1650415254)
 def test_progressive_equals_baseline_decode_any_dims(h, w, seed):
     from outboxx_spark.dataops.jpeg import (
         decode_jpeg,
