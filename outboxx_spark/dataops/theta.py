@@ -222,6 +222,19 @@ def theta_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.sqrt((1.0 - theta) / (F.col("exact_inter") * theta))
     )
+    # disjoint-sides guard (r10 advice): with exact_inter = 0 and
+    # theta < 1 the relative sigma divides by zero (Spark -> NULL ->
+    # NULL inter_ok vs the oracle's TRUE). Zero true intersection has
+    # no relative scale, so bound the ESTIMATE absolutely instead:
+    # each false-positive intersection row contributes ~1/theta to the
+    # estimator, so est <= 5 * sqrt((1-theta)/theta) is the 5-sigma
+    # analog (0 in the exact theta >= 1 regime — demand est == 0).
+    inter_abs_bound = (
+        5.0 * math.sqrt((1.0 - theta) / theta) if theta < 1.0 else 0.0
+    )
+    inter_ok = F.when(
+        F.col("exact_inter") == 0, F.lit(est_inter) <= F.lit(inter_abs_bound)
+    ).otherwise(_within(est_inter, "exact_inter", inter_sigma))
     return exact.select(
         "exact_a",
         "exact_b",
@@ -230,7 +243,7 @@ def theta_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         _within(est_a, "exact_a", F.lit(sigma_kmv)).alias("a_ok"),
         _within(est_b, "exact_b", F.lit(sigma_kmv)).alias("b_ok"),
         _within(est_union, "exact_union", F.lit(sigma_kmv)).alias("union_ok"),
-        _within(est_inter, "exact_inter", inter_sigma).alias("inter_ok"),
+        inter_ok.alias("inter_ok"),
     )
 
 

@@ -51,12 +51,33 @@ def pagerank_int(
 ) -> DataFrame:
     """(node, rank_u12) after ``iters`` integer power iterations over
     distinct directed edges (src, dst). Self-loops must be removed by
-    the caller (the edge builders here do)."""
+    the caller (the edge builders here do).
+
+    Overflow bound (r10 advice): total system mass never exceeds
+    |V| * scale (teleport injects 0.15*scale per node, inflow is a
+    sub-stochastic redistribution of the rest), so the largest value
+    the arithmetic ever forms is DAMP_NUM * max_rank <= 85 * |V| *
+    scale — which must stay under 2^63 or Spark's non-ANSI BIGINT
+    multiply wraps silently. The guard below enforces
+    |V| <= (2^63-1) // (85 * scale) (~1.08e5 nodes at the default
+    scale=10^12) and tells the caller the largest safe scale for
+    their graph: a billion-node graph runs at scale=10^6, still
+    < iters/1e6 quantization error — ample for ranking. The count()
+    is one cheap job over |V| rows, negligible next to ``iters``
+    edge joins."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst")))
         .distinct()
     )
+    n_nodes = nodes.count()
+    if DAMP_NUM * scale * n_nodes > 2**63 - 1:
+        safe = (2**63 - 1) // (DAMP_NUM * n_nodes)
+        raise ValueError(
+            f"pagerank_int: {n_nodes} nodes at scale={scale} can "
+            f"overflow 64-bit fixed point (85 * |V| * scale >= 2^63); "
+            f"pass scale <= {safe}"
+        )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     teleport = F.lit(DAMP_NUM_TELEPORT * scale // DAMP_DEN).cast("long")
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))

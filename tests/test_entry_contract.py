@@ -27,24 +27,26 @@ def test_no_orphan_oracles():
 
 
 def test_driver_window_keeps_staleness_bound():
-    # Standing rotation policy (r10): the driver records exactly the
+    # Standing rotation policy (r11): the driver records exactly the
     # first 50 entries, the live surface exceeds 2x50, so evidence
     # rotates on a cycle. The policy bound — pinned here, derived from
     # the union of every CORRECTNESS_r*.json so the test SELF-UPDATES
     # when the driver writes a new round's file — is: assuming the
     # upcoming round records the current window, NO query's latest
-    # green driver row is older than MAX_STALENESS (=2) rounds. This
-    # subsumes the old invariants: a never-checked query must sit in
-    # the window (its effective round would be None), and every tail
-    # entry must be green at its latest check (a failing latest row is
-    # not green, so it forces the query back into the window).
+    # green driver row is older than MAX_STALENESS (=3; the smallest
+    # satisfiable bound at 141 queries — see the feasibility proof in
+    # tools/touched_queries.py) rounds. This subsumes the old
+    # invariants: a never-checked query must sit in the window (its
+    # effective round would be None), and every tail entry must be
+    # green at its latest check (a failing latest row is not green, so
+    # it forces the query back into the window).
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     import touched_queries as tq
 
     order = list(E.queries())
-    assert len(order) == 103
+    assert len(order) == 141
     violations = tq.staleness_violations(E)
     assert not violations, (
         f"queries whose driver evidence breaches the {tq.MAX_STALENESS}-round "
@@ -77,6 +79,28 @@ def test_rotation_policy_window_is_feasible_next_round():
     assert len(forced_next) <= tq.WINDOW_SIZE - 10, (
         "next round's forced carry-over leaves <10 slots of headroom: "
         f"{len(forced_next)} queries {forced_next[:5]}..."
+    )
+
+
+def test_rotation_policy_feasibility():
+    # The bound is satisfiable iff MAX_STALENESS >= ceil(n / 50): a
+    # full rotation of n queries through 50-slot windows takes
+    # ceil(n/50) rounds, which is the steady-state worst-case evidence
+    # age. r10 proved the converse the hard way — 141 queries under
+    # MAX_STALENESS=2 needs 100 slots it doesn't have. Growing
+    # queries() past WINDOW_SIZE * MAX_STALENESS must raise the bound
+    # in the same commit (and the bound should not be raised further
+    # than the surface requires — evidence freshness is the product).
+    import math
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import touched_queries as tq
+
+    need = math.ceil(len(E.queries()) / tq.WINDOW_SIZE)
+    assert tq.MAX_STALENESS == need, (
+        f"{len(E.queries())} queries / {tq.WINDOW_SIZE}-slot windows "
+        f"need MAX_STALENESS exactly {need}, found {tq.MAX_STALENESS}"
     )
 
 

@@ -81,3 +81,20 @@ def test_driver_query_shape(spark, sf_dir):
     rows = out.collect()
     assert rows and set(out.columns) == {"node", "rank_u12"}
     assert all(r["rank_u12"] > 0 for r in rows)
+
+
+def test_overflow_guard_names_the_safe_scale(spark):
+    # r10 advice: 85 * rank can exceed int64 for |V| * scale large
+    # enough, and non-ANSI BIGINT wraps silently. The guard refuses
+    # up front and names the largest safe scale for the graph.
+    import pytest
+
+    from outboxx_spark.operators.pagerank import pagerank_int
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="pass scale <="):
+        pagerank_int(edges, iters=1, scale=2**56)
+    # the default scale on the same graph is fine
+    assert pagerank_int(edges, iters=1).count() == 3

@@ -121,3 +121,30 @@ def test_disjoint_sets_intersect_to_near_zero(spark):
     est = theta_intersect_estimate(a, b)
     # binomial(0-mean) fluctuation only: a handful of collisions at most
     assert est <= 5 / (K_DEFAULT / 8000)
+
+
+def test_disjoint_corpus_inter_ok_true_not_null(spark, tmp_path):
+    # r10 advice regression: exact_inter = 0 with theta < 1 made the
+    # relative sigma divide by zero — Spark yielded NULL inter_ok
+    # while the DuckDB oracle emits TRUE (a gate false-fail on any
+    # corpus whose even/odd shingle sets are disjoint). The guard
+    # bounds the ESTIMATE absolutely (5*sqrt((1-theta)/theta)) in the
+    # zero-intersection case; disjoint sides above k segs each (so
+    # theta < 1 on both) must produce a True — not None — flag.
+    import pandas as pd
+
+    from outboxx_spark.dataops.theta import theta_sketch_check
+
+    segs = K_DEFAULT + 300  # > k distinct trigrams per side
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                " ".join(f"even{i}" for i in range(3 * segs)),
+                " ".join(f"odd{i}" for i in range(3 * segs)),
+            ],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    row = theta_sketch_check(spark, str(tmp_path)).collect()[0]
+    assert row["exact_inter"] == 0
+    assert row["inter_ok"] is True
