@@ -380,18 +380,92 @@ class WireProducer:
     retries: int = 3
     retry_backoff_ms: int = 500
     batch_max_messages: int = 5000  # BATCH_SIZE analog (constants.zig:21)
+    # extra bootstrap endpoints beyond (host, port) — a metadata
+    # refresh can reach the cluster through ANY live one, like a real
+    # client's bootstrap.servers list (r10 verdict K1 tail: leadership
+    # moves must be survivable, so routing state is always
+    # rediscoverable)
+    bootstrap: list[tuple[str, int]] = field(default_factory=list)
     delivery_errors: int = 0
     sent: int = 0
+    metadata_refreshes: int = 0
     _buf: dict[tuple[str, int], list] = field(default_factory=dict)
     _conn: KafkaConnection | None = None
     # topic -> partition count, resolved once per producer (the topic
     # handle cache analog, K5 `producer.zig:198-227`)
     _npart: dict[str, int] = field(default_factory=dict)
+    # cluster routing state from the last metadata response:
+    # node_id -> (host, port) and (topic, partition) -> leader node_id
+    _brokers: dict[int, tuple[str, int]] = field(default_factory=dict)
+    _leaders: dict[tuple[str, int], int] = field(default_factory=dict)
+    _node_conns: dict[int, KafkaConnection] = field(default_factory=dict)
+
+    def _endpoints(self) -> list[tuple[str, int]]:
+        """Bootstrap endpoints first, then every broker the last
+        metadata named — any one of them can answer a refresh."""
+        eps = [(self.host, self.port), *self.bootstrap]
+        eps += [hp for hp in self._brokers.values() if hp not in eps]
+        return eps
 
     def _connection(self) -> KafkaConnection:
-        if self._conn is None:
-            self._conn = KafkaConnection(self.host, self.port)
-        return self._conn
+        """Any live connection (for metadata); walks the endpoint list
+        so a dead bootstrap broker does not strand the producer."""
+        if self._conn is not None:
+            return self._conn
+        last: Exception | None = None
+        for hp in self._endpoints():
+            try:
+                self._conn = KafkaConnection(*hp)
+                return self._conn
+            except OSError as e:
+                last = e
+        raise KafkaWireError(f"no reachable broker in {self._endpoints()}: {last}")
+
+    def _refresh_metadata(self, topic: str) -> None:
+        """Re-learn brokers + per-partition leaders — the
+        metadata-refresh half of the NotLeader recovery contract
+        (reference: librdkafka does this transparently under
+        `producer.zig:111-176`'s retry config)."""
+        try:
+            md = self._connection().metadata([topic])
+        except (OSError, KafkaWireError):
+            # the cached metadata connection may BE the dead broker —
+            # drop it so the next call walks the endpoint list
+            if self._conn is not None:
+                self._conn.close()
+                self._conn = None
+            raise
+        self.metadata_refreshes += 1
+        self._brokers = dict(md["brokers"])
+        tinfo = md["topics"].get(topic)
+        if tinfo is None:
+            return
+        for pid, p in tinfo["partitions"].items():
+            self._leaders[(topic, pid)] = p["leader"]
+        self._npart[topic] = len(tinfo["partitions"]) or 1
+
+    def _leader_connection(self, topic: str, partition: int) -> KafkaConnection:
+        """Connection to the partition's leader. Single-broker layout
+        (no routing state) degrades to the plain connection."""
+        if (topic, partition) not in self._leaders:
+            self._refresh_metadata(topic)
+        node = self._leaders.get((topic, partition))
+        if node is None or node not in self._brokers:
+            return self._connection()
+        conn = self._node_conns.get(node)
+        if conn is None:
+            conn = KafkaConnection(*self._brokers[node])
+            self._node_conns[node] = conn
+        return conn
+
+    def _drop_leader_connection(self, topic: str, partition: int) -> None:
+        node = self._leaders.get((topic, partition))
+        conn = self._node_conns.pop(node, None) if node is not None else None
+        if conn is not None:
+            conn.close()
+        if conn is None and self._conn is not None:
+            self._conn.close()
+            self._conn = None
 
     def send(
         self,
@@ -411,9 +485,8 @@ class WireProducer:
             if n_partitions is None:
                 n_partitions = self._npart.get(topic)
                 if n_partitions is None:
-                    md = self._connection().metadata([topic])
-                    n_partitions = len(md["topics"][topic]["partitions"]) or 1
-                    self._npart[topic] = n_partitions
+                    self._refresh_metadata(topic)
+                    n_partitions = self._npart.get(topic, 1)
             partition = partition_for(key or b"", n_partitions)
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
         self._buf.setdefault((topic, partition), []).append((key, value, ts))
@@ -434,16 +507,15 @@ class WireProducer:
         attempt = 0
         while True:
             try:
-                res = self._connection().produce(
+                res = self._leader_connection(topic, partition).produce(
                     topic, partition, message_set, acks=self.acks
                 )
                 err = res["error"]
             except (OSError, KafkaWireError):
-                # connection-level failure: retriable like a broker error
+                # connection-level failure: retriable like a broker
+                # error; drop the route so the retry reconnects
                 err = ERR_REQUEST_TIMED_OUT
-                if self._conn is not None:
-                    self._conn.close()
-                    self._conn = None
+                self._drop_leader_connection(topic, partition)
             if err == ERR_NONE:
                 return
             if err not in RETRIABLE_ERRORS or attempt >= self.retries:
@@ -453,12 +525,28 @@ class WireProducer:
                     f"after {attempt + 1} attempts"
                 )
             attempt += 1
+            if err in (ERR_NOT_LEADER, ERR_REQUEST_TIMED_OUT):
+                # leadership may have moved (or the leader died):
+                # re-learn the route BEFORE retrying — the
+                # metadata-refresh-and-retry path a real client runs
+                # on NOT_LEADER_FOR_PARTITION. acks=-1 means the
+                # failed attempt was never committed, so the retry is
+                # gap-free; a duplicate is possible only if the ACK
+                # itself was lost (at-least-once, same as the
+                # reference's delivery contract).
+                try:
+                    self._refresh_metadata(topic)
+                except (OSError, KafkaWireError):
+                    pass  # next attempt walks the endpoint list again
             time.sleep(self.retry_backoff_ms / 1000.0)
 
     def close(self) -> None:
         if self._conn is not None:
             self._conn.close()
             self._conn = None
+        for conn in self._node_conns.values():
+            conn.close()
+        self._node_conns.clear()
 
 
 def consume_all(

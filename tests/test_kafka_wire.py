@@ -287,3 +287,99 @@ def test_cdc_replay_after_mid_stream_failure_is_gapless(spark, sf_dir, tmp_path,
             hi, lo = env["meta"]["lsn"].split("/")
             got.add((int(hi, 16) << 32) | int(lo, 16))
         assert want <= got, f"{dest}: gap after replay ({len(want - got)} missing)"
+
+
+# ---------------------------------------------------------------------------
+# multi-broker cluster: leadership spread, NotLeader reroute, broker
+# death (r10 verdict K1 tail; the mock-CLUSTER role of
+# `producer.zig:431-502`)
+# ---------------------------------------------------------------------------
+
+from kafka_broker import KafkaCluster  # noqa: E402
+
+
+@pytest.fixture()
+def cluster():
+    with KafkaCluster(n_brokers=3, n_partitions=6) as c:
+        yield c
+
+
+def test_cluster_spreads_leadership_and_routes_to_leaders(cluster):
+    b0 = cluster.brokers[0]
+    p = WireProducer(b0.host, b0.port, bootstrap=cluster.bootstrap())
+    for i in range(600):
+        p.send("clu.t", str(i).encode(), json.dumps({"i": i}).encode())
+    p.flush()
+    assert p.sent == 600 and p.delivery_errors == 0
+    # leadership is round-robin over 6 partitions x 3 brokers: every
+    # broker led two partitions, so every broker must have taken
+    # produce traffic — the client routed by metadata, not bootstrap
+    assert all(b.produce_requests > 0 for b in cluster.brokers)
+    msgs = consume_all(b0.host, b0.port, "clu.t")
+    seen = sorted(json.loads(m["value"])["i"] for m in msgs)
+    assert seen == list(range(600))  # no loss, no dups
+    # placement matches the default partitioner on every record
+    for m in msgs:
+        assert m["partition"] == partition_for(m["key"], 6)
+
+
+def test_mid_stream_leadership_move_loses_nothing(cluster):
+    b0 = cluster.brokers[0]
+    p = WireProducer(
+        b0.host, b0.port, bootstrap=cluster.bootstrap(), retry_backoff_ms=10
+    )
+    for i in range(300):
+        p.send("move.t", str(i).encode(), json.dumps({"i": i}).encode())
+    p.flush()
+    # rotate EVERY partition's leadership one broker over; the
+    # client's routes are now all stale
+    for pid in range(6):
+        old = cluster.leader_of("move.t", pid)
+        cluster.move_leader("move.t", pid, (old + 1) % 3)
+    for i in range(300, 600):
+        p.send("move.t", str(i).encode(), json.dumps({"i": i}).encode())
+    p.flush()
+    # the stale routes were refused with NOT_LEADER (6) and recovered
+    # via metadata refresh — delivery_errors counts only EXHAUSTED
+    # batches, which must be zero
+    assert p.delivery_errors == 0
+    assert p.metadata_refreshes >= 2  # initial + post-move relearn
+    msgs = consume_all(b0.host, b0.port, "move.t")
+    seen = sorted(json.loads(m["value"])["i"] for m in msgs)
+    assert seen == list(range(600))  # gap-free across the move
+
+
+def test_leader_death_mid_stream_recovers_through_other_brokers(cluster):
+    # harder than a move: the old leader VANISHES (connections refused)
+    # after leadership is reassigned — the client must walk its
+    # endpoint list to re-learn routes, then deliver everything.
+    b1 = cluster.brokers[1]
+    p = WireProducer(
+        b1.host, b1.port, bootstrap=cluster.bootstrap(), retry_backoff_ms=10
+    )
+    for i in range(200):
+        p.send("death.t", str(i).encode(), json.dumps({"i": i}).encode())
+    p.flush()
+    # move broker 0's partitions to broker 1, then kill broker 0
+    for pid in range(6):
+        if cluster.leader_of("death.t", pid) == 0:
+            cluster.move_leader("death.t", pid, 1)
+    cluster.stop_broker(0)
+    for i in range(200, 400):
+        p.send("death.t", str(i).encode(), json.dumps({"i": i}).encode())
+    p.flush()
+    assert p.delivery_errors == 0
+    msgs = consume_all(b1.host, b1.port, "death.t")
+    seen = sorted(json.loads(m["value"])["i"] for m in msgs)
+    assert seen == list(range(400))
+
+
+def test_single_broker_layout_unchanged(broker):
+    # regression guard: the multi-broker client changes must not
+    # disturb the single-broker path the sink uses today
+    p = WireProducer(broker.host, broker.port)
+    for i in range(100):
+        p.send("solo.t", str(i).encode(), str(i).encode())
+    p.flush()
+    assert p.sent == 100 and p.delivery_errors == 0
+    assert len(consume_all(broker.host, broker.port, "solo.t")) == 100

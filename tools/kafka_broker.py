@@ -17,6 +17,11 @@ Fault injection for delivery-semantics tests:
   drives the client's bounded-retry/backoff loop.
 - CRC verification is always on: a corrupted message set is rejected
   with CORRUPT_MESSAGE, the reference's delivery-report failure path.
+- ``KafkaCluster`` (r11): N brokers with round-robin partition
+  leadership, ``move_leader`` / ``stop_broker`` injection — drives
+  the client's NOT_LEADER_FOR_PARTITION -> metadata-refresh ->
+  reroute path, the role of librdkafka's mock cluster in the
+  reference's producer tests.
 
 This is TEST INFRASTRUCTURE: single process, in-memory logs, no
 replication — the production sink speaks to a real cluster through the
@@ -63,11 +68,18 @@ class _Log:
 
 class KafkaBroker:
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 n_partitions: int = 4, node_id: int = 0):
+                 n_partitions: int = 4, node_id: int = 0,
+                 cluster: "KafkaCluster | None" = None):
         self.n_partitions = n_partitions
         self.node_id = node_id
-        self._logs: dict[tuple[str, int], _Log] = {}
-        self._lock = threading.Lock()
+        self._cluster = cluster
+        # clustered brokers share one log store + lock (single-copy
+        # stand: leadership moves, the log does not — what's tested is
+        # the CLIENT's reroute, not replication)
+        self._logs: dict[tuple[str, int], _Log] = (
+            cluster._logs if cluster else {}
+        )
+        self._lock = cluster._lock if cluster else threading.Lock()
         self._fail_produces = 0
         self._fail_error = 7  # REQUEST_TIMED_OUT
         self.produce_requests = 0
@@ -171,29 +183,45 @@ class KafkaBroker:
         raise ValueError(f"unsupported api_key {api_key}")
 
     def _ensure_topic(self, topic: str) -> None:
+        if self._cluster is not None:
+            self._cluster.ensure_topic(topic)
+            return
         with self._lock:
             if not any(t == topic for (t, _) in self._logs):
                 for p in range(self.n_partitions):
                     self._logs[(topic, p)] = _Log()
 
+    def _leader_of(self, topic: str, partition: int) -> int:
+        if self._cluster is not None:
+            return self._cluster.leader_of(topic, partition)
+        return self.node_id
+
     def _metadata(self, r: _Reader) -> bytes:
         topics = [r.string() for _ in range(r.i32())]
         for t in topics:
             self._ensure_topic(t)
+        nodes = (
+            self._cluster.broker_addresses()
+            if self._cluster is not None
+            else {self.node_id: (self.host, self.port)}
+        )
         with self._lock:
             known = sorted({t for (t, _) in self._logs}) if not topics else topics
-            body = struct.pack(">i", 1)  # one broker
-            body += struct.pack(">i", self.node_id) + _enc_str(self.host)
-            body += struct.pack(">i", self.port)
+            body = struct.pack(">i", len(nodes))
+            for nid in sorted(nodes):
+                h, p = nodes[nid]
+                body += struct.pack(">i", nid) + _enc_str(h)
+                body += struct.pack(">i", p)
             body += struct.pack(">i", len(known))
             for t in known:
                 parts = sorted(p for (tt, p) in self._logs if tt == t)
                 body += struct.pack(">h", ERR_NONE) + _enc_str(t)
                 body += struct.pack(">i", len(parts))
                 for p in parts:
-                    body += struct.pack(">hii", ERR_NONE, p, self.node_id)
-                    body += struct.pack(">ii", 1, self.node_id)  # replicas
-                    body += struct.pack(">ii", 1, self.node_id)  # isr
+                    leader = self._leader_of(t, p)
+                    body += struct.pack(">hii", ERR_NONE, p, leader)
+                    body += struct.pack(">ii", 1, leader)  # replicas
+                    body += struct.pack(">ii", 1, leader)  # isr
             return body
 
     def _verify_and_store(self, topic: str, partition: int, data: bytes) -> tuple[int, int]:
@@ -240,6 +268,13 @@ class KafkaBroker:
                 data = r.bytes_() or b""
                 if inject:
                     results.append((topic, pid, inject, -1))
+                    continue
+                if self._leader_of(topic, pid) != self.node_id:
+                    # real-broker behavior after a leadership move: a
+                    # produce routed by stale metadata is refused with
+                    # NOT_LEADER_FOR_PARTITION (6) — the client must
+                    # refresh metadata and retry at the new leader
+                    results.append((topic, pid, 6, -1))
                     continue
                 err, base = self._verify_and_store(topic, pid, data)
                 results.append((topic, pid, err, base))
@@ -302,19 +337,124 @@ class KafkaBroker:
         return body
 
 
+class KafkaCluster:
+    """N in-process brokers with a partition-leadership map — the
+    multi-broker half of the stand (r10 verdict K1 tail; plays the
+    role of librdkafka's mock CLUSTER in `producer.zig:431-502`).
+
+    Single-copy semantics: all brokers share one log store, so a
+    leadership move keeps every committed record — what the stand
+    tests is the CLIENT's NotLeaderForPartition -> metadata-refresh ->
+    reroute path (and broker death mid-stream), not replication.
+    ISR shrink/election protocol remains out of scope: modeling it
+    needs real replica logs, which this dependency-free stand
+    deliberately does not have (documented in SCALING.md).
+
+    Fault injection:
+    - ``move_leader(topic, pid, node_id)``: subsequent metadata names
+      the new leader; the old one answers NOT_LEADER_FOR_PARTITION.
+    - ``stop_broker(node_id)``: hard broker death — connections drop,
+      the client must re-learn routes through another endpoint.
+    """
+
+    def __init__(self, n_brokers: int = 3, n_partitions: int = 4):
+        self.n_partitions = n_partitions
+        self._logs: dict[tuple[str, int], _Log] = {}
+        self._lock = threading.Lock()
+        # (topic, pid) -> node_id; reads are GIL-atomic dict lookups —
+        # brokers call leader_of() while holding the shared lock, so
+        # it must never acquire it (non-reentrant)
+        self._leader: dict[tuple[str, int], int] = {}
+        self.brokers = [
+            KafkaBroker(n_partitions=n_partitions, node_id=i, cluster=self)
+            for i in range(n_brokers)
+        ]
+
+    # -- lifecycle --
+
+    def start(self) -> "KafkaCluster":
+        for b in self.brokers:
+            b.start()
+        return self
+
+    def stop(self) -> None:
+        for b in self.brokers:
+            try:
+                b.stop()
+            except Exception:  # noqa: BLE001 - already-stopped broker
+                pass
+
+    def __enter__(self) -> "KafkaCluster":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- topology --
+
+    def broker_addresses(self) -> dict[int, tuple[str, int]]:
+        return {b.node_id: (b.host, b.port) for b in self.brokers}
+
+    def bootstrap(self) -> list[tuple[str, int]]:
+        return [(b.host, b.port) for b in self.brokers]
+
+    def ensure_topic(self, topic: str) -> None:
+        with self._lock:
+            if any(t == topic for (t, _) in self._logs):
+                return
+            for p in range(self.n_partitions):
+                self._logs[(topic, p)] = _Log()
+                # leadership spread: round-robin across brokers
+                self._leader[(topic, p)] = p % len(self.brokers)
+
+    def leader_of(self, topic: str, partition: int) -> int:
+        return self._leader.get((topic, partition), 0)
+
+    # -- fault injection --
+
+    def move_leader(self, topic: str, partition: int, node_id: int) -> None:
+        self._leader[(topic, partition)] = node_id
+
+    def stop_broker(self, node_id: int) -> None:
+        for b in self.brokers:
+            if b.node_id == node_id:
+                b.stop()
+
+    # -- assertions --
+
+    def record_count(self, topic: str) -> int:
+        with self._lock:
+            return sum(
+                len(log.records)
+                for (t, _), log in self._logs.items()
+                if t == topic
+            )
+
+
 def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=9092)
     ap.add_argument("--partitions", type=int, default=4)
+    ap.add_argument("--brokers", type=int, default=1,
+                    help="multi-broker cluster (ephemeral ports)")
     args = ap.parse_args()
-    broker = KafkaBroker(port=args.port, n_partitions=args.partitions).start()
-    print(f"kafka stand broker on {broker.host}:{broker.port}")
+    if args.brokers > 1:
+        cluster = KafkaCluster(
+            n_brokers=args.brokers, n_partitions=args.partitions
+        ).start()
+        eps = ",".join(f"{h}:{p}" for h, p in cluster.bootstrap())
+        print(f"kafka stand cluster on {eps}")
+        stop = cluster.stop
+    else:
+        broker = KafkaBroker(port=args.port, n_partitions=args.partitions).start()
+        print(f"kafka stand broker on {broker.host}:{broker.port}")
+        stop = broker.stop
     try:
         threading.Event().wait()
     except KeyboardInterrupt:
-        broker.stop()
+        stop()
 
 
 if __name__ == "__main__":
