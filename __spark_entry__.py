@@ -906,18 +906,16 @@ def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order policy (r11, standing): the driver records exactly the FIRST
-    # 50 dict entries. The window is generated by
-    # tools/touched_queries.py build_window() — (1) queries with no
-    # green driver row yet or whose evidence would exceed MAX_STALENESS
-    # (=3; ceil(141/50) = 3 is the smallest satisfiable bound, see the
-    # feasibility proof in touched_queries.py) rounds after this round
-    # records, (2) queries touched since the round base commit (derived
-    # mechanically), (3) stalest-first fill. Regenerate at each
-    # rotation:  python tools/touched_queries.py --window
+    # Order policy (standing; window regenerated for r11 by
+    # `python tools/touched_queries.py --rewrite`): the driver
+    # records exactly the FIRST 50 dict entries. build_window() puts
+    # (1) never-checked / would-breach-bound queries, (2) queries
+    # touched since the round base, (3) stalest-first fill there;
+    # test_entry_contract.py asserts the MAX_STALENESS bound and the
+    # feasibility corollary (see tools/touched_queries.py).
     return {
-        # -- r11 window 1/3: the full r10 staged queue (38) — never
-        # driver-checked; first CORRECTNESS row this round --
+        # -- r11 driver window (50): forced, then touched, then
+        # stalest-first fill --
         "mm_pixel_stats": q_mm_pixel_stats,
         "docs_source_cap": q_docs_source_cap,
         "emb_semantic_dedup": q_emb_semantic_dedup,
@@ -956,14 +954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_hll_by_group": hll.hll_by_group_check,
         "docs_source_overlap": theta.source_overlap_check,
         "olap_sample_quantiles": reservoir.sample_quantiles_check,
-        # -- r11 window 2/3: touched since round base (multimodal.py
-        # adv_eq corpus change) --
         "mm_metadata": q_mm_metadata,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_features": q_mm_features,
-        # -- r11 window 3/3: stalest-first fill (latest driver row r8;
-        # the 5 remaining r8 entries sit at age 3 = the bound and are
-        # forced into the r12 window) --
         "docs_tfidf": q_docs_tfidf,
         "docs_bpe_merges": q_docs_bpe_merges,
         "docs_simhash": q_docs_simhash,
@@ -973,9 +966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_ivf": q_emb_ann_ivf,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_ann_recall": q_emb_ann_recall,
-        # ---- tail (positions 51+): r8/r9/r10-green at their latest
-        # check in unchanged formulation; MAX_STALENESS=3 rotates each
-        # back within three rounds ----
+        # ---- tail (positions 51+): green at their latest check in
+        # unchanged formulation; the staleness policy rotates each
+        # back within MAX_STALENESS rounds ----
         "cdc_tally": q_tally,
         "olap_small_qty_revenue": olap_tpch.small_qty_revenue,
         "olap_lone_return_supplier": olap_tpch.lone_return_supplier,

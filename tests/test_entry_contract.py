@@ -263,3 +263,36 @@ def test_externally_defined_queries_carry_their_home_module():
 def test_all_callables():
     for name, fn in {**E.queries(), **E.queries_staged()}.items():
         assert callable(fn), name
+
+
+def test_rewrite_queries_dict_preserves_surface():
+    # The --rewrite rotation must be surface-preserving: same
+    # name -> expression mapping, the freshly computed window as the
+    # leading block, and stable under a second application.
+    import re
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import touched_queries as tq
+
+    text = (Path(__file__).resolve().parent.parent / "__spark_entry__.py").read_text()
+    try:
+        window = tq.build_window(E)
+        rnd = tq.next_round_number()
+    except FileNotFoundError:
+        import pytest
+
+        pytest.skip("no CORRECTNESS files")
+    new = tq.rewrite_queries_dict(text, window, rnd)
+
+    def entries(t):
+        m = re.search(
+            r"^def queries\(\)[^\n]*\n(.*?)^    return \{\n(.*?)^    \}\n",
+            t, re.M | re.S,
+        )
+        return re.findall(r'^\s+"([a-z0-9_]+)": (.+),$', m.group(2), re.M)
+
+    old_e, new_e = entries(text), entries(new)
+    assert dict(old_e) == dict(new_e)          # nothing added/lost/changed
+    assert [n for n, _ in new_e][: len(window)] == window
+    assert entries(tq.rewrite_queries_dict(new, window, rnd)) == new_e
