@@ -41,11 +41,15 @@ def make_kafka_sink(
     retries: int = 3,
     retry_backoff_ms: int = 500,
     n_partitions: int | None = None,
+    bootstrap: list[tuple[str, int]] | None = None,
 ):
     """A ``sink_fn`` for ``streaming.job.start_stream``: produces each
     micro-batch's delivery frame (destination, key, value) to the
     broker. One producer per task; delivery confirmed per task before
-    the batch can commit."""
+    the batch can commit. ``bootstrap`` lists extra cluster endpoints
+    beyond (host, port) so each task's producer can re-learn partition
+    leadership through any live broker (multi-broker deployments)."""
+    bootstrap = list(bootstrap or [])
 
     def sink(delivery: DataFrame, epoch_id: int) -> None:
         def produce_partition(rows) -> None:
@@ -55,6 +59,7 @@ def make_kafka_sink(
                 acks=acks,
                 retries=retries,
                 retry_backoff_ms=retry_backoff_ms,
+                bootstrap=bootstrap,
             )
             try:
                 for row in rows:

@@ -40,9 +40,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument(
+        "--brokers", type=int, default=1,
+        help="N>1: run against a KafkaCluster and rotate EVERY "
+        "partition's leadership mid-stream (r11: the full pipeline "
+        "must survive an election with zero gaps)",
+    )
     args = ap.parse_args()
 
-    from kafka_broker import KafkaBroker
+    from kafka_broker import KafkaBroker, KafkaCluster
 
     from outboxx_spark.pipeline import routed_envelopes
     from outboxx_spark.session import get_spark
@@ -55,7 +61,18 @@ def main() -> int:
     cfg = default_config()
     tmp = tempfile.mkdtemp(prefix="kafka_stand_")
 
-    with KafkaBroker(n_partitions=args.partitions) as broker:
+    cluster = None
+    leadership_moves = 0
+    if args.brokers > 1:
+        cluster = KafkaCluster(
+            n_brokers=args.brokers, n_partitions=args.partitions
+        )
+        stand = cluster
+    else:
+        stand = KafkaBroker(n_partitions=args.partitions)
+
+    with stand as stand:
+        broker = cluster.brokers[0] if cluster else stand
         # Leg 0 — raw drain rate of ONE producer connection (the
         # reference's drain benchmark is single-process librdkafka;
         # this is the apples-to-apples number; the Spark sink runs one
@@ -68,7 +85,10 @@ def main() -> int:
              "meta": {"source": "postgres", "resource": "public.t0",
                       "timestamp": 1755200000, "lsn": "0/1A2B"}}
         ).encode()
-        raw = WireProducer(broker.host, broker.port)
+        raw = WireProducer(
+            broker.host, broker.port,
+            bootstrap=cluster.bootstrap() if cluster else [],
+        )
         t_raw = time.monotonic()
         for i in range(n_raw):
             raw.send("raw.bench", str(i % 997).encode(), payload,
@@ -76,6 +96,28 @@ def main() -> int:
         raw.flush()
         raw_sec = time.monotonic() - t_raw
         raw.close()
+
+        rotator = None
+        if cluster is not None:
+            # mid-stream election: once deliveries are flowing, rotate
+            # EVERY topic-partition's leadership one broker over; the
+            # per-task producers must hit NOT_LEADER, refresh metadata
+            # and reroute — zero gaps is the pass criterion below
+            import threading
+
+            def rotate_once():
+                time.sleep(8.0)  # let the first micro-batches deliver
+                with cluster._lock:
+                    keys = list(cluster._leader)
+                for tp in keys:
+                    old = cluster.leader_of(*tp)
+                    cluster.move_leader(*tp, (old + 1) % args.brokers)
+                nonlocal_moves[0] = len(keys)
+
+            nonlocal_moves = [0]
+            rotator = threading.Thread(target=rotate_once, daemon=True)
+            rotator.start()
+
         t0 = time.monotonic()
         q = start_stream(
             spark,
@@ -84,10 +126,16 @@ def main() -> int:
             f"{tmp}/out",
             f"{tmp}/ckpt",
             max_files_per_trigger=100,
-            sink_fn=make_kafka_sink(broker.host, broker.port),
+            sink_fn=make_kafka_sink(
+                broker.host, broker.port,
+                bootstrap=cluster.bootstrap() if cluster else None,
+            ),
         )
         q.awaitTermination(1800)
         produce_sec = time.monotonic() - t0
+        if rotator is not None:
+            rotator.join(timeout=1.0)
+            leadership_moves = nonlocal_moves[0]
 
         expected = routed_envelopes(spark, args.sf, cfg)
         exp = expected.select("destination", "lsn").collect()
@@ -123,6 +171,8 @@ def main() -> int:
     report = {
         "stand": "kafka_wire",
         "sf": args.sf,
+        "brokers": args.brokers,
+        "leadership_moves_mid_stream": leadership_moves,
         "broker_partitions": args.partitions,
         "raw_single_producer_events_per_sec": round(n_raw / raw_sec),
         "events_delivered": delivered,
