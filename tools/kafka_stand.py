@@ -106,7 +106,20 @@ def main() -> int:
             import threading
 
             def rotate_once():
-                time.sleep(8.0)  # let the first micro-batches deliver
+                # wait until a DELIVERY topic (not the raw-drain one)
+                # actually carries records, so the rotation lands
+                # mid-delivery — a fixed sleep fired before the stream
+                # created its topics and proved nothing
+                deadline = time.monotonic() + 300
+                while time.monotonic() < deadline:
+                    with cluster._lock:
+                        topics = {t for (t, _) in cluster._leader}
+                    if any(
+                        t != "raw.bench" and cluster.record_count(t) > 0
+                        for t in topics
+                    ):
+                        break
+                    time.sleep(0.3)
                 with cluster._lock:
                     keys = list(cluster._leader)
                 for tp in keys:
