@@ -334,7 +334,14 @@ def main() -> None:
         # during the burst — the 1x denominator is ~1s, so one slow
         # phase on one side alone swings the reported scale exponent by
         # whole tenths (observed 2.19-3.37 across same-code r8 runs).
-        minhash_dedup_pairs(small).write.format("noop").mode("overwrite").save()  # warm
+        # warm BOTH plan shapes before timing (r11): the 4x side's
+        # first-ever pass pays one-time JIT/Arrow-pool growth the 1x
+        # warm-up does not cover — measured standalone: first big pass
+        # 9.7s, steady state 3.3-4.1s. Warming only `small` left the
+        # 4x min-of-3 bimodal across otherwise-identical runs
+        # (2.33 / 6.79 / 8.51 in the three r11 sf0.1 runs).
+        minhash_dedup_pairs(small).write.format("noop").mode("overwrite").save()
+        minhash_dedup_pairs(big).write.format("noop").mode("overwrite").save()
         one_x: list[float] = []
         four_x: list[float] = []
         for _ in range(3):
@@ -441,7 +448,11 @@ def main() -> None:
                 with_planted_near_dups(df), threshold=0.8, n_planes=16, n_tables=8
             )
 
-        _lsh(small_e).write.format("noop").mode("overwrite").save()  # warm
+        # warm both plan shapes (r11, same rationale as the dedup
+        # probe: the 4x side's first pass carries one-time costs the
+        # 1x warm-up does not amortize)
+        _lsh(small_e).write.format("noop").mode("overwrite").save()
+        _lsh(big_e).write.format("noop").mode("overwrite").save()
         emb_lsh_1x = round(
             min(_timed(lambda: _lsh(small_e).write.format("noop").mode("overwrite").save()) for _ in range(2)), 4
         )
@@ -450,6 +461,7 @@ def main() -> None:
         )
         _ivf = lambda df: ivf_ann_topk(df, n_queries=10, k=10).write.format("noop").mode("overwrite").save()  # noqa: E731
         _ivf(small_e)  # warm
+        _ivf(big_e)  # warm
         emb_ivf_1x = round(min(_timed(lambda: _ivf(small_e)) for _ in range(3)), 4)
         emb_ivf_4x = round(min(_timed(lambda: _ivf(big_e)) for _ in range(3)), 4)
 
