@@ -240,23 +240,30 @@ def main() -> None:
     finally:
         shutil.rmtree(sink_root, ignore_errors=True)
 
-    # Kafka delivery probe (r10): the EXECUTED K1 layer as numbers,
-    # against the in-repo wire-protocol broker (tools/kafka_broker.py).
-    # Two shapes: raw drain of ONE producer connection — the apples-to-
-    # apples comparison with the reference's single-process 127k ev/s
-    # drain benchmark — and the distributed per-task produce of the
-    # full routed feed through the job's sink seam (flush barrier per
-    # task, murmur2 placement), which is the shape that multiplies with
-    # partitions on a cluster.
-    kafka_raw_drain_eps = kafka_sink_events = kafka_sink_eps = None
+    # Kafka delivery probe (r10; r12 shape): the EXECUTED K1 layer as
+    # numbers, against the in-repo 3-broker wire-protocol stand
+    # (tools/kafka_broker.py KafkaCluster). Three legs, recorded
+    # SEPARATELY so each is trend-readable round-over-round (r11
+    # verdict: mixing the fault-injected run into the official sink
+    # number destroyed comparability):
+    # - raw drain of ONE producer connection — apples-to-apples with
+    #   the reference's single-process 127k ev/s drain benchmark;
+    # - CLEAN sink: the routed feed through the job's sink seam, no
+    #   fault injection, sink parallelism matched to the topic
+    #   partition count (the production tuning);
+    # - FAULTED sink: same delivery while EVERY topic-partition's
+    #   leadership rotates mid-delivery — the election-survival number.
+    kafka_raw_drain_eps = kafka_sink_events = None
+    kafka_sink_clean_eps = kafka_sink_faulted_eps = None
     try:
         sys.path.insert(0, str(REPO / "tools"))
-        from kafka_broker import KafkaBroker
+        from kafka_broker import KafkaCluster
 
         from outboxx_spark.streaming.kafka_sink import make_kafka_sink
         from outboxx_spark.streaming.kafka_wire import WireProducer
 
-        with KafkaBroker(n_partitions=8) as broker:
+        with KafkaCluster(n_brokers=3, n_partitions=8) as cluster:
+            b0 = cluster.brokers[0]
             payload = (
                 b'{"op":"INSERT","data":{"user_id":7,"value":1.25},'
                 b'"meta":{"source":"postgres","resource":"public.t0",'
@@ -265,12 +272,13 @@ def main() -> None:
             n_raw = 100_000
             raw_trials = []
             for trial in range(2):  # min-of-2: probe noise policy
-                raw = WireProducer(broker.host, broker.port)
+                raw = WireProducer(
+                    b0.host, b0.port, bootstrap=cluster.bootstrap()
+                )
                 t0 = time.perf_counter()
                 for i in range(n_raw):
                     raw.send(
-                        f"bench.raw{trial}", str(i % 997).encode(),
-                        payload, n_partitions=8,
+                        f"bench.raw{trial}", str(i % 997).encode(), payload
                     )
                 raw.flush()
                 raw_trials.append(time.perf_counter() - t0)
@@ -281,13 +289,59 @@ def main() -> None:
                 spark, sf_dir, default_config()
             ).localCheckpoint(eager=True)
             kafka_sink_events = delivery.count()
-            sink = make_kafka_sink(broker.host, broker.port)
+            sink = make_kafka_sink(
+                b0.host, b0.port,
+                bootstrap=cluster.bootstrap(),
+                sink_parallelism=8,
+            )
+            sink(delivery, 0)  # warm the Python workers + producers
             sink_trials = []
             for trial in range(2):
                 t1 = time.perf_counter()
-                sink(delivery, trial)
+                sink(delivery, 1 + trial)
                 sink_trials.append(time.perf_counter() - t1)
-            kafka_sink_eps = round(kafka_sink_events / min(sink_trials))
+            kafka_sink_clean_eps = round(kafka_sink_events / min(sink_trials))
+
+            # faulted leg: rotate every partition's leadership once
+            # deliveries are flowing (records grew past the clean legs'
+            # baseline), then require the sink call to complete —
+            # gap-freedom under election is pytest/stand-verified; this
+            # records what the election COSTS
+            import threading
+
+            baseline = {
+                t: cluster.record_count(t)
+                for t in {(tp[0]) for tp in cluster._leader}
+            }
+            moves = [0]
+
+            def rotate_once():
+                deadline = time.monotonic() + 120
+                while time.monotonic() < deadline:
+                    with cluster._lock:
+                        topics = {t for (t, _) in cluster._leader}
+                    if any(
+                        t != "bench.raw0" and t != "bench.raw1"
+                        and cluster.record_count(t) > baseline.get(t, 0) + 1000
+                        for t in topics
+                    ):
+                        break
+                    time.sleep(0.02)
+                with cluster._lock:
+                    keys = list(cluster._leader)
+                for tp in keys:
+                    old = cluster.leader_of(*tp)
+                    cluster.move_leader(*tp, (old + 1) % 3)
+                moves[0] = len(keys)
+
+            rotator = threading.Thread(target=rotate_once, daemon=True)
+            rotator.start()
+            t2 = time.perf_counter()
+            sink(delivery, 9)
+            faulted_sec = time.perf_counter() - t2
+            rotator.join(timeout=1.0)
+            if moves[0]:  # a rotation that never landed measures nothing
+                kafka_sink_faulted_eps = round(kafka_sink_events / faulted_sec)
     except Exception as e:  # the probe must never sink the bench
         print(f"# kafka probe failed: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -815,7 +869,11 @@ def main() -> None:
         "export_n_shards": export_n_shards,
         "kafka_raw_drain_events_per_sec": kafka_raw_drain_eps,
         "kafka_sink_events": kafka_sink_events,
-        "kafka_sink_events_per_sec": kafka_sink_eps,
+        # official sink number = the CLEAN leg (r10-comparable); the
+        # faulted leg is its own key so elections never skew the trend
+        "kafka_sink_events_per_sec": kafka_sink_clean_eps,
+        "kafka_sink_clean_events_per_sec": kafka_sink_clean_eps,
+        "kafka_sink_faulted_events_per_sec": kafka_sink_faulted_eps,
         "incragg_b1_sec": incragg_b1_sec,
         "incragg_b2_sec": incragg_b2_sec,
         "n_queries": len(timings),

@@ -60,6 +60,9 @@ ERR_NOT_LEADER = 6
 
 RETRIABLE_ERRORS = {ERR_REQUEST_TIMED_OUT, ERR_NOT_LEADER, ERR_CORRUPT_MESSAGE}
 
+# key->partition memo bound (see WireProducer._part_cache)
+_PART_CACHE_MAX = 1 << 17
+
 
 class KafkaWireError(RuntimeError):
     pass
@@ -216,6 +219,36 @@ def partition_for(key: bytes, n_partitions: int) -> int:
     return (murmur2(key) & 0x7FFFFFFF) % n_partitions
 
 
+def encode_produce_payload(
+    batches: list[tuple[str, int, bytes]], acks: int, timeout_ms: int
+) -> bytes:
+    """Produce v2 request body for ``(topic, partition, message_set)``
+    batches — the protocol's native multi-partition form."""
+    by_topic: dict[str, list[tuple[int, bytes]]] = {}
+    for t, p, ms in batches:
+        by_topic.setdefault(t, []).append((p, ms))
+    payload = struct.pack(">hi", acks, timeout_ms) + struct.pack(
+        ">i", len(by_topic)
+    )
+    for t, parts in by_topic.items():
+        payload += _enc_str(t) + struct.pack(">i", len(parts))
+        for p, ms in parts:
+            payload += struct.pack(">i", p) + _enc_bytes(ms)
+    return payload
+
+
+def parse_produce_response(r: _Reader) -> dict[tuple[str, int], dict]:
+    out: dict[tuple[str, int], dict] = {}
+    for _ in range(r.i32()):
+        t = r.string() or ""
+        for _ in range(r.i32()):
+            pid, err, base = r.i32(), r.i16(), r.i64()
+            r.i64()  # log_append_time
+            out[(t, pid)] = {"error": err, "base_offset": base}
+    r.i32()  # throttle_time_ms
+    return out
+
+
 # ---------------------------------------------------------------------------
 # connection: framed request/response with correlation ids
 # ---------------------------------------------------------------------------
@@ -244,7 +277,11 @@ class KafkaConnection:
             buf += chunk
         return bytes(buf)
 
-    def request(self, api_key: int, api_version: int, payload: bytes) -> _Reader:
+    def send_request(self, api_key: int, api_version: int, payload: bytes) -> int:
+        """Write one framed request WITHOUT reading the response —
+        the pipelining half (Kafka processes a connection's requests
+        in order, so responses arrive in correlation order). Pair with
+        ``read_response``."""
         self._corr += 1
         header = (
             struct.pack(">hhi", api_key, api_version, self._corr)
@@ -252,13 +289,19 @@ class KafkaConnection:
         )
         frame = header + payload
         self._sock.sendall(struct.pack(">i", len(frame)) + frame)
+        return self._corr
+
+    def read_response(self, corr: int) -> _Reader:
         (size,) = struct.unpack(">i", self._recv_exact(4))
         resp = self._recv_exact(size)
         r = _Reader(resp)
-        corr = r.i32()
-        if corr != self._corr:
-            raise KafkaWireError(f"correlation mismatch {corr} != {self._corr}")
+        got = r.i32()
+        if got != corr:
+            raise KafkaWireError(f"correlation mismatch {got} != {corr}")
         return r
+
+    def request(self, api_key: int, api_version: int, payload: bytes) -> _Reader:
+        return self.read_response(self.send_request(api_key, api_version, payload))
 
     # -- Metadata v0 --
 
@@ -285,7 +328,25 @@ class KafkaConnection:
             out["topics"][tname] = {"error": terr, "partitions": parts}
         return out
 
-    # -- Produce v2 (acks, timeout, one topic-partition batch) --
+    # -- Produce v2 (acks, timeout; one or many topic-partition batches) --
+
+    def produce_multi(
+        self,
+        batches: list[tuple[str, int, bytes]],
+        *,
+        acks: int = -1,
+        timeout_ms: int = 30000,
+    ) -> dict[tuple[str, int], dict]:
+        """One Produce request carrying every ``(topic, partition,
+        message_set)`` batch — the protocol's native multi-partition
+        form, so a flush costs one round trip per BROKER rather than
+        one per partition. -> {(topic, partition): {error, base_offset}}
+        with per-partition error codes (a mixed response is normal
+        after a leadership move)."""
+        r = self.request(
+            API_PRODUCE, 2, encode_produce_payload(batches, acks, timeout_ms)
+        )
+        return parse_produce_response(r)
 
     def produce(
         self,
@@ -296,24 +357,13 @@ class KafkaConnection:
         acks: int = -1,
         timeout_ms: int = 30000,
     ) -> dict:
-        payload = (
-            struct.pack(">hi", acks, timeout_ms)
-            + struct.pack(">i", 1)
-            + _enc_str(topic)
-            + struct.pack(">i", 1)
-            + struct.pack(">i", partition)
-            + _enc_bytes(message_set)
+        res = self.produce_multi(
+            [(topic, partition, message_set)], acks=acks, timeout_ms=timeout_ms
         )
-        r = self.request(API_PRODUCE, 2, payload)
-        result: dict = {}
-        for _ in range(r.i32()):
-            r.string()  # topic
-            for _ in range(r.i32()):
-                pid, err, base = r.i32(), r.i16(), r.i64()
-                r.i64()  # log_append_time
-                result = {"partition": pid, "error": err, "base_offset": base}
-        r.i32()  # throttle_time_ms
-        return result
+        val = res.get((topic, partition))
+        if val is None:
+            return {}
+        return {"partition": partition, **val}
 
     # -- Fetch v2 --
 
@@ -390,6 +440,18 @@ class WireProducer:
     sent: int = 0
     metadata_refreshes: int = 0
     _buf: dict[tuple[str, int], list] = field(default_factory=dict)
+    _buf_n: int = 0  # buffered record count (avoids O(P) sum per send)
+    # key -> partition memo: CDC keys repeat heavily, and murmur2 is
+    # pure Python; bounded (cleared past _PART_CACHE_MAX) so a
+    # high-cardinality key stream cannot grow it without limit
+    _part_cache: dict[tuple[bytes, int], int] = field(default_factory=dict)
+    # dispatched-but-unconfirmed Produce requests, at most one flush's
+    # worth (in-flight=1 pipelining): the broker processes batch k
+    # while the client encodes batch k+1. Entries:
+    # (node, conn | None, corr | None, [(topic, pid, message_set)],
+    #  {(topic, pid): record_count}) — conn None marks a dispatch-time
+    # connection failure, classified at drain.
+    _pending: list = field(default_factory=list)
     _conn: KafkaConnection | None = None
     # topic -> partition count, resolved once per producer (the topic
     # handle cache analog, K5 `producer.zig:198-227`)
@@ -426,6 +488,12 @@ class WireProducer:
         metadata-refresh half of the NotLeader recovery contract
         (reference: librdkafka does this transparently under
         `producer.zig:111-176`'s retry config)."""
+        if any(conn is not None for _n, conn, _c, _b, _cnt in self._pending):
+            # a synchronous request on a connection with an unread
+            # pipelined Produce response would read the wrong frame —
+            # confirm outstanding work first (drain swaps _pending out
+            # before its own refresh, so this cannot recurse)
+            self._drain_pending()
         try:
             md = self._connection().metadata([topic])
         except (OSError, KafkaWireError):
@@ -458,14 +526,33 @@ class WireProducer:
             self._node_conns[node] = conn
         return conn
 
-    def _drop_leader_connection(self, topic: str, partition: int) -> None:
-        node = self._leaders.get((topic, partition))
-        conn = self._node_conns.pop(node, None) if node is not None else None
+    def _drop_node_connection(self, node: int | None) -> None:
+        """Close the connection a failed produce actually used: the
+        per-node one when the route had a live leader, the shared
+        metadata connection only on the fallback path (node unknown).
+        Dropping ``_conn`` for a per-node failure would kill a healthy
+        connection to a different broker (r11 advice)."""
+        if node is None:
+            if self._conn is not None:
+                self._conn.close()
+                self._conn = None
+            return
+        conn = self._node_conns.pop(node, None)
         if conn is not None:
             conn.close()
-        if conn is None and self._conn is not None:
-            self._conn.close()
-            self._conn = None
+
+    def _route_node(self, topic: str, partition: int) -> int | None:
+        """The node id a produce for this partition will be sent to,
+        or None for the shared fallback connection — the same decision
+        `_leader_connection` makes, factored out so grouped flushes
+        and failure cleanup agree with it."""
+        node = self._leaders.get((topic, partition))
+        if node is None or node not in self._brokers:
+            return None
+        return node
+
+    def _drop_leader_connection(self, topic: str, partition: int) -> None:
+        self._drop_node_connection(self._route_node(topic, partition))
 
     def send(
         self,
@@ -486,25 +573,148 @@ class WireProducer:
                 n_partitions = self._npart.get(topic)
                 if n_partitions is None:
                     self._refresh_metadata(topic)
-                    n_partitions = self._npart.get(topic, 1)
-            partition = partition_for(key or b"", n_partitions)
+                    n_partitions = self._npart.get(topic)
+                if n_partitions is None:
+                    # a successful refresh that omits the topic is an
+                    # anomaly (no auto-create / ACL hole) — surface it
+                    # instead of silently funneling every record to
+                    # partition 0 (r11 advice)
+                    raise KafkaWireError(
+                        f"topic {topic!r} absent from metadata response"
+                    )
+            ck = (key or b"", n_partitions)
+            partition = self._part_cache.get(ck)
+            if partition is None:
+                partition = partition_for(ck[0], n_partitions)
+                if len(self._part_cache) >= _PART_CACHE_MAX:
+                    self._part_cache.clear()
+                self._part_cache[ck] = partition
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
         self._buf.setdefault((topic, partition), []).append((key, value, ts))
-        if sum(len(v) for v in self._buf.values()) >= self.batch_max_messages:
-            self.flush()
+        self._buf_n += 1
+        if self._buf_n >= self.batch_max_messages:
+            # inline overflow flush (K2 backpressure), pipelined:
+            # confirm the PREVIOUS dispatch, then dispatch this batch
+            # without waiting — in-flight stays at 1, and the broker
+            # appends batch k while this process encodes batch k+1.
+            # Delivery is still confirmed before any offset commit:
+            # the sink's explicit flush() drains everything (K3).
+            self._drain_pending()
+            self._dispatch_buffered()
 
     def flush(self) -> None:
-        """Produce every buffered batch and confirm delivery. Raises
-        DeliveryError (after counting it) if any batch exhausts its
-        retries — a drained queue is not a delivered queue (K3)."""
-        buf, self._buf = self._buf, {}
-        for (topic, partition), msgs in buf.items():
-            message_set = encode_message_set(msgs)
-            self._produce_with_retry(topic, partition, message_set)
-            self.sent += len(msgs)
+        """Produce every buffered batch and confirm delivery of every
+        dispatched one. Raises DeliveryError (after counting it) if
+        any batch exhausts its retries — a drained queue is not a
+        delivered queue (K3)."""
+        self._dispatch_buffered()
+        self._drain_pending()
 
-    def _produce_with_retry(self, topic: str, partition: int, message_set: bytes) -> None:
-        attempt = 0
+    def _dispatch_buffered(self) -> None:
+        """Group buffered batches by partition LEADER and write ONE
+        multi-partition Produce request per broker — the protocol's
+        native request shape, so a flush over P partitions costs round
+        trips proportional to the broker count, not P (the
+        request-batching lever the reference gets from librdkafka).
+        Responses are NOT read here; ``_drain_pending`` confirms."""
+        buf, self._buf = self._buf, {}
+        self._buf_n = 0
+        if not buf:
+            return
+        encoded = {
+            tp: encode_message_set(msgs) for tp, msgs in buf.items()
+        }
+        by_node: dict[int | None, list[tuple[str, int]]] = {}
+        for topic, partition in encoded:
+            if (topic, partition) not in self._leaders:
+                try:
+                    self._refresh_metadata(topic)
+                except (OSError, KafkaWireError):
+                    pass  # fallback route; the retry loop re-learns
+            by_node.setdefault(
+                self._route_node(topic, partition), []
+            ).append((topic, partition))
+        for node, tps in by_node.items():
+            batches = [(t, p, encoded[(t, p)]) for t, p in tps]
+            counts = {tp: len(buf[tp]) for tp in tps}
+            try:
+                conn = (
+                    self._leader_connection(*tps[0])
+                    if node is not None
+                    else self._connection()
+                )
+                corr = conn.send_request(
+                    API_PRODUCE,
+                    2,
+                    encode_produce_payload(batches, self.acks, 30000),
+                )
+            except (OSError, KafkaWireError):
+                self._drop_node_connection(node)
+                self._pending.append((node, None, None, batches, counts))
+                continue
+            self._pending.append((node, conn, corr, batches, counts))
+
+    def _drain_pending(self) -> None:
+        """Read every outstanding Produce response and confirm
+        delivery. Any batch that did not land (connection drop,
+        NOT_LEADER after a move, injected fault) goes through the
+        per-partition bounded-retry loop with the dispatched attempt
+        counted against its budget, so the retry / fail-fast contract
+        (K6) is unchanged by pipelining."""
+        pending, self._pending = self._pending, []
+        if not pending:
+            return
+        # (topic, partition, err, message_set, record_count)
+        failed: list[tuple[str, int, int, bytes, int]] = []
+        for node, conn, corr, batches, counts in pending:
+            if conn is None:  # dispatch-time connection failure
+                failed.extend(
+                    (t, p, ERR_REQUEST_TIMED_OUT, ms, counts[(t, p)])
+                    for t, p, ms in batches
+                )
+                continue
+            try:
+                results = parse_produce_response(conn.read_response(corr))
+            except (OSError, KafkaWireError):
+                self._drop_node_connection(node)
+                failed.extend(
+                    (t, p, ERR_REQUEST_TIMED_OUT, ms, counts[(t, p)])
+                    for t, p, ms in batches
+                )
+                continue
+            for t, p, ms in batches:
+                err = results.get((t, p), {}).get(
+                    "error", ERR_REQUEST_TIMED_OUT
+                )
+                if err == ERR_NONE:
+                    self.sent += counts[(t, p)]
+                else:
+                    failed.append((t, p, err, ms, counts[(t, p)]))
+        if not failed:
+            return
+        # slow path: the dispatched attempt counts as attempt 1;
+        # refresh once (leadership may have moved) and back off once
+        # before the per-partition sweep rather than per batch
+        for topic, _p, err, _ms, _c in failed:
+            if err not in RETRIABLE_ERRORS:
+                self.delivery_errors += 1
+                raise DeliveryError(
+                    f"produce to {topic} failed with error {err} (non-retriable)"
+                )
+        try:
+            self._refresh_metadata(failed[0][0])
+        except (OSError, KafkaWireError):
+            pass
+        time.sleep(self.retry_backoff_ms / 1000.0)
+        for topic, partition, _err, message_set, count in failed:
+            self._produce_with_retry(
+                topic, partition, message_set, attempt=1
+            )
+            self.sent += count
+
+    def _produce_with_retry(
+        self, topic: str, partition: int, message_set: bytes, *, attempt: int = 0
+    ) -> None:
         while True:
             try:
                 res = self._leader_connection(topic, partition).produce(

@@ -27,6 +27,7 @@ from kafka_broker import KafkaBroker  # noqa: E402
 from outboxx_spark.streaming.kafka_wire import (  # noqa: E402
     DeliveryError,
     KafkaConnection,
+    KafkaWireError,
     WireProducer,
     consume_all,
     decode_message_set,
@@ -166,8 +167,13 @@ def test_send_buffer_overflow_flushes_inline(broker):
     p = WireProducer(broker.host, broker.port, batch_max_messages=100)
     for i in range(250):
         p.send("bp.t", str(i).encode(), b"x", n_partitions=4)
-    assert p.sent >= 200  # at least two inline flushes happened
+    # two inline flushes dispatched; with in-flight=1 pipelining the
+    # SECOND may still be unconfirmed here, but the first must be
+    # (its responses were drained before dispatching the second)
+    assert p.sent >= 100
+    assert len(p._pending) <= 1  # never more than one flush in flight
     p.flush()
+    assert p.sent == 250  # explicit flush confirms everything (K3)
     assert broker.record_count("bp.t") == 250
 
 
@@ -372,6 +378,41 @@ def test_leader_death_mid_stream_recovers_through_other_brokers(cluster):
     msgs = consume_all(b1.host, b1.port, "death.t")
     seen = sorted(json.loads(m["value"])["i"] for m in msgs)
     assert seen == list(range(400))
+
+
+def test_leader_killed_without_prior_move_recovers(cluster):
+    # kill-first (no move_leader beforehand): stop_broker itself must
+    # reassign the dead node's partitions and stop advertising it, so
+    # the client recovers in one refresh instead of burning its whole
+    # retry budget against a dead advertised leader (r11 advice)
+    b1 = cluster.brokers[1]
+    p = WireProducer(
+        b1.host, b1.port, bootstrap=cluster.bootstrap(), retry_backoff_ms=10
+    )
+    for i in range(200):
+        p.send("kill.t", str(i).encode(), json.dumps({"i": i}).encode())
+    p.flush()
+    cluster.stop_broker(0)
+    assert 0 not in cluster.broker_addresses()
+    assert all(
+        cluster.leader_of("kill.t", pid) != 0 for pid in range(6)
+    )
+    for i in range(200, 400):
+        p.send("kill.t", str(i).encode(), json.dumps({"i": i}).encode())
+    p.flush()
+    assert p.delivery_errors == 0
+    msgs = consume_all(b1.host, b1.port, "kill.t")
+    seen = sorted(json.loads(m["value"])["i"] for m in msgs)
+    assert seen == list(range(400))
+
+
+def test_topic_absent_from_metadata_raises(broker):
+    # a refresh that succeeds but omits the topic must surface, not
+    # silently route everything to partition 0 (r11 advice)
+    p = WireProducer(broker.host, broker.port)
+    p._refresh_metadata = lambda t: None  # refresh "succeeds", learns nothing
+    with pytest.raises(KafkaWireError, match="absent from metadata"):
+        p.send("ghost.t", b"k", b"v")
 
 
 def test_single_broker_layout_unchanged(broker):

@@ -361,6 +361,7 @@ class KafkaCluster:
         self.n_partitions = n_partitions
         self._logs: dict[tuple[str, int], _Log] = {}
         self._lock = threading.Lock()
+        self._dead: set[int] = set()
         # (topic, pid) -> node_id; reads are GIL-atomic dict lookups —
         # brokers call leader_of() while holding the shared lock, so
         # it must never acquire it (non-reentrant)
@@ -393,7 +394,11 @@ class KafkaCluster:
     # -- topology --
 
     def broker_addresses(self) -> dict[int, tuple[str, int]]:
-        return {b.node_id: (b.host, b.port) for b in self.brokers}
+        return {
+            b.node_id: (b.host, b.port)
+            for b in self.brokers
+            if b.node_id not in self._dead
+        }
 
     def bootstrap(self) -> list[tuple[str, int]]:
         return [(b.host, b.port) for b in self.brokers]
@@ -416,6 +421,24 @@ class KafkaCluster:
         self._leader[(topic, partition)] = node_id
 
     def stop_broker(self, node_id: int) -> None:
+        """Hard broker death. The controller-election half a real
+        cluster would run is modeled minimally (r11 advice): the dead
+        node disappears from metadata's broker list and every
+        partition it led is reassigned round-robin to a survivor, so
+        metadata never advertises a dead leader — a client that killed
+        the leader first (no prior ``move_leader``) still recovers in
+        one refresh instead of burning its whole retry budget."""
+        self._dead.add(node_id)
+        survivors = [
+            b.node_id for b in self.brokers if b.node_id not in self._dead
+        ]
+        if survivors:
+            with self._lock:
+                for i, (tp, leader) in enumerate(
+                    sorted(self._leader.items())
+                ):
+                    if leader == node_id:
+                        self._leader[tp] = survivors[i % len(survivors)]
         for b in self.brokers:
             if b.node_id == node_id:
                 b.stop()
