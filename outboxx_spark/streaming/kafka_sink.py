@@ -6,10 +6,11 @@ DB→engine→Kafka path (`src/e2e/cdc_test.zig:25-441`).
 
 Scale shape (what K1 needs at 100 TB):
 
-- **Executor-side produce, no driver funnel**: ``foreachPartition``
-  gives every task its own ``WireProducer`` (one socket per task, the
+- **Executor-side produce, no driver funnel**: ``mapInPandas`` gives
+  every task its own ``WireProducer`` (one socket set per task, the
   reference is one socket per process) — produce throughput scales
-  with partition count, the driver only coordinates.
+  with task count, the driver only coordinates. Rows reach Python as
+  Arrow batches with UTF-8 encoding already done JVM-side.
 - **Flush barrier inside the task** (K3): each task flushes and
   confirms delivery BEFORE it reports success; any DeliveryError fails
   the task → the micro-batch → the stream, all before the checkpoint
@@ -43,6 +44,7 @@ def make_kafka_sink(
     n_partitions: int | None = None,
     bootstrap: list[tuple[str, int]] | None = None,
     sink_parallelism: int | None = None,
+    tls_ca: str | None = None,
 ):
     """A ``sink_fn`` for ``streaming.job.start_stream``: produces each
     micro-batch's delivery frame (destination, key, value) to the
@@ -73,6 +75,7 @@ def make_kafka_sink(
                 retries=retries,
                 retry_backoff_ms=retry_backoff_ms,
                 bootstrap=bootstrap,
+                tls_ca=tls_ca,
             )
             try:
                 send = producer.send

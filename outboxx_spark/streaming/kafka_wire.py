@@ -256,9 +256,16 @@ def parse_produce_response(r: _Reader) -> dict[tuple[str, int], dict]:
 
 class KafkaConnection:
     def __init__(self, host: str, port: int, client_id: str = "outboxx_spark",
-                 timeout_s: float = 15.0):
+                 timeout_s: float = 15.0, ssl_context=None):
         # request.timeout.ms=15000 mirrored from the reference producer
         self._sock = socket.create_connection((host, port), timeout=timeout_s)
+        if ssl_context is not None:
+            # broker cert verified against the configured CA bundle,
+            # hostname/IP-SAN checked — the ssl.ca.location contract
+            # the reference hands librdkafka (config.zig:37-94)
+            self._sock = ssl_context.wrap_socket(
+                self._sock, server_hostname=host
+            )
         self._client_id = client_id
         self._corr = 0
 
@@ -436,6 +443,11 @@ class WireProducer:
     # moves must be survivable, so routing state is always
     # rediscoverable)
     bootstrap: list[tuple[str, int]] = field(default_factory=list)
+    # PEM CA bundle path: set -> every connection is TLS-wrapped with
+    # broker-cert verification (the ssl.ca.location axis, V4); None ->
+    # PLAINTEXT. Derived from connector options via
+    # wire_security_kwargs(kafka_security_options(...)).
+    tls_ca: str | None = None
     delivery_errors: int = 0
     sent: int = 0
     metadata_refreshes: int = 0
@@ -452,6 +464,7 @@ class WireProducer:
     #  {(topic, pid): record_count}) — conn None marks a dispatch-time
     # connection failure, classified at drain.
     _pending: list = field(default_factory=list)
+    _ssl_ctx: object = None  # lazily-built ssl.SSLContext when tls_ca set
     _conn: KafkaConnection | None = None
     # topic -> partition count, resolved once per producer (the topic
     # handle cache analog, K5 `producer.zig:198-227`)
@@ -461,6 +474,18 @@ class WireProducer:
     _brokers: dict[int, tuple[str, int]] = field(default_factory=dict)
     _leaders: dict[tuple[str, int], int] = field(default_factory=dict)
     _node_conns: dict[int, KafkaConnection] = field(default_factory=dict)
+
+    def _ssl_context(self):
+        if self.tls_ca is None:
+            return None
+        if self._ssl_ctx is None:
+            import ssl
+
+            self._ssl_ctx = ssl.create_default_context(cafile=self.tls_ca)
+        return self._ssl_ctx
+
+    def _new_conn(self, host: str, port: int) -> KafkaConnection:
+        return KafkaConnection(host, port, ssl_context=self._ssl_context())
 
     def _endpoints(self) -> list[tuple[str, int]]:
         """Bootstrap endpoints first, then every broker the last
@@ -477,7 +502,7 @@ class WireProducer:
         last: Exception | None = None
         for hp in self._endpoints():
             try:
-                self._conn = KafkaConnection(*hp)
+                self._conn = self._new_conn(*hp)
                 return self._conn
             except OSError as e:
                 last = e
@@ -522,7 +547,7 @@ class WireProducer:
             return self._connection()
         conn = self._node_conns.get(node)
         if conn is None:
-            conn = KafkaConnection(*self._brokers[node])
+            conn = self._new_conn(*self._brokers[node])
             self._node_conns[node] = conn
         return conn
 
@@ -759,14 +784,50 @@ class WireProducer:
         self._node_conns.clear()
 
 
+def wire_security_kwargs(options: dict[str, str]) -> dict:
+    """Translate the Spark-connector security options rendered by
+    `config.kafka_security_options` into WireProducer kwargs, so the
+    SAME validated config drives both the production connector and the
+    in-sandbox wire client (V4 executed end-to-end):
+
+    - PLAINTEXT -> no TLS;
+    - SSL -> ``tls_ca`` from kafka.ssl.truststore.location (PEM);
+    - SASL_* -> KafkaWireError: the wire client does not speak the
+      SaslHandshake API — a SASL-secured cluster goes through the
+      Spark connector (`streaming/job.py kafka_writer_options`), and
+      silently skipping authentication here would misrepresent what
+      was tested."""
+    proto = options.get("kafka.security.protocol", "PLAINTEXT")
+    if proto.startswith("SASL"):
+        raise KafkaWireError(
+            f"security.protocol {proto}: SASL is connector-only; the "
+            "wire client supports PLAINTEXT and SSL"
+        )
+    if proto == "SSL":
+        loc = options.get("kafka.ssl.truststore.location")
+        if not loc or options.get("kafka.ssl.truststore.type") != "PEM":
+            raise KafkaWireError(
+                "SSL requires a PEM truststore "
+                "(kafka.ssl.truststore.location/type)"
+            )
+        return {"tls_ca": loc}
+    return {"tls_ca": None}
+
+
 def consume_all(
-    host: str, port: int, topic: str, *, max_wait_s: float = 30.0
+    host: str, port: int, topic: str, *, max_wait_s: float = 30.0,
+    tls_ca: str | None = None,
 ) -> list[dict]:
     """Drain every partition of ``topic`` from offset 0 to the high
     watermark: [{partition, offset, key, value, timestamp_ms}] — the
     consume-all test helper the reference e2e suite uses
     (`src/testing/test_helpers.zig:113-198`)."""
-    conn = KafkaConnection(host, port)
+    ctx = None
+    if tls_ca is not None:
+        import ssl
+
+        ctx = ssl.create_default_context(cafile=tls_ca)
+    conn = KafkaConnection(host, port, ssl_context=ctx)
     try:
         md = conn.metadata([topic])
         tinfo = md["topics"].get(topic)

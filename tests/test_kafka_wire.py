@@ -415,6 +415,91 @@ def test_topic_absent_from_metadata_raises(broker):
         p.send("ghost.t", b"k", b"v")
 
 
+# ---------------------------------------------------------------------------
+# TLS: the V4 security axes EXECUTED over a real handshake
+# ---------------------------------------------------------------------------
+
+
+def test_tls_produce_consume_via_security_options(tmp_path):
+    """The reference ships a live TLS Kafka dev stand
+    (`dev/kafka-tls/`, `src/config/config.zig:37-94`); this executes
+    the same axis in-sandbox: self-signed broker cert, client CA
+    verification, and the SAME validated config
+    (`kafka_security_options`) driving the wire client that drives the
+    production connector."""
+    cryptography = pytest.importorskip("cryptography")  # noqa: F841
+    from tls_cert import generate_self_signed
+
+    from outboxx_spark.config import KafkaSinkConfig, kafka_security_options
+    from outboxx_spark.streaming.kafka_wire import wire_security_kwargs
+
+    cert, key = generate_self_signed(tmp_path)
+    with KafkaBroker(n_partitions=4, certfile=cert, keyfile=key) as b:
+        opts = kafka_security_options(
+            KafkaSinkConfig(
+                (f"{b.host}:{b.port}",), tls=True, tls_ca_location=cert
+            )
+        )
+        assert opts["kafka.security.protocol"] == "SSL"
+        kwargs = wire_security_kwargs(opts)
+        assert kwargs == {"tls_ca": cert}
+        p = WireProducer(b.host, b.port, **kwargs)
+        for i in range(500):
+            p.send("tls.t", str(i % 13).encode(), json.dumps({"i": i}).encode())
+        p.flush()
+        assert p.sent == 500 and p.delivery_errors == 0
+        p.close()
+        msgs = consume_all(b.host, b.port, "tls.t", tls_ca=cert)
+        assert sorted(json.loads(m["value"])["i"] for m in msgs) == list(
+            range(500)
+        )
+        # placement identical to the PLAINTEXT path
+        assert all(
+            m["partition"] == partition_for(m["key"], 4) for m in msgs
+        )
+
+
+def test_tls_client_rejects_unknown_ca(tmp_path):
+    pytest.importorskip("cryptography")
+    from tls_cert import generate_self_signed
+
+    cert, key = generate_self_signed(tmp_path / "broker")
+    other_ca, _ = generate_self_signed(tmp_path / "other")
+    with KafkaBroker(n_partitions=4, certfile=cert, keyfile=key) as b:
+        # wrong CA: handshake must fail closed, surfacing as the
+        # no-reachable-broker error after the endpoint walk
+        p = WireProducer(b.host, b.port, tls_ca=other_ca)
+        with pytest.raises((KafkaWireError, OSError)):
+            p.send("tls.bad", b"k", b"v")
+        # plaintext client against a TLS listener also fails closed
+        p2 = WireProducer(b.host, b.port, retries=0, retry_backoff_ms=10)
+        with pytest.raises((KafkaWireError, OSError, DeliveryError)):
+            p2.send("tls.bad", b"k", b"v", n_partitions=4)
+            p2.flush()
+
+
+def test_sasl_options_are_connector_only(monkeypatch):
+    from outboxx_spark.config import (
+        KafkaSasl,
+        KafkaSinkConfig,
+        kafka_security_options,
+    )
+    from outboxx_spark.streaming.kafka_wire import wire_security_kwargs
+
+    monkeypatch.setenv("KAFKA_PW", "secret")
+    opts = kafka_security_options(
+        KafkaSinkConfig(
+            ("b:9092",),
+            tls=True,
+            tls_ca_location="/ca.pem",
+            sasl=KafkaSasl("SCRAM-SHA-512", "user", "KAFKA_PW"),
+        )
+    )
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    with pytest.raises(KafkaWireError, match="SASL is connector-only"):
+        wire_security_kwargs(opts)
+
+
 def test_single_broker_layout_unchanged(broker):
     # regression guard: the multi-broker client changes must not
     # disturb the single-broker path the sink uses today

@@ -69,10 +69,20 @@ class _Log:
 class KafkaBroker:
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  n_partitions: int = 4, node_id: int = 0,
-                 cluster: "KafkaCluster | None" = None):
+                 cluster: "KafkaCluster | None" = None,
+                 certfile: str | None = None, keyfile: str | None = None):
         self.n_partitions = n_partitions
         self.node_id = node_id
         self._cluster = cluster
+        # TLS listener (certfile+keyfile): the in-repo analog of the
+        # reference's kafka-tls dev stand — handshake in the handler
+        # thread so a slow/failed handshake never blocks accept
+        self._ssl_ctx = None
+        if certfile is not None:
+            import ssl
+
+            self._ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            self._ssl_ctx.load_cert_chain(certfile, keyfile)
         # clustered brokers share one log store + lock (single-copy
         # stand: leadership moves, the log does not — what's tested is
         # the CLIENT's reroute, not replication)
@@ -88,6 +98,13 @@ class KafkaBroker:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):  # one connection, many framed requests
+                if broker._ssl_ctx is not None:
+                    try:
+                        self.request = broker._ssl_ctx.wrap_socket(
+                            self.request, server_side=True
+                        )
+                    except OSError:
+                        return  # failed handshake: drop the connection
                 try:
                     while True:
                         head = self._recv_exact(4)
