@@ -921,18 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_kmeans_assign": q_emb_kmeans_assign,
         "emb_diversity_sample": q_emb_diversity_sample,
-        "cdc_partition_key": q_partition_key,
-        "cdc_update_projection": q_update_projection,
-        "cdc_dedup_boundary": q_dedup_boundary,
-        "cdc_snapshot_read": q_snapshot_read,
-        "cdc_type_mapping": q_type_mapping,
-        "cdc_sessions": q_sessions,
-        "cdc_materialize": q_materialize,
-        "olap_asof_enrich": q_asof_enrich,
+        "olap_spend_deciles_approx": olap.customer_spend_deciles_approx_check,
         "olap_value_quantiles": olap.event_value_quantiles,
-        "cdc_props_extract": q_props_extract,
-        "cdc_op_pivot": q_cdc_op_pivot,
-        "cdc_scd2": q_cdc_scd2,
         "olap_trailing_spend": olap.customer_trailing_spend,
         "olap_semi_join": olap.active_high_value_customers,
         "olap_anti_join": olap.customers_without_orders,
@@ -942,41 +932,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_pricing_summary": olap.pricing_summary,
         "olap_top_customers": olap.top_revenue_customers,
         "olap_nation_volume": olap.nation_order_volume,
-        "docs_bpe_tokens": q_docs_bpe_tokens,
-        "docs_unigram_lm": q_docs_unigram_lm,
         "olap_topk_per_priority": olap.top_orders_per_priority,
         "olap_spend_deciles": olap.customer_spend_deciles,
-        "cdc_debezium_roundtrip": q_debezium_roundtrip,
-        "cdc_skew_agg": q_skew_agg,
         "olap_skew_join": q_olap_skew_join,
-        "docs_chunk": q_docs_chunk,
-        "docs_pack_sequences": q_docs_pack_sequences,
-        "docs_strip_boilerplate": q_docs_strip_boilerplate,
-        "docs_shard_assign": q_docs_shard_assign,
-        "olap_range_join": q_olap_range_join,
-        "olap_interval_overlap": q_olap_interval_overlap,
         "olap_shipping_priority": olap_tpch.shipping_priority,
         "olap_local_supplier_volume": olap_tpch.local_supplier_revenue,
-        "emb_pq_topk": q_emb_pq_topk,
-        "emb_ivf_pq_topk": q_emb_ivf_pq_topk,
-        "olap_cohort_retention": q_olap_cohort_retention,
-        "cdc_tally": q_tally,
         "olap_small_qty_revenue": olap_tpch.small_qty_revenue,
         "olap_lone_return_supplier": olap_tpch.lone_return_supplier,
         "olap_market_share": olap_tpch.market_share,
-        "olap_heavy_hitters": cms.heavy_hitters_check,
-        "docs_minhash_recall": dedup_recall.minhash_recall_check,
-        # ---- tail (positions 51+): green at their latest check in
-        # unchanged formulation; the staleness policy rotates each
-        # back within MAX_STALENESS rounds ----
-        "mm_pixel_stats": q_mm_pixel_stats,
-        "docs_source_cap": q_docs_source_cap,
-        "emb_semantic_dedup": q_emb_semantic_dedup,
-        "mm_image_dhash": q_mm_image_dhash,
         "olap_big_order_customers": olap_tpch_heavy.big_order_customers,
         "olap_disjunctive_revenue": olap_tpch_heavy.disjunctive_revenue,
         "olap_dormant_rich_customers": olap_tpch_heavy.dormant_rich_customers,
-        "docs_substring_spans": q_docs_substring_spans,
         "olap_min_cost_supplier": olap_tpch_rest.min_cost_supplier,
         "olap_late_priority": olap_tpch_rest.late_order_priority,
         "olap_forecast_revenue": olap_tpch_rest.forecast_revenue,
@@ -989,6 +955,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_top_supplier": olap_tpch_rest.top_supplier,
         "olap_supplier_diversity": olap_tpch_rest.part_supplier_diversity,
         "olap_dominant_suppliers": olap_tpch_rest.dominant_part_suppliers,
+        "olap_pagerank": pagerank.q_pagerank,
+        "olap_triangles": triangles.q_triangles,
+        "olap_value_bands": olap.value_band_totals,
+        "olap_table_profile": olap.table_profile,
+        "olap_quantiles_approx": olap.event_value_quantiles_approx_check,
+        "olap_cardinality_approx": olap.event_type_cardinality_approx_check,
+        "olap_rollup": olap.nation_revenue_rollup,
+        "cdc_partition_key": q_partition_key,
+        "cdc_update_projection": q_update_projection,
+        "cdc_dedup_boundary": q_dedup_boundary,
+        "cdc_snapshot_read": q_snapshot_read,
+        # ---- tail (positions 51+): green at their latest check in
+        # unchanged formulation; the staleness policy rotates each
+        # back within MAX_STALENESS rounds ----
+        "cdc_type_mapping": q_type_mapping,
+        "cdc_sessions": q_sessions,
+        "cdc_materialize": q_materialize,
+        "olap_asof_enrich": q_asof_enrich,
+        "cdc_props_extract": q_props_extract,
+        "cdc_op_pivot": q_cdc_op_pivot,
+        "cdc_scd2": q_cdc_scd2,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
+        "docs_unigram_lm": q_docs_unigram_lm,
+        "cdc_debezium_roundtrip": q_debezium_roundtrip,
+        "cdc_skew_agg": q_skew_agg,
+        "docs_chunk": q_docs_chunk,
+        "docs_pack_sequences": q_docs_pack_sequences,
+        "docs_strip_boilerplate": q_docs_strip_boilerplate,
+        "docs_shard_assign": q_docs_shard_assign,
+        "olap_range_join": q_olap_range_join,
+        "olap_interval_overlap": q_olap_interval_overlap,
+        "emb_pq_topk": q_emb_pq_topk,
+        "emb_ivf_pq_topk": q_emb_ivf_pq_topk,
+        "olap_cohort_retention": q_olap_cohort_retention,
+        "cdc_tally": q_tally,
+        "olap_heavy_hitters": cms.heavy_hitters_check,
+        "docs_minhash_recall": dedup_recall.minhash_recall_check,
+        "mm_pixel_stats": q_mm_pixel_stats,
+        "docs_source_cap": q_docs_source_cap,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "mm_image_dhash": q_mm_image_dhash,
+        "docs_substring_spans": q_docs_substring_spans,
         "mm_audio_features": audio_mod.planted_audio_features,
         "mm_audio_decimate": audio_mod.planted_audio_decimate,
         "mm_jpeg_stats": q_mm_jpeg_stats,
@@ -997,13 +1005,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_color_stats": q_mm_jpeg_color_stats,
         "mm_gif_stats": q_mm_gif_stats,
         "mm_jpeg420_stats": q_mm_jpeg420_stats,
-        "olap_pagerank": pagerank.q_pagerank,
         "mm_jpeg_prog_stats": q_mm_jpeg_prog_stats,
         "mm_audio_g711": audio_mod.planted_g711_stats,
         "mm_video_frames": q_mm_video_frames,
         "mm_tiff_stats": q_mm_tiff_stats,
         "olap_theta_sketch": theta.theta_sketch_check,
-        "olap_triangles": triangles.q_triangles,
         "olap_hll_by_group": hll.hll_by_group_check,
         "docs_source_overlap": theta.source_overlap_check,
         "olap_sample_quantiles": reservoir.sample_quantiles_check,
@@ -1048,11 +1054,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_state_as_of": q_cdc_state_as_of,
         "cdc_gap_check": q_cdc_gap_check,
-        "olap_value_bands": olap.value_band_totals,
-        "olap_table_profile": olap.table_profile,
-        "olap_quantiles_approx": olap.event_value_quantiles_approx_check,
-        "olap_cardinality_approx": olap.event_type_cardinality_approx_check,
-        "olap_rollup": olap.nation_revenue_rollup,
         "docs_vocab_topk": q_docs_vocab_topk,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_stratified_sample": q_docs_stratified_sample,
@@ -1240,6 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         "olap_anti_join": olap.CUSTOMERS_WITHOUT_ORDERS_SQL(),
         "olap_order_count_dist": olap.ORDER_COUNT_DISTRIBUTION_SQL,
         "olap_spend_deciles": olap.CUSTOMER_SPEND_DECILES_SQL,
+        "olap_spend_deciles_approx": olap.CUSTOMER_SPEND_DECILES_APPROX_CHECK_SQL,
         "olap_cardinality": olap.EVENT_TYPE_CARDINALITY_SQL,
         "olap_table_profile": olap.table_profile_sql(),
         "olap_quantiles_approx": olap.EVENT_VALUE_QUANTILES_APPROX_CHECK_SQL,

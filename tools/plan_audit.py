@@ -82,8 +82,12 @@ CARTESIAN_OK = {
 # these instead of being blind to the shape. tag -> why it is bounded.
 GLOBAL_WINDOW_OK = {
     # ntile deciles over per-customer spend (customer-count-sized,
-    # not event-sized; production swap-in approx_percentile bands)
+    # not event-sized; the production swap-in is EXECUTED as
+    # olap_spend_deciles_approx: approx_percentile cuts + banding)
     "olap_spend_deciles": "customer-grain ntile certification",
+    # the swap-in's own certification harness: its exact rank side is
+    # the same customer-grain window (production runs only the sketch)
+    "olap_spend_deciles_approx": "exact-rank certification side",
     # exact rank side the mergeable-sample bands are certified against
     # (reservoir.py sample_quantiles_check: certification only — the
     # production artifact is the k-row merged sample itself)
