@@ -48,7 +48,7 @@ from outboxx_spark.operators.dedup import dedup_events
 from outboxx_spark.operators.routing import route, streams_dim
 from outboxx_spark.operators.tally import tally
 from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
-from outboxx_spark import integrity, olap, olap_tpch, olap_tpch_heavy, olap_tpch_rest
+from outboxx_spark import integrity, olap, olap_approx, olap_tpch, olap_tpch_heavy, olap_tpch_rest
 from outboxx_spark.dataops import audio as audio_mod
 from outboxx_spark.dataops import linededup
 from outboxx_spark.operators import pagerank, triangles, zorder
@@ -921,7 +921,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_kmeans_assign": q_emb_kmeans_assign,
         "emb_diversity_sample": q_emb_diversity_sample,
-        "olap_spend_deciles_approx": olap.customer_spend_deciles_approx_check,
+        "olap_spend_deciles_approx": olap_approx.customer_spend_deciles_approx_check,
+        "mm_jpeg_prog_adv": q_mm_jpeg_prog_adv,
+        "olap_pagerank": pagerank.q_pagerank,
+        "olap_triangles": triangles.q_triangles,
+        "mm_pixel_stats": q_mm_pixel_stats,
+        "mm_image_dhash": q_mm_image_dhash,
+        "mm_jpeg_stats": q_mm_jpeg_stats,
+        "mm_jpeg_color_stats": q_mm_jpeg_color_stats,
+        "mm_gif_stats": q_mm_gif_stats,
+        "mm_jpeg420_stats": q_mm_jpeg420_stats,
+        "mm_jpeg_prog_stats": q_mm_jpeg_prog_stats,
+        "mm_video_frames": q_mm_video_frames,
+        "mm_tiff_stats": q_mm_tiff_stats,
+        "mm_metadata": q_mm_metadata,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_features": q_mm_features,
         "olap_value_quantiles": olap.event_value_quantiles,
         "olap_trailing_spend": olap.customer_trailing_spend,
         "olap_semi_join": olap.active_high_value_customers,
@@ -937,6 +952,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_skew_join": q_olap_skew_join,
         "olap_shipping_priority": olap_tpch.shipping_priority,
         "olap_local_supplier_volume": olap_tpch.local_supplier_revenue,
+        "cdc_partition_key": q_partition_key,
+        "cdc_update_projection": q_update_projection,
+        "cdc_dedup_boundary": q_dedup_boundary,
+        "cdc_snapshot_read": q_snapshot_read,
+        "cdc_type_mapping": q_type_mapping,
+        "cdc_sessions": q_sessions,
+        "cdc_materialize": q_materialize,
+        "olap_asof_enrich": q_asof_enrich,
+        "cdc_props_extract": q_props_extract,
+        "cdc_op_pivot": q_cdc_op_pivot,
+        "cdc_scd2": q_cdc_scd2,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
+        "docs_unigram_lm": q_docs_unigram_lm,
+        "cdc_debezium_roundtrip": q_debezium_roundtrip,
+        # ---- tail (positions 51+): green at their latest check in
+        # unchanged formulation; the staleness policy rotates each
+        # back within MAX_STALENESS rounds ----
         "olap_small_qty_revenue": olap_tpch.small_qty_revenue,
         "olap_lone_return_supplier": olap_tpch.lone_return_supplier,
         "olap_market_share": olap_tpch.market_share,
@@ -955,30 +987,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_top_supplier": olap_tpch_rest.top_supplier,
         "olap_supplier_diversity": olap_tpch_rest.part_supplier_diversity,
         "olap_dominant_suppliers": olap_tpch_rest.dominant_part_suppliers,
-        "olap_pagerank": pagerank.q_pagerank,
-        "olap_triangles": triangles.q_triangles,
         "olap_value_bands": olap.value_band_totals,
         "olap_table_profile": olap.table_profile,
         "olap_quantiles_approx": olap.event_value_quantiles_approx_check,
         "olap_cardinality_approx": olap.event_type_cardinality_approx_check,
         "olap_rollup": olap.nation_revenue_rollup,
-        "cdc_partition_key": q_partition_key,
-        "cdc_update_projection": q_update_projection,
-        "cdc_dedup_boundary": q_dedup_boundary,
-        "cdc_snapshot_read": q_snapshot_read,
-        # ---- tail (positions 51+): green at their latest check in
-        # unchanged formulation; the staleness policy rotates each
-        # back within MAX_STALENESS rounds ----
-        "cdc_type_mapping": q_type_mapping,
-        "cdc_sessions": q_sessions,
-        "cdc_materialize": q_materialize,
-        "olap_asof_enrich": q_asof_enrich,
-        "cdc_props_extract": q_props_extract,
-        "cdc_op_pivot": q_cdc_op_pivot,
-        "cdc_scd2": q_cdc_scd2,
-        "docs_bpe_tokens": q_docs_bpe_tokens,
-        "docs_unigram_lm": q_docs_unigram_lm,
-        "cdc_debezium_roundtrip": q_debezium_roundtrip,
         "cdc_skew_agg": q_skew_agg,
         "docs_chunk": q_docs_chunk,
         "docs_pack_sequences": q_docs_pack_sequences,
@@ -992,30 +1005,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tally": q_tally,
         "olap_heavy_hitters": cms.heavy_hitters_check,
         "docs_minhash_recall": dedup_recall.minhash_recall_check,
-        "mm_pixel_stats": q_mm_pixel_stats,
         "docs_source_cap": q_docs_source_cap,
         "emb_semantic_dedup": q_emb_semantic_dedup,
-        "mm_image_dhash": q_mm_image_dhash,
         "docs_substring_spans": q_docs_substring_spans,
         "mm_audio_features": audio_mod.planted_audio_features,
         "mm_audio_decimate": audio_mod.planted_audio_decimate,
-        "mm_jpeg_stats": q_mm_jpeg_stats,
         "docs_paragraph_dedup": q_docs_paragraph_dedup,
         "olap_zorder_layout": zorder.q_zorder_keys,
-        "mm_jpeg_color_stats": q_mm_jpeg_color_stats,
-        "mm_gif_stats": q_mm_gif_stats,
-        "mm_jpeg420_stats": q_mm_jpeg420_stats,
-        "mm_jpeg_prog_stats": q_mm_jpeg_prog_stats,
         "mm_audio_g711": audio_mod.planted_g711_stats,
-        "mm_video_frames": q_mm_video_frames,
-        "mm_tiff_stats": q_mm_tiff_stats,
         "olap_theta_sketch": theta.theta_sketch_check,
         "olap_hll_by_group": hll.hll_by_group_check,
         "docs_source_overlap": theta.source_overlap_check,
         "olap_sample_quantiles": reservoir.sample_quantiles_check,
-        "mm_metadata": q_mm_metadata,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_features": q_mm_features,
         "docs_tfidf": q_docs_tfidf,
         "docs_bpe_merges": q_docs_bpe_merges,
         "docs_simhash": q_docs_simhash,
@@ -1241,7 +1242,7 @@ def oracle_sql() -> dict[str, str]:
         "olap_anti_join": olap.CUSTOMERS_WITHOUT_ORDERS_SQL(),
         "olap_order_count_dist": olap.ORDER_COUNT_DISTRIBUTION_SQL,
         "olap_spend_deciles": olap.CUSTOMER_SPEND_DECILES_SQL,
-        "olap_spend_deciles_approx": olap.CUSTOMER_SPEND_DECILES_APPROX_CHECK_SQL,
+        "olap_spend_deciles_approx": olap_approx.CUSTOMER_SPEND_DECILES_APPROX_CHECK_SQL,
         "olap_cardinality": olap.EVENT_TYPE_CARDINALITY_SQL,
         "olap_table_profile": olap.table_profile_sql(),
         "olap_quantiles_approx": olap.EVENT_VALUE_QUANTILES_APPROX_CHECK_SQL,
@@ -1409,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         # progressive==baseline equality flag (r10 advice: the DC-only
         # corpus was blind to AC-refinement bugs)
         "mm_jpeg_prog_stats": mm.MM_JPEG_PROG_STATS_SQL,
+        "mm_jpeg_prog_adv": mm.MM_JPEG_PROG_ADV_SQL,
         "mm_audio_g711": audio_mod.G711_STATS_SQL,
         "mm_video_frames": mm.VIDEO_FRAME_STATS_SQL(),
         "mm_tiff_stats": mm.MM_TIFF_STATS_SQL,
@@ -1516,6 +1518,14 @@ def q_mm_jpeg_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; decoded pixels must match the same block formula the
     baseline oracle uses."""
     return mm.jpeg_progressive_stats(read_table(spark, sf_dir, "documents"))
+
+
+def q_mm_jpeg_prog_adv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial progressive==baseline JPEG round-trip on noise
+    images (AC successive-approximation refinement paths); split from
+    mm_jpeg_prog_stats in r12 so the decode timing stays
+    trend-comparable."""
+    return mm.jpeg_progressive_adv_roundtrip(read_table(spark, sf_dir, "documents"))
 
 
 def q_mm_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

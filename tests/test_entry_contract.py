@@ -34,7 +34,7 @@ def test_driver_window_keeps_staleness_bound():
     # when the driver writes a new round's file — is: assuming the
     # upcoming round records the current window, NO query's latest
     # green driver row is older than MAX_STALENESS (=3; the smallest
-    # satisfiable bound at 142 queries — see the feasibility proof in
+    # satisfiable bound at 143 queries — see the feasibility proof in
     # tools/touched_queries.py) rounds. This subsumes the old
     # invariants: a never-checked query must sit in the window (its
     # effective round would be None), and every tail entry must be
@@ -46,7 +46,7 @@ def test_driver_window_keeps_staleness_bound():
     import touched_queries as tq
 
     order = list(E.queries())
-    assert len(order) == 142
+    assert len(order) == 143
     violations = tq.staleness_violations(E)
     assert not violations, (
         f"queries whose driver evidence breaches the {tq.MAX_STALENESS}-round "

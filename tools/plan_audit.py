@@ -73,6 +73,10 @@ CARTESIAN_OK = {
     # min-max normalization joins the ONE-ROW per-dimension bounds
     # frame back onto every row (operators/zorder.py docstring)
     "olap_zorder_layout",
+    # the approx-deciles certification crossJoins the ONE-ROW sketch-
+    # cuts aggregate onto the ONE-ROW exact side (olap_approx.py) —
+    # BNLJ with 1-row sides on both ends is the intended shape
+    "olap_spend_deciles_approx",
 }
 
 # documented single-partition windows: each is the deliberate EXACT
