@@ -776,6 +776,13 @@ class WireProducer:
             time.sleep(self.retry_backoff_ms / 1000.0)
 
     def close(self) -> None:
+        """Socket cleanup only — deliberately does NOT drain pending
+        responses: close() runs in finally blocks after a flush() that
+        may have already raised, and raising again there would mask
+        the original DeliveryError. Unconfirmed dispatches are covered
+        by the at-least-once replay (the task failed before the offset
+        commit). Callers confirm delivery via flush(), never close()."""
+        self._pending.clear()
         if self._conn is not None:
             self._conn.close()
             self._conn = None

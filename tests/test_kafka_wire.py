@@ -406,6 +406,30 @@ def test_leader_killed_without_prior_move_recovers(cluster):
     assert seen == list(range(400))
 
 
+def test_metadata_refresh_drains_pipelined_produce_first(broker):
+    # interleave hazard: an inline overflow flush can leave a Produce
+    # response unread on the SHARED metadata connection (fallback
+    # route, in-flight=1 pipelining); a subsequent send() needing a
+    # metadata refresh must confirm that dispatch BEFORE issuing the
+    # synchronous metadata request on the same connection, or it would
+    # read the produce response as its own (correlation mismatch).
+    # Force the fallback route: a known leader id that maps to no
+    # known broker makes _route_node return None.
+    p = WireProducer(broker.host, broker.port, batch_max_messages=10)
+    p._npart["pipe.a"] = 4
+    for pid in range(4):
+        p._leaders[("pipe.a", pid)] = 99  # node 99 unknown -> fallback
+    for i in range(10):  # crosses the cap -> dispatch without drain
+        p.send("pipe.a", str(i).encode(), b"x")
+    assert len(p._pending) == 1
+    assert p._pending[0][1] is p._conn  # pending on the shared conn
+    p.send("pipe.b", b"k", b"v")  # unknown topic -> metadata refresh
+    p.flush()
+    assert p.sent == 11 and p.delivery_errors == 0
+    assert broker.record_count("pipe.a") == 10
+    assert broker.record_count("pipe.b") == 1
+
+
 def test_topic_absent_from_metadata_raises(broker):
     # a refresh that succeeds but omits the topic must surface, not
     # silently route everything to partition 0 (r11 advice)
