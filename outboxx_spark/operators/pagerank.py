@@ -66,19 +66,28 @@ def pagerank_int(
     is one cheap job over |V| rows, negligible next to ``iters``
     edge joins.
 
-    ``edges`` and ``nodes`` are persisted: the lazily-composed
-    iteration plan references the edge subtree once per iteration and
-    the node subtree once per iteration plus once up front, so without
-    a cache the upstream derivation (here a window over events) is
-    re-executed 2*iters+1 times. The guard ``count()`` doubles as the
-    materialization job, so the per-invocation overhead is exactly one
-    pass over the edge list (r11 advice)."""
-    edges = edges.persist()
+    ``edges`` and ``nodes`` are materialized via eager
+    ``localCheckpoint``: the lazily-composed iteration plan references
+    the edge subtree once per iteration and the node subtree once per
+    iteration plus once up front, so without materialization the
+    upstream derivation (here a window over events) is re-executed
+    2*iters+1 times (r11 advice). localCheckpoint rather than
+    ``persist()`` deliberately: persist registers the plan in the
+    session CacheManager, which substitutes InMemoryRelation into ANY
+    other query sharing the subtree — measured: the triangle counter,
+    which shares ``interaction_edges``, went 3.7s -> 12.5s after one
+    pagerank call flipped its join strategy through the cache.
+    Checkpointed blocks are private to this lineage and are freed by
+    the ContextCleaner when the frames are garbage collected. (On a
+    production cluster reliable checkpointing to the cluster store is
+    the same call with ``checkpoint``; local blocks are the right
+    trade for an iteration cache.)"""
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     if DAMP_NUM * scale * n_nodes > 2**63 - 1:
@@ -88,7 +97,13 @@ def pagerank_int(
             f"overflow 64-bit fixed point (85 * |V| * scale >= 2^63); "
             f"pass scale <= {safe}"
         )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # outdeg is joined once per iteration — materialize it too (one
+    # aggregate job over the checkpointed edges, ~|V| rows stored)
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     teleport = F.lit(DAMP_NUM_TELEPORT * scale // DAMP_DEN).cast("long")
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for _ in range(iters):
