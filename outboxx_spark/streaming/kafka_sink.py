@@ -45,6 +45,7 @@ def make_kafka_sink(
     bootstrap: list[tuple[str, int]] | None = None,
     sink_parallelism: int | None = None,
     tls_ca: str | None = None,
+    sasl: tuple[str, str, str] | None = None,
 ):
     """A ``sink_fn`` for ``streaming.job.start_stream``: produces each
     micro-batch's delivery frame (destination, key, value) to the
@@ -76,6 +77,7 @@ def make_kafka_sink(
                 retry_backoff_ms=retry_backoff_ms,
                 bootstrap=bootstrap,
                 tls_ca=tls_ca,
+                sasl=sasl,
             )
             try:
                 send = producer.send

@@ -49,7 +49,9 @@ from dataclasses import dataclass, field
 API_PRODUCE = 0
 API_FETCH = 1
 API_METADATA = 3
+API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
+API_SASL_AUTHENTICATE = 36
 
 # Kafka error codes (public protocol spec) used here
 ERR_NONE = 0
@@ -57,6 +59,9 @@ ERR_CORRUPT_MESSAGE = 2
 ERR_UNKNOWN_TOPIC = 3
 ERR_REQUEST_TIMED_OUT = 7
 ERR_NOT_LEADER = 6
+ERR_ILLEGAL_SASL_STATE = 34
+ERR_UNSUPPORTED_SASL_MECHANISM = 33
+ERR_SASL_AUTHENTICATION_FAILED = 58
 
 RETRIABLE_ERRORS = {ERR_REQUEST_TIMED_OUT, ERR_NOT_LEADER, ERR_CORRUPT_MESSAGE}
 
@@ -219,6 +224,49 @@ def partition_for(key: bytes, n_partitions: int) -> int:
     return (murmur2(key) & 0x7FFFFFFF) % n_partitions
 
 
+# ---------------------------------------------------------------------------
+# SASL/SCRAM primitives (RFC 5802 + RFC 7677), shared with the broker
+# stand — all stdlib (hashlib.pbkdf2_hmac / hmac), so the handshake the
+# reference delegates to librdkafka is EXECUTED here, not mocked.
+# ---------------------------------------------------------------------------
+
+SCRAM_HASHES = {"SCRAM-SHA-256": "sha256", "SCRAM-SHA-512": "sha512"}
+SCRAM_ITERATIONS = 4096  # RFC 7677 minimum announced by the stand
+
+
+def scram_escape(name: str) -> str:
+    """saslname encoding: '=' and ',' are reserved (RFC 5802 §5.1)."""
+    return name.replace("=", "=3D").replace(",", "=2C")
+
+
+def scram_salted_password(
+    mechanism: str, password: str, salt: bytes, iterations: int
+) -> bytes:
+    import hashlib
+
+    return hashlib.pbkdf2_hmac(
+        SCRAM_HASHES[mechanism], password.encode("utf-8"), salt, iterations
+    )
+
+
+def scram_keys(mechanism: str, salted: bytes) -> tuple[bytes, bytes, bytes]:
+    """-> (client_key, stored_key, server_key) per RFC 5802 §3."""
+    import hashlib
+    import hmac as hmac_mod
+
+    digest = SCRAM_HASHES[mechanism]
+    client_key = hmac_mod.new(salted, b"Client Key", digest).digest()
+    stored_key = hashlib.new(digest, client_key).digest()
+    server_key = hmac_mod.new(salted, b"Server Key", digest).digest()
+    return client_key, stored_key, server_key
+
+
+def scram_hmac(mechanism: str, key: bytes, msg: bytes) -> bytes:
+    import hmac as hmac_mod
+
+    return hmac_mod.new(key, msg, SCRAM_HASHES[mechanism]).digest()
+
+
 def encode_produce_payload(
     batches: list[tuple[str, int, bytes]], acks: int, timeout_ms: int
 ) -> bytes:
@@ -256,7 +304,8 @@ def parse_produce_response(r: _Reader) -> dict[tuple[str, int], dict]:
 
 class KafkaConnection:
     def __init__(self, host: str, port: int, client_id: str = "outboxx_spark",
-                 timeout_s: float = 15.0, ssl_context=None):
+                 timeout_s: float = 15.0, ssl_context=None,
+                 sasl: tuple[str, str, str] | None = None):
         # request.timeout.ms=15000 mirrored from the reference producer
         self._sock = socket.create_connection((host, port), timeout=timeout_s)
         if ssl_context is not None:
@@ -268,6 +317,13 @@ class KafkaConnection:
             )
         self._client_id = client_id
         self._corr = 0
+        if sasl is not None:
+            # authenticate BEFORE any other API — the broker refuses
+            # everything but ApiVersions/SaslHandshake/SaslAuthenticate
+            # on an unauthenticated connection (SASL_* protocols);
+            # TLS wrap (if any) already happened above, so SASL_SSL is
+            # handshake-inside-TLS exactly like the Java client
+            self._sasl_authenticate(*sasl)
 
     def close(self) -> None:
         try:
@@ -309,6 +365,72 @@ class KafkaConnection:
 
     def request(self, api_key: int, api_version: int, payload: bytes) -> _Reader:
         return self.read_response(self.send_request(api_key, api_version, payload))
+
+    # -- SASL (handshake v1 + authenticate v0: header-wrapped tokens) --
+
+    def _sasl_send(self, token: bytes) -> bytes:
+        r = self.request(API_SASL_AUTHENTICATE, 0, _enc_bytes(token))
+        err = r.i16()
+        msg = r.string()
+        out = r.bytes_() or b""
+        if err != ERR_NONE:
+            raise KafkaWireError(f"SASL authentication failed ({err}): {msg}")
+        return out
+
+    def _sasl_authenticate(self, mechanism: str, username: str, password: str) -> None:
+        """SaslHandshake v1 then the mechanism's token exchange.
+        PLAIN is one NUL-joined token (RFC 4616); SCRAM-SHA-256/512 is
+        the full RFC 5802 three-message exchange INCLUDING server-
+        signature verification — the client proves the password, the
+        broker proves it holds the server key (mutual), exactly what
+        librdkafka does for the reference's `sasl.mechanism` configs."""
+        r = self.request(API_SASL_HANDSHAKE, 1, _enc_str(mechanism))
+        err = r.i16()
+        mechs = [r.string() for _ in range(r.i32())]
+        if err != ERR_NONE:
+            raise KafkaWireError(
+                f"SASL handshake refused ({err}); broker offers {mechs}"
+            )
+        if mechanism == "PLAIN":
+            self._sasl_send(
+                b"\x00" + username.encode("utf-8")
+                + b"\x00" + password.encode("utf-8")
+            )
+            return
+        if mechanism not in SCRAM_HASHES:
+            raise KafkaWireError(f"unsupported SASL mechanism {mechanism}")
+        import base64
+        import secrets
+
+        cnonce = secrets.token_urlsafe(18)
+        gs2 = "n,,"
+        client_first_bare = f"n={scram_escape(username)},r={cnonce}"
+        server_first = self._sasl_send(
+            (gs2 + client_first_bare).encode("utf-8")
+        ).decode("utf-8")
+        attrs = dict(kv.split("=", 1) for kv in server_first.split(","))
+        snonce, salt = attrs["r"], base64.b64decode(attrs["s"])
+        iterations = int(attrs["i"])
+        if not snonce.startswith(cnonce):
+            raise KafkaWireError("SCRAM server nonce does not extend ours")
+        channel_binding = base64.b64encode(gs2.encode("utf-8")).decode()
+        client_final_wo = f"c={channel_binding},r={snonce}"
+        auth_msg = ",".join(
+            [client_first_bare, server_first, client_final_wo]
+        ).encode("utf-8")
+        salted = scram_salted_password(mechanism, password, salt, iterations)
+        client_key, stored_key, server_key = scram_keys(mechanism, salted)
+        client_sig = scram_hmac(mechanism, stored_key, auth_msg)
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        server_final = self._sasl_send(
+            f"{client_final_wo},p={base64.b64encode(proof).decode()}".encode()
+        ).decode("utf-8")
+        fattrs = dict(kv.split("=", 1) for kv in server_final.split(","))
+        expect = scram_hmac(mechanism, server_key, auth_msg)
+        if base64.b64decode(fattrs.get("v", "")) != expect:
+            raise KafkaWireError(
+                "SCRAM server signature mismatch (broker failed mutual auth)"
+            )
 
     # -- Metadata v0 --
 
@@ -448,6 +570,11 @@ class WireProducer:
     # PLAINTEXT. Derived from connector options via
     # wire_security_kwargs(kafka_security_options(...)).
     tls_ca: str | None = None
+    # SASL credentials (mechanism, username, password) or None; every
+    # connection authenticates immediately after connect (and after
+    # the TLS wrap for SASL_SSL). Derived from connector options via
+    # wire_security_kwargs(kafka_security_options(...)).
+    sasl: tuple[str, str, str] | None = None
     delivery_errors: int = 0
     sent: int = 0
     metadata_refreshes: int = 0
@@ -485,7 +612,9 @@ class WireProducer:
         return self._ssl_ctx
 
     def _new_conn(self, host: str, port: int) -> KafkaConnection:
-        return KafkaConnection(host, port, ssl_context=self._ssl_context())
+        return KafkaConnection(
+            host, port, ssl_context=self._ssl_context(), sasl=self.sasl
+        )
 
     def _endpoints(self) -> list[tuple[str, int]]:
         """Bootstrap endpoints first, then every broker the last
@@ -795,35 +924,46 @@ def wire_security_kwargs(options: dict[str, str]) -> dict:
     """Translate the Spark-connector security options rendered by
     `config.kafka_security_options` into WireProducer kwargs, so the
     SAME validated config drives both the production connector and the
-    in-sandbox wire client (V4 executed end-to-end):
+    in-sandbox wire client (V4 executed end-to-end, all four
+    tls x sasl combinations):
 
-    - PLAINTEXT -> no TLS;
-    - SSL -> ``tls_ca`` from kafka.ssl.truststore.location (PEM);
-    - SASL_* -> KafkaWireError: the wire client does not speak the
-      SaslHandshake API — a SASL-secured cluster goes through the
-      Spark connector (`streaming/job.py kafka_writer_options`), and
-      silently skipping authentication here would misrepresent what
-      was tested."""
+    - PLAINTEXT -> neither;
+    - SSL / SASL_SSL -> ``tls_ca`` from kafka.ssl.truststore.location
+      (PEM, required);
+    - SASL_PLAINTEXT / SASL_SSL -> ``sasl`` = (mechanism, username,
+      password) recovered from the rendered JAAS line; only the
+      mechanisms the wire client actually speaks (PLAIN,
+      SCRAM-SHA-256/512 — the reference's validated set) pass."""
+    import re
+
     proto = options.get("kafka.security.protocol", "PLAINTEXT")
-    if proto.startswith("SASL"):
-        raise KafkaWireError(
-            f"security.protocol {proto}: SASL is connector-only; the "
-            "wire client supports PLAINTEXT and SSL"
-        )
-    if proto == "SSL":
+    out: dict = {"tls_ca": None, "sasl": None}
+    if proto in ("SSL", "SASL_SSL"):
         loc = options.get("kafka.ssl.truststore.location")
         if not loc or options.get("kafka.ssl.truststore.type") != "PEM":
             raise KafkaWireError(
-                "SSL requires a PEM truststore "
+                f"{proto} requires a PEM truststore "
                 "(kafka.ssl.truststore.location/type)"
             )
-        return {"tls_ca": loc}
-    return {"tls_ca": None}
+        out["tls_ca"] = loc
+    if proto.startswith("SASL"):
+        mech = options.get("kafka.sasl.mechanism")
+        if mech not in ("PLAIN", *SCRAM_HASHES):
+            raise KafkaWireError(
+                f"SASL mechanism {mech!r} is connector-only; the wire "
+                f"client speaks PLAIN and {sorted(SCRAM_HASHES)}"
+            )
+        jaas = options.get("kafka.sasl.jaas.config", "")
+        m = re.search(r'username="([^"]*)"\s+password="([^"]*)"', jaas)
+        if not m:
+            raise KafkaWireError("SASL requires username/password in JAAS")
+        out["sasl"] = (mech, m.group(1), m.group(2))
+    return out
 
 
 def consume_all(
     host: str, port: int, topic: str, *, max_wait_s: float = 30.0,
-    tls_ca: str | None = None,
+    tls_ca: str | None = None, sasl: tuple[str, str, str] | None = None,
 ) -> list[dict]:
     """Drain every partition of ``topic`` from offset 0 to the high
     watermark: [{partition, offset, key, value, timestamp_ms}] — the
@@ -834,7 +974,7 @@ def consume_all(
         import ssl
 
         ctx = ssl.create_default_context(cafile=tls_ca)
-    conn = KafkaConnection(host, port, ssl_context=ctx)
+    conn = KafkaConnection(host, port, ssl_context=ctx, sasl=sasl)
     try:
         md = conn.metadata([topic])
         tinfo = md["topics"].get(topic)

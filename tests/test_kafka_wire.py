@@ -466,7 +466,7 @@ def test_tls_produce_consume_via_security_options(tmp_path):
         )
         assert opts["kafka.security.protocol"] == "SSL"
         kwargs = wire_security_kwargs(opts)
-        assert kwargs == {"tls_ca": cert}
+        assert kwargs == {"tls_ca": cert, "sasl": None}
         p = WireProducer(b.host, b.port, **kwargs)
         for i in range(500):
             p.send("tls.t", str(i % 13).encode(), json.dumps({"i": i}).encode())
@@ -502,7 +502,11 @@ def test_tls_client_rejects_unknown_ca(tmp_path):
             p2.flush()
 
 
-def test_sasl_options_are_connector_only(monkeypatch):
+def test_sasl_plain_produce_consume_via_security_options(monkeypatch):
+    """SASL_PLAINTEXT executed end-to-end: the validated config renders
+    the JAAS line, wire_security_kwargs recovers the credentials, and
+    the wire client runs SaslHandshake + SaslAuthenticate (RFC 4616
+    PLAIN) against the broker stand before any produce."""
     from outboxx_spark.config import (
         KafkaSasl,
         KafkaSinkConfig,
@@ -510,18 +514,116 @@ def test_sasl_options_are_connector_only(monkeypatch):
     )
     from outboxx_spark.streaming.kafka_wire import wire_security_kwargs
 
-    monkeypatch.setenv("KAFKA_PW", "secret")
-    opts = kafka_security_options(
-        KafkaSinkConfig(
-            ("b:9092",),
-            tls=True,
-            tls_ca_location="/ca.pem",
-            sasl=KafkaSasl("SCRAM-SHA-512", "user", "KAFKA_PW"),
+    monkeypatch.setenv("KAFKA_PW", "s3cret")
+    with KafkaBroker(
+        n_partitions=4, sasl_users={"alice": "s3cret"}
+    ) as b:
+        opts = kafka_security_options(
+            KafkaSinkConfig(
+                (f"{b.host}:{b.port}",),
+                tls=False,
+                sasl=KafkaSasl("PLAIN", "alice", "KAFKA_PW"),
+            )
         )
+        assert opts["kafka.security.protocol"] == "SASL_PLAINTEXT"
+        kwargs = wire_security_kwargs(opts)
+        assert kwargs["sasl"] == ("PLAIN", "alice", "s3cret")
+        p = WireProducer(b.host, b.port, **kwargs)
+        for i in range(300):
+            p.send("sasl.t", str(i % 7).encode(), json.dumps({"i": i}).encode())
+        p.flush()
+        assert p.sent == 300 and p.delivery_errors == 0
+        p.close()
+        msgs = consume_all(b.host, b.port, "sasl.t", sasl=kwargs["sasl"])
+        assert sorted(json.loads(m["value"])["i"] for m in msgs) == list(
+            range(300)
+        )
+
+
+@pytest.mark.parametrize("mech", ["SCRAM-SHA-256", "SCRAM-SHA-512"])
+def test_sasl_scram_mutual_auth_produce_consume(mech):
+    # the full RFC 5802 exchange: client proves the password via the
+    # proof, broker proves it holds the server key via the server
+    # signature (the client raises on a mismatch — mutual auth)
+    # '=' and ',' in the username exercise RFC 5802 saslname escaping
+    users = {"sv=c,x": "hunter2"}
+    with KafkaBroker(n_partitions=4, sasl_users=users) as b:
+        sasl = (mech, "sv=c,x", "hunter2")
+        p = WireProducer(b.host, b.port, sasl=sasl)
+        for i in range(100):
+            p.send("scram.t", str(i).encode(), b"v", n_partitions=4)
+        p.flush()
+        assert p.sent == 100 and p.delivery_errors == 0
+        p.close()
+        assert len(consume_all(b.host, b.port, "scram.t", sasl=sasl)) == 100
+
+
+def test_sasl_wrong_password_and_unauthenticated_fail_closed(tmp_path):
+    with KafkaBroker(n_partitions=4, sasl_users={"alice": "right"}) as b:
+        for mech in ("PLAIN", "SCRAM-SHA-512"):
+            with pytest.raises(KafkaWireError):
+                KafkaConnection(b.host, b.port, sasl=(mech, "alice", "wrong"))
+        # no credentials at all: the first non-SASL API drops the
+        # connection (real-broker behavior), surfacing as an error
+        p = WireProducer(b.host, b.port, retries=0, retry_backoff_ms=10)
+        with pytest.raises((KafkaWireError, DeliveryError, OSError)):
+            p.send("locked.t", b"k", b"v", n_partitions=4)
+            p.flush()
+        assert b.record_count("locked.t") == 0
+
+
+def test_sasl_ssl_combined_via_security_options(tmp_path, monkeypatch):
+    """SASL_SSL: TLS wrap first, SCRAM inside the encrypted channel —
+    the fourth and last tls x sasl combination, executed."""
+    pytest.importorskip("cryptography")
+    from tls_cert import generate_self_signed
+
+    from outboxx_spark.config import (
+        KafkaSasl,
+        KafkaSinkConfig,
+        kafka_security_options,
     )
-    assert opts["kafka.security.protocol"] == "SASL_SSL"
-    with pytest.raises(KafkaWireError, match="SASL is connector-only"):
-        wire_security_kwargs(opts)
+    from outboxx_spark.streaming.kafka_wire import wire_security_kwargs
+
+    cert, key = generate_self_signed(tmp_path)
+    monkeypatch.setenv("KAFKA_PW", "tls+scram")
+    with KafkaBroker(
+        n_partitions=4, certfile=cert, keyfile=key,
+        sasl_users={"svc": "tls+scram"},
+    ) as b:
+        opts = kafka_security_options(
+            KafkaSinkConfig(
+                (f"{b.host}:{b.port}",),
+                tls=True,
+                tls_ca_location=cert,
+                sasl=KafkaSasl("SCRAM-SHA-512", "svc", "KAFKA_PW"),
+            )
+        )
+        assert opts["kafka.security.protocol"] == "SASL_SSL"
+        kwargs = wire_security_kwargs(opts)
+        assert kwargs["tls_ca"] == cert
+        assert kwargs["sasl"] == ("SCRAM-SHA-512", "svc", "tls+scram")
+        p = WireProducer(b.host, b.port, **kwargs)
+        for i in range(200):
+            p.send("both.t", str(i).encode(), json.dumps({"i": i}).encode())
+        p.flush()
+        assert p.sent == 200 and p.delivery_errors == 0
+        p.close()
+        msgs = consume_all(b.host, b.port, "both.t", tls_ca=cert, sasl=kwargs["sasl"])
+        assert sorted(json.loads(m["value"])["i"] for m in msgs) == list(range(200))
+
+
+def test_sasl_unknown_mechanism_is_connector_only():
+    from outboxx_spark.streaming.kafka_wire import wire_security_kwargs
+
+    with pytest.raises(KafkaWireError, match="connector-only"):
+        wire_security_kwargs(
+            {
+                "kafka.security.protocol": "SASL_PLAINTEXT",
+                "kafka.sasl.mechanism": "GSSAPI",
+                "kafka.sasl.jaas.config": 'x username="a" password="b";',
+            }
+        )
 
 
 def test_single_broker_layout_unchanged(broker):

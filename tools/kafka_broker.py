@@ -46,12 +46,22 @@ from outboxx_spark.streaming.kafka_wire import (  # noqa: E402
     API_FETCH,
     API_METADATA,
     API_PRODUCE,
+    API_SASL_AUTHENTICATE,
+    API_SASL_HANDSHAKE,
     API_VERSIONS,
     ERR_CORRUPT_MESSAGE,
+    ERR_ILLEGAL_SASL_STATE,
     ERR_NONE,
+    ERR_SASL_AUTHENTICATION_FAILED,
+    ERR_UNSUPPORTED_SASL_MECHANISM,
+    SCRAM_HASHES,
+    SCRAM_ITERATIONS,
     _enc_bytes,
     _enc_str,
     _Reader,
+    scram_hmac,
+    scram_keys,
+    scram_salted_password,
 )
 
 
@@ -70,10 +80,34 @@ class KafkaBroker:
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  n_partitions: int = 4, node_id: int = 0,
                  cluster: "KafkaCluster | None" = None,
-                 certfile: str | None = None, keyfile: str | None = None):
+                 certfile: str | None = None, keyfile: str | None = None,
+                 sasl_users: dict[str, str] | None = None):
         self.n_partitions = n_partitions
         self.node_id = node_id
         self._cluster = cluster
+        # SASL listener (sasl_users: username -> password): when set,
+        # every connection must complete SaslHandshake+SaslAuthenticate
+        # (PLAIN or SCRAM-SHA-256/512) before any other API — an
+        # unauthenticated produce/metadata/fetch drops the connection,
+        # real-broker behavior. SCRAM credentials are stored the way a
+        # real broker stores them (salt, StoredKey, ServerKey per
+        # mechanism — never the plaintext on the SCRAM path).
+        self._sasl_users = dict(sasl_users) if sasl_users else None
+        self._scram_creds: dict[str, dict[str, tuple]] = {}
+        if self._sasl_users:
+            import os
+
+            for mech in SCRAM_HASHES:
+                self._scram_creds[mech] = {}
+                for user, pw in self._sasl_users.items():
+                    salt = os.urandom(16)
+                    salted = scram_salted_password(
+                        mech, pw, salt, SCRAM_ITERATIONS
+                    )
+                    _ck, stored_key, server_key = scram_keys(mech, salted)
+                    self._scram_creds[mech][user] = (
+                        salt, SCRAM_ITERATIONS, stored_key, server_key
+                    )
         # TLS listener (certfile+keyfile): the in-repo analog of the
         # reference's kafka-tls dev stand — handshake in the handler
         # thread so a slow/failed handshake never blocks accept
@@ -106,6 +140,11 @@ class KafkaBroker:
                     except OSError:
                         return  # failed handshake: drop the connection
                 try:
+                    conn_state = {
+                        "authenticated": broker._sasl_users is None,
+                        "mech": None,
+                        "scram": None,
+                    }
                     while True:
                         head = self._recv_exact(4)
                         if head is None:
@@ -114,7 +153,9 @@ class KafkaBroker:
                         frame = self._recv_exact(size)
                         if frame is None:
                             return
-                        resp = broker._dispatch(frame)
+                        resp = broker._dispatch(frame, conn_state)
+                        if resp is None:  # illegal SASL state: drop
+                            return
                         self.request.sendall(
                             struct.pack(">i", len(resp)) + resp
                         )
@@ -180,17 +221,30 @@ class KafkaBroker:
 
     # -- protocol dispatch --
 
-    def _dispatch(self, frame: bytes) -> bytes:
+    def _dispatch(self, frame: bytes, conn_state: dict | None = None) -> bytes | None:
+        conn_state = conn_state if conn_state is not None else {
+            "authenticated": True, "mech": None, "scram": None,
+        }
         r = _Reader(frame)
         api_key, api_version, corr = r.i16(), r.i16(), r.i32()
         r.string()  # client_id
         head = struct.pack(">i", corr)
         if api_key == API_VERSIONS:
-            body = struct.pack(">hi", ERR_NONE, 4)
+            body = struct.pack(">hi", ERR_NONE, 6)
             for k, lo, hi in ((API_PRODUCE, 0, 2), (API_FETCH, 0, 2),
-                              (API_METADATA, 0, 0), (API_VERSIONS, 0, 0)):
+                              (API_METADATA, 0, 0), (API_VERSIONS, 0, 0),
+                              (API_SASL_HANDSHAKE, 0, 1),
+                              (API_SASL_AUTHENTICATE, 0, 0)):
                 body += struct.pack(">hhh", k, lo, hi)
             return head + body
+        if api_key == API_SASL_HANDSHAKE:
+            return head + self._sasl_handshake(r, conn_state)
+        if api_key == API_SASL_AUTHENTICATE:
+            return head + self._sasl_authenticate(r, conn_state)
+        if not conn_state["authenticated"]:
+            # real-broker behavior: any other API before authentication
+            # completes drops the connection
+            return None
         if api_key == API_METADATA:
             return head + self._metadata(r)
         if api_key == API_PRODUCE:
@@ -198,6 +252,93 @@ class KafkaBroker:
         if api_key == API_FETCH:
             return head + self._fetch(r, api_version)
         raise ValueError(f"unsupported api_key {api_key}")
+
+    # -- SASL server side (handshake + PLAIN / SCRAM per RFC 5802) --
+
+    def _sasl_handshake(self, r: _Reader, conn_state: dict) -> bytes:
+        mechanism = r.string() or ""
+        supported = ["PLAIN", *sorted(SCRAM_HASHES)]
+        mech_list = struct.pack(">i", len(supported)) + b"".join(
+            _enc_str(m) for m in supported
+        )
+        if self._sasl_users is None or mechanism not in supported:
+            err = ERR_UNSUPPORTED_SASL_MECHANISM
+            return struct.pack(">h", err) + mech_list
+        conn_state["mech"] = mechanism
+        conn_state["scram"] = None
+        return struct.pack(">h", ERR_NONE) + mech_list
+
+    def _sasl_authenticate(self, r: _Reader, conn_state: dict) -> bytes:
+        token = r.bytes_() or b""
+        err, msg, out = self._sasl_step(conn_state, token)
+        return struct.pack(">h", err) + _enc_str(msg) + _enc_bytes(out)
+
+    def _sasl_step(self, conn_state: dict, token: bytes):
+        import base64
+        import hashlib
+        import secrets
+
+        mech = conn_state.get("mech")
+        if mech is None or self._sasl_users is None:
+            return ERR_ILLEGAL_SASL_STATE, "handshake first", b""
+        fail = (ERR_SASL_AUTHENTICATION_FAILED, "authentication failed", b"")
+        if mech == "PLAIN":
+            parts = token.split(b"\x00")
+            if len(parts) != 3:
+                return fail
+            user, pw = parts[1].decode("utf-8"), parts[2].decode("utf-8")
+            if self._sasl_users.get(user) != pw:
+                return fail
+            conn_state["authenticated"] = True
+            return ERR_NONE, None, b""
+        # SCRAM-SHA-256/512
+        if conn_state["scram"] is None:
+            try:
+                text = token.decode("utf-8")
+                if not text.startswith("n,,"):
+                    return fail
+                bare = text[3:]
+                attrs = dict(kv.split("=", 1) for kv in bare.split(","))
+                user = attrs["n"].replace("=2C", ",").replace("=3D", "=")
+                cnonce = attrs["r"]
+            except (ValueError, KeyError):
+                return fail
+            cred = self._scram_creds.get(mech, {}).get(user)
+            if cred is None:
+                return fail
+            salt, iterations, _stored, _server = cred
+            snonce = cnonce + secrets.token_urlsafe(18)
+            server_first = (
+                f"r={snonce},s={base64.b64encode(salt).decode()},"
+                f"i={iterations}"
+            )
+            conn_state["scram"] = (bare, server_first, cred, snonce)
+            return ERR_NONE, None, server_first.encode("utf-8")
+        bare, server_first, cred, snonce = conn_state["scram"]
+        _salt, _iters, stored_key, server_key = cred
+        try:
+            text = token.decode("utf-8")
+            without_proof, sep, proof_b64 = text.rpartition(",p=")
+            if not sep:
+                return fail
+            fattrs = dict(kv.split("=", 1) for kv in without_proof.split(","))
+            proof = base64.b64decode(proof_b64)
+        except (ValueError, KeyError):
+            return fail
+        if fattrs.get("r") != snonce:
+            return fail
+        auth_msg = f"{bare},{server_first},{without_proof}".encode("utf-8")
+        client_sig = scram_hmac(mech, stored_key, auth_msg)
+        if len(proof) != len(client_sig):
+            return fail
+        client_key = bytes(a ^ b for a, b in zip(proof, client_sig))
+        if hashlib.new(SCRAM_HASHES[mech], client_key).digest() != stored_key:
+            conn_state["scram"] = None
+            return fail
+        server_sig = scram_hmac(mech, server_key, auth_msg)
+        conn_state["authenticated"] = True
+        conn_state["scram"] = None
+        return ERR_NONE, None, b"v=" + base64.b64encode(server_sig)
 
     def _ensure_topic(self, topic: str) -> None:
         if self._cluster is not None:
@@ -374,7 +515,9 @@ class KafkaCluster:
       the client must re-learn routes through another endpoint.
     """
 
-    def __init__(self, n_brokers: int = 3, n_partitions: int = 4):
+    def __init__(self, n_brokers: int = 3, n_partitions: int = 4,
+                 certfile: str | None = None, keyfile: str | None = None,
+                 sasl_users: dict[str, str] | None = None):
         self.n_partitions = n_partitions
         self._logs: dict[tuple[str, int], _Log] = {}
         self._lock = threading.Lock()
@@ -384,7 +527,9 @@ class KafkaCluster:
         # it must never acquire it (non-reentrant)
         self._leader: dict[tuple[str, int], int] = {}
         self.brokers = [
-            KafkaBroker(n_partitions=n_partitions, node_id=i, cluster=self)
+            KafkaBroker(n_partitions=n_partitions, node_id=i, cluster=self,
+                        certfile=certfile, keyfile=keyfile,
+                        sasl_users=sasl_users)
             for i in range(n_brokers)
         ]
 
