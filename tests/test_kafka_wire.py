@@ -613,6 +613,78 @@ def test_sasl_ssl_combined_via_security_options(tmp_path, monkeypatch):
         assert sorted(json.loads(m["value"])["i"] for m in msgs) == list(range(200))
 
 
+def test_cdc_pipeline_through_sasl_ssl_broker_gap_free(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The full streaming CDC job delivering through a SASL_SSL broker
+    — executor-side producers each run the TLS handshake AND the SCRAM
+    exchange before producing, driven by the SAME validated connector
+    options. The delivered LSN set must exactly match the routing
+    oracle: securing the channel must not cost a record."""
+    pytest.importorskip("cryptography")
+    from tls_cert import generate_self_signed
+
+    from outboxx_spark.config import (
+        KafkaSasl,
+        KafkaSinkConfig,
+        kafka_security_options,
+    )
+    from outboxx_spark.pipeline import routed_envelopes
+    from outboxx_spark.streaming.job import start_stream
+    from outboxx_spark.streaming.kafka_sink import make_kafka_sink
+    from outboxx_spark.streaming.kafka_wire import wire_security_kwargs
+    from outboxx_spark.testbed import default_config
+
+    cert, key = generate_self_signed(tmp_path)
+    monkeypatch.setenv("KAFKA_PW", "pipe-secret")
+    with KafkaBroker(
+        n_partitions=4, certfile=cert, keyfile=key,
+        sasl_users={"cdc": "pipe-secret"},
+    ) as b:
+        sec = wire_security_kwargs(
+            kafka_security_options(
+                KafkaSinkConfig(
+                    (f"{b.host}:{b.port}",),
+                    tls=True,
+                    tls_ca_location=cert,
+                    sasl=KafkaSasl("SCRAM-SHA-256", "cdc", "KAFKA_PW"),
+                )
+            )
+        )
+        cfg = default_config()
+        q = start_stream(
+            spark,
+            sf_dir,
+            cfg,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=10,
+            sink_fn=make_kafka_sink(
+                b.host, b.port, retry_backoff_ms=10, **sec
+            ),
+        )
+        q.awaitTermination(300)
+
+        expected = routed_envelopes(spark, sf_dir, cfg)
+        want = defaultdict(set)
+        for r in expected.select("destination", "lsn").collect():
+            want[r["destination"]].add(r["lsn"])
+        assert want
+        for dest, want_lsns in want.items():
+            msgs = consume_all(
+                b.host, b.port, dest, tls_ca=sec["tls_ca"], sasl=sec["sasl"]
+            )
+            got = [
+                (int(h, 16) << 32) | int(lo, 16)
+                for h, lo in (
+                    json.loads(m["value"])["meta"]["lsn"].split("/")
+                    for m in msgs
+                )
+            ]
+            assert len(got) == len(set(got)), f"{dest}: duplicates"
+            assert set(got) == want_lsns, f"{dest}: gap through secured sink"
+
+
 def test_sasl_unknown_mechanism_is_connector_only():
     from outboxx_spark.streaming.kafka_wire import wire_security_kwargs
 
