@@ -306,41 +306,32 @@ def main() -> None:
             # deliveries are flowing (records grew past the clean legs'
             # baseline), then require the sink call to complete —
             # gap-freedom under election is pytest/stand-verified; this
-            # records what the election COSTS
+            # records what the election COSTS. The number is recorded
+            # ONLY when the rotation provably landed BEFORE the sink
+            # finished: a rotation against an idle cluster would
+            # silently measure a clean run (r12 review finding).
             import threading
 
             baseline = {
                 t: cluster.record_count(t)
-                for t in {(tp[0]) for tp in cluster._leader}
+                for t in {tp[0] for tp in cluster._leader}
             }
-            moves = [0]
+            result = [0, None]  # (moves, completed_monotonic)
 
             def rotate_once():
-                deadline = time.monotonic() + 120
-                while time.monotonic() < deadline:
-                    with cluster._lock:
-                        topics = {t for (t, _) in cluster._leader}
-                    if any(
-                        t != "bench.raw0" and t != "bench.raw1"
-                        and cluster.record_count(t) > baseline.get(t, 0) + 1000
-                        for t in topics
-                    ):
-                        break
-                    time.sleep(0.02)
-                with cluster._lock:
-                    keys = list(cluster._leader)
-                for tp in keys:
-                    old = cluster.leader_of(*tp)
-                    cluster.move_leader(*tp, (old + 1) % 3)
-                moves[0] = len(keys)
+                result[0], result[1] = cluster.rotate_all_leaders(
+                    baseline=baseline,
+                    exclude_topics={"bench.raw0", "bench.raw1"},
+                )
 
             rotator = threading.Thread(target=rotate_once, daemon=True)
             rotator.start()
             t2 = time.perf_counter()
             sink(delivery, 9)
             faulted_sec = time.perf_counter() - t2
+            sink_done = time.monotonic()
             rotator.join(timeout=1.0)
-            if moves[0]:  # a rotation that never landed measures nothing
+            if result[0] and result[1] is not None and result[1] <= sink_done:
                 kafka_sink_faulted_eps = round(kafka_sink_events / faulted_sec)
     except Exception as e:  # the probe must never sink the bench
         print(f"# kafka probe failed: {type(e).__name__}: {e}", file=sys.stderr)

@@ -301,9 +301,16 @@ def kafka_security_options(sink: KafkaSinkConfig) -> dict[str, str]:
             else "org.apache.kafka.common.security.scram.ScramLoginModule"
         )
         password = sink.sasl.load_password()
+
+        def jaas_quote(v: str) -> str:
+            # JAAS string literals: backslash-escape \ and " — an
+            # unescaped quote in an env password would otherwise
+            # truncate the rendered credential silently (r12 review)
+            return v.replace("\\", "\\\\").replace('"', '\\"')
+
         opts["kafka.sasl.mechanism"] = sink.sasl.mechanism
         opts["kafka.sasl.jaas.config"] = (
-            f'{module} required username="{sink.sasl.username}" '
-            f'password="{password}";'
+            f'{module} required username="{jaas_quote(sink.sasl.username)}" '
+            f'password="{jaas_quote(password)}";'
         )
     return opts

@@ -491,7 +491,10 @@ class KafkaConnection:
         )
         val = res.get((topic, partition))
         if val is None:
-            return {}
+            # a response that does not echo the requested partition is
+            # an anomaly; classify as retriable rather than crashing
+            # the caller's error handling with a KeyError
+            val = {"error": ERR_REQUEST_TIMED_OUT, "base_offset": -1}
         return {"partition": partition, **val}
 
     # -- Fetch v2 --
@@ -708,6 +711,19 @@ class WireProducer:
     def _drop_leader_connection(self, topic: str, partition: int) -> None:
         self._drop_node_connection(self._route_node(topic, partition))
 
+    def _node_conn(self, node: int | None) -> KafkaConnection:
+        """Connection for an already-resolved route node — the grouped
+        dispatch uses this so the connection always matches the node
+        the pending entry is tagged with (no re-derivation between
+        grouping and dispatch)."""
+        if node is None or node not in self._brokers:
+            return self._connection()
+        conn = self._node_conns.get(node)
+        if conn is None:
+            conn = self._new_conn(*self._brokers[node])
+            self._node_conns[node] = conn
+        return conn
+
     def send(
         self,
         topic: str,
@@ -760,7 +776,17 @@ class WireProducer:
         """Produce every buffered batch and confirm delivery of every
         dispatched one. Raises DeliveryError (after counting it) if
         any batch exhausts its retries — a drained queue is not a
-        delivered queue (K3)."""
+        delivered queue (K3).
+
+        Drain-BEFORE-dispatch is load-bearing: a pipelined dispatch
+        from a send() overflow may still be unconfirmed here, and
+        dispatching the new buffer first would put two requests in
+        flight on one connection — if the first then failed retriably
+        while the second appended, the retry would re-append the
+        OLDER batch after the newer one, breaking per-partition order
+        (the property CDC consumers key on). Confirming the prior
+        dispatch first keeps in-flight at exactly 1 everywhere."""
+        self._drain_pending()
         self._dispatch_buffered()
         self._drain_pending()
 
@@ -778,13 +804,19 @@ class WireProducer:
         encoded = {
             tp: encode_message_set(msgs) for tp, msgs in buf.items()
         }
-        by_node: dict[int | None, list[tuple[str, int]]] = {}
+        # resolve ALL unknown routes first, THEN group: a refresh for a
+        # later topic can move an earlier topic's leader, and grouping
+        # mid-refresh would tag a pending entry with a node the dispatch
+        # no longer uses — failure cleanup would then close the wrong
+        # broker's connection (r12 review finding)
         for topic, partition in encoded:
             if (topic, partition) not in self._leaders:
                 try:
                     self._refresh_metadata(topic)
                 except (OSError, KafkaWireError):
                     pass  # fallback route; the retry loop re-learns
+        by_node: dict[int | None, list[tuple[str, int]]] = {}
+        for topic, partition in encoded:
             by_node.setdefault(
                 self._route_node(topic, partition), []
             ).append((topic, partition))
@@ -792,11 +824,7 @@ class WireProducer:
             batches = [(t, p, encoded[(t, p)]) for t, p in tps]
             counts = {tp: len(buf[tp]) for tp in tps}
             try:
-                conn = (
-                    self._leader_connection(*tps[0])
-                    if node is not None
-                    else self._connection()
-                )
+                conn = self._node_conn(node)
                 corr = conn.send_request(
                     API_PRODUCE,
                     2,
@@ -954,10 +982,18 @@ def wire_security_kwargs(options: dict[str, str]) -> dict:
                 f"client speaks PLAIN and {sorted(SCRAM_HASHES)}"
             )
         jaas = options.get("kafka.sasl.jaas.config", "")
-        m = re.search(r'username="([^"]*)"\s+password="([^"]*)"', jaas)
+        # JAAS string literals escape \ and " with a backslash —
+        # match escaped sequences and unescape, mirroring the render
+        # in config.kafka_security_options
+        lit = r'"((?:[^"\\]|\\.)*)"'
+        m = re.search(rf"username={lit}\s+password={lit}", jaas)
         if not m:
             raise KafkaWireError("SASL requires username/password in JAAS")
-        out["sasl"] = (mech, m.group(1), m.group(2))
+
+        def unescape(v: str) -> str:
+            return re.sub(r"\\(.)", r"\1", v)
+
+        out["sasl"] = (mech, unescape(m.group(1)), unescape(m.group(2)))
     return out
 
 

@@ -685,6 +685,36 @@ def test_cdc_pipeline_through_sasl_ssl_broker_gap_free(
             assert set(got) == want_lsns, f"{dest}: gap through secured sink"
 
 
+def test_jaas_quotes_and_backslashes_roundtrip(monkeypatch):
+    # an env password with quotes/backslashes must survive the
+    # render->parse roundtrip (r12 review: the unescaped render
+    # silently truncated it into wrong credentials) — and authenticate
+    from outboxx_spark.config import (
+        KafkaSasl,
+        KafkaSinkConfig,
+        kafka_security_options,
+    )
+    from outboxx_spark.streaming.kafka_wire import wire_security_kwargs
+
+    tricky = 'pa"ss\\wo"rd'
+    monkeypatch.setenv("KAFKA_PW", tricky)
+    with KafkaBroker(n_partitions=4, sasl_users={"q": tricky}) as b:
+        opts = kafka_security_options(
+            KafkaSinkConfig(
+                (f"{b.host}:{b.port}",),
+                tls=False,
+                sasl=KafkaSasl("SCRAM-SHA-256", "q", "KAFKA_PW"),
+            )
+        )
+        kwargs = wire_security_kwargs(opts)
+        assert kwargs["sasl"] == ("SCRAM-SHA-256", "q", tricky)
+        p = WireProducer(b.host, b.port, **kwargs)
+        p.send("jaas.t", b"k", b"v", n_partitions=4)
+        p.flush()
+        assert p.sent == 1 and p.delivery_errors == 0
+        p.close()
+
+
 def test_sasl_unknown_mechanism_is_connector_only():
     from outboxx_spark.streaming.kafka_wire import wire_security_kwargs
 

@@ -283,10 +283,13 @@ class KafkaBroker:
             return ERR_ILLEGAL_SASL_STATE, "handshake first", b""
         fail = (ERR_SASL_AUTHENTICATION_FAILED, "authentication failed", b"")
         if mech == "PLAIN":
-            parts = token.split(b"\x00")
-            if len(parts) != 3:
+            try:
+                parts = token.split(b"\x00")
+                if len(parts) != 3:
+                    return fail
+                user, pw = parts[1].decode("utf-8"), parts[2].decode("utf-8")
+            except ValueError:  # covers UnicodeDecodeError
                 return fail
-            user, pw = parts[1].decode("utf-8"), parts[2].decode("utf-8")
             if self._sasl_users.get(user) != pw:
                 return fail
             conn_state["authenticated"] = True
@@ -581,6 +584,47 @@ class KafkaCluster:
 
     def move_leader(self, topic: str, partition: int, node_id: int) -> None:
         self._leader[(topic, partition)] = node_id
+
+    def rotate_all_leaders(
+        self,
+        *,
+        baseline: dict[str, int] | None = None,
+        min_new_records: int = 1000,
+        exclude_topics: frozenset[str] | set[str] = frozenset(),
+        deadline_s: float = 120.0,
+        poll_s: float = 0.02,
+    ) -> tuple[int, float | None]:
+        """Wait until some non-excluded topic has grown past its
+        ``baseline`` count by ``min_new_records`` (proof that delivery
+        is actually flowing), then rotate EVERY partition's leadership
+        one broker over. -> (moves, time.monotonic() at rotation) or
+        (0, None) if nothing flowed before the deadline — the caller
+        can then tell a rotation that landed MID-delivery from one
+        that fired against an idle cluster (the r11/r12 bench
+        comparability requirement). Shared by tools/kafka_stand.py and
+        bench.py so the wait-then-rotate logic exists once."""
+        import time as _time
+
+        baseline = dict(baseline or {})
+        deadline = _time.monotonic() + deadline_s
+        while True:
+            with self._lock:
+                topics = {t for (t, _) in self._leader}
+            if any(
+                t not in exclude_topics
+                and self.record_count(t) > baseline.get(t, 0) + min_new_records
+                for t in topics
+            ):
+                break
+            if _time.monotonic() >= deadline:
+                return 0, None
+            _time.sleep(poll_s)
+        with self._lock:
+            keys = list(self._leader)
+        n = len(self.brokers)
+        for tp in keys:
+            self.move_leader(tp[0], tp[1], (self.leader_of(*tp) + 1) % n)
+        return len(keys), _time.monotonic()
 
     def stop_broker(self, node_id: int) -> None:
         """Hard broker death. The controller-election half a real

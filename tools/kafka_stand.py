@@ -109,23 +109,15 @@ def main() -> int:
                 # wait until a DELIVERY topic (not the raw-drain one)
                 # actually carries records, so the rotation lands
                 # mid-delivery — a fixed sleep fired before the stream
-                # created its topics and proved nothing
-                deadline = time.monotonic() + 300
-                while time.monotonic() < deadline:
-                    with cluster._lock:
-                        topics = {t for (t, _) in cluster._leader}
-                    if any(
-                        t != "raw.bench" and cluster.record_count(t) > 0
-                        for t in topics
-                    ):
-                        break
-                    time.sleep(0.3)
-                with cluster._lock:
-                    keys = list(cluster._leader)
-                for tp in keys:
-                    old = cluster.leader_of(*tp)
-                    cluster.move_leader(*tp, (old + 1) % args.brokers)
-                nonlocal_moves[0] = len(keys)
+                # created its topics and proved nothing. The shared
+                # helper (kafka_broker.rotate_all_leaders) holds the
+                # wait-then-rotate logic for this stand AND bench.py.
+                nonlocal_moves[0], _t = cluster.rotate_all_leaders(
+                    min_new_records=0,
+                    exclude_topics={"raw.bench"},
+                    deadline_s=300.0,
+                    poll_s=0.3,
+                )
 
             nonlocal_moves = [0]
             rotator = threading.Thread(target=rotate_once, daemon=True)
