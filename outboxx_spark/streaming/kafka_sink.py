@@ -46,6 +46,7 @@ def make_kafka_sink(
     sink_parallelism: int | None = None,
     tls_ca: str | None = None,
     sasl: tuple[str, str, str] | None = None,
+    order_by: str | None = None,
 ):
     """A ``sink_fn`` for ``streaming.job.start_stream``: produces each
     micro-batch's delivery frame (destination, key, value) to the
@@ -60,7 +61,21 @@ def make_kafka_sink(
     match it to the destination partition count (measured on the
     in-repo 3-broker stand: 32 tasks -> 22k ev/s, 8 tasks -> 81k ev/s
     for the same 55k-event frame). None leaves the upstream
-    partitioning untouched."""
+    partitioning untouched.
+
+    ``order_by`` names a monotone column in the delivery frame (the
+    CDC pipeline's ``lsn``) and turns on the per-key ORDERING
+    contract: the frame is hash-repartitioned on (destination, key)
+    and sorted within partitions on (destination, key, order_by), so
+    ALL of a key's records flow through ONE producer task in source
+    order — combined with the producer's in-flight=1 discipline, a
+    consumer reads each key's changes in WAL order, the reference's
+    single-process guarantee reproduced on a distributed producer.
+    Without it, a key's records can span tasks and interleave. Cost:
+    one shuffle + in-partition sort per micro-batch — that is the
+    honest price of total per-key order at scale; pipelines that only
+    need at-least-once set-delivery skip it. Null keys hash to one
+    partition — key-less streams should leave this off."""
     bootstrap = list(bootstrap or [])
 
     def sink(delivery: DataFrame, epoch_id: int) -> None:
@@ -105,13 +120,23 @@ def make_kafka_sink(
         # the Python loop touches ready-to-wire bytes only. The
         # one-row-per-task result both forces execution and carries the
         # per-task delivery count through the same flush barrier.
-        frame = delivery.select(
+        cols = [
             F.col("destination"),
             F.encode(F.col("key"), "UTF-8").alias("key"),
             F.encode(F.col("value"), "UTF-8").alias("value"),
-        )
-        if sink_parallelism is not None:
-            frame = frame.coalesce(sink_parallelism)
+        ]
+        if order_by is not None:
+            frame = delivery.select(*cols, F.col(order_by).alias("_ord"))
+            npart = sink_parallelism or frame.rdd.getNumPartitions()
+            frame = (
+                frame.repartition(npart, "destination", "key")
+                .sortWithinPartitions("destination", "key", "_ord")
+                .drop("_ord")
+            )
+        else:
+            frame = delivery.select(*cols)
+            if sink_parallelism is not None:
+                frame = frame.coalesce(sink_parallelism)
         frame.mapInPandas(
             produce_batches, schema="acked long"
         ).collect()

@@ -715,6 +715,44 @@ def test_jaas_quotes_and_backslashes_roundtrip(monkeypatch):
         p.close()
 
 
+def test_per_key_order_preserved_with_order_by(spark, broker):
+    """The per-key ORDERING contract (reference: a single process
+    produces in WAL order): with order_by, a hot key scattered over 16
+    upstream partitions with shuffled arrival still reaches the
+    consumer in monotone lsn order — all of a key's records flow
+    through one producer task, sorted, with in-flight=1 below."""
+    from pyspark.sql import functions as F
+
+    from outboxx_spark.streaming.kafka_sink import make_kafka_sink
+
+    df = (
+        spark.range(2000)
+        .select(
+            F.lit("ord.t").alias("destination"),
+            (F.col("id") % 5).cast("string").alias("key"),
+            F.col("id").cast("string").alias("value"),
+            F.col("id").alias("lsn"),
+        )
+        .repartition(16)  # scatter every key across many partitions
+    )
+    sink = make_kafka_sink(
+        broker.host, broker.port, order_by="lsn", sink_parallelism=4
+    )
+    sink(df, 0)
+    msgs = consume_all(broker.host, broker.port, "ord.t")
+    per_key = defaultdict(list)
+    for m in sorted(msgs, key=lambda m: (m["partition"], m["offset"])):
+        per_key[(m["partition"], m["key"])].append(int(m["value"]))
+    assert sum(len(v) for v in per_key.values()) == 2000
+    for (pid, key), seq in per_key.items():
+        assert seq == sorted(seq), f"key {key} out of order in p{pid}"
+    # every key's records sit in exactly ONE kafka partition (murmur2)
+    keys_per_partition = defaultdict(set)
+    for pid, key in per_key:
+        keys_per_partition[key].add(pid)
+    assert all(len(ps) == 1 for ps in keys_per_partition.values())
+
+
 def test_sasl_unknown_mechanism_is_connector_only():
     from outboxx_spark.streaming.kafka_wire import wire_security_kwargs
 

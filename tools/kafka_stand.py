@@ -134,6 +134,7 @@ def main() -> int:
             sink_fn=make_kafka_sink(
                 broker.host, broker.port,
                 bootstrap=cluster.bootstrap() if cluster else None,
+                order_by="lsn",
             ),
         )
         q.awaitTermination(1800)
@@ -149,15 +150,24 @@ def main() -> int:
             want[r["destination"]].add(r["lsn"])
 
         t1 = time.monotonic()
-        gaps = dups = consumed = 0
+        gaps = dups = consumed = order_violations = 0
         per_topic = {}
         for dest, want_lsns in sorted(want.items()):
             msgs = consume_all(broker.host, broker.port, dest)
             got = []
-            for m in msgs:
+            # per-key ordering check (reference contract: a consumer
+            # reads each key's changes in WAL order; the sink's
+            # order_by="lsn" + producer in-flight=1 must deliver it)
+            per_key_last: dict[tuple, int] = {}
+            for m in sorted(msgs, key=lambda m: (m["partition"], m["offset"])):
                 env = json.loads(m["value"])
                 hi, lo = env["meta"]["lsn"].split("/")
-                got.append((int(hi, 16) << 32) | int(lo, 16))
+                lsn = (int(hi, 16) << 32) | int(lo, 16)
+                got.append(lsn)
+                kk = (m["partition"], m["key"])
+                if per_key_last.get(kk, -1) > lsn:
+                    order_violations += 1
+                per_key_last[kk] = lsn
             got_set = set(got)
             missing = len(want_lsns - got_set)
             gaps += missing
@@ -187,10 +197,11 @@ def main() -> int:
         "consume_back_sec": round(consume_sec, 3),
         "gaps": gaps,
         "duplicates": dups,
+        "per_key_order_violations": order_violations,
         "topics": per_topic,
     }
     print(json.dumps(report))
-    return 1 if gaps else 0
+    return 1 if gaps or order_violations else 0
 
 
 if __name__ == "__main__":
