@@ -255,6 +255,7 @@ def main() -> None:
     #   leadership rotates mid-delivery — the election-survival number.
     kafka_raw_drain_eps = kafka_sink_events = None
     kafka_sink_clean_eps = kafka_sink_faulted_eps = None
+    kafka_sink_ordered_eps = None
     try:
         sys.path.insert(0, str(REPO / "tools"))
         from kafka_broker import KafkaCluster
@@ -301,6 +302,23 @@ def main() -> None:
                 sink(delivery, 1 + trial)
                 sink_trials.append(time.perf_counter() - t1)
             kafka_sink_clean_eps = round(kafka_sink_events / min(sink_trials))
+
+            # ordered leg: the per-key WAL-order contract's price (one
+            # (destination, key) shuffle + in-partition sort per batch)
+            sink_ordered = make_kafka_sink(
+                b0.host, b0.port,
+                bootstrap=cluster.bootstrap(),
+                sink_parallelism=8,
+                order_by="lsn",
+            )
+            ordered_trials = []
+            for trial in range(2):
+                t1 = time.perf_counter()
+                sink_ordered(delivery, 5 + trial)
+                ordered_trials.append(time.perf_counter() - t1)
+            kafka_sink_ordered_eps = round(
+                kafka_sink_events / min(ordered_trials)
+            )
 
             # faulted leg: rotate every partition's leadership once
             # deliveries are flowing (records grew past the clean legs'
@@ -864,6 +882,7 @@ def main() -> None:
         # faulted leg is its own key so elections never skew the trend
         "kafka_sink_events_per_sec": kafka_sink_clean_eps,
         "kafka_sink_clean_events_per_sec": kafka_sink_clean_eps,
+        "kafka_sink_ordered_events_per_sec": kafka_sink_ordered_eps,
         "kafka_sink_faulted_events_per_sec": kafka_sink_faulted_eps,
         "incragg_b1_sec": incragg_b1_sec,
         "incragg_b2_sec": incragg_b2_sec,
