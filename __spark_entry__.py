@@ -937,6 +937,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_metadata": q_mm_metadata,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_features": q_mm_features,
+        "cdc_tally": q_tally,
+        "cdc_route_fanout": q_route_fanout,
+        "cdc_envelope_roundtrip": q_envelope_roundtrip,
+        "cdc_read_optin": q_read_optin,
+        "cdc_toast_placeholder": q_toast_placeholder,
+        "cdc_pgoutput_roundtrip": q_pgoutput_roundtrip,
+        "cdc_json_ingest": q_json_ingest,
         "olap_value_quantiles": olap.event_value_quantiles,
         "olap_trailing_spend": olap.customer_trailing_spend,
         "olap_semi_join": olap.active_high_value_customers,
@@ -959,6 +966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_type_mapping": q_type_mapping,
         "cdc_sessions": q_sessions,
         "cdc_materialize": q_materialize,
+        # ---- tail (positions 51+): green at their latest check in
+        # unchanged formulation; the staleness policy rotates each
+        # back within MAX_STALENESS rounds ----
         "olap_asof_enrich": q_asof_enrich,
         "cdc_props_extract": q_props_extract,
         "cdc_op_pivot": q_cdc_op_pivot,
@@ -966,9 +976,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_unigram_lm": q_docs_unigram_lm,
         "cdc_debezium_roundtrip": q_debezium_roundtrip,
-        # ---- tail (positions 51+): green at their latest check in
-        # unchanged formulation; the staleness policy rotates each
-        # back within MAX_STALENESS rounds ----
         "olap_small_qty_revenue": olap_tpch.small_qty_revenue,
         "olap_lone_return_supplier": olap_tpch.lone_return_supplier,
         "olap_market_share": olap_tpch.market_share,
@@ -1002,7 +1009,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ivf_pq_topk": q_emb_ivf_pq_topk,
         "olap_cohort_retention": q_olap_cohort_retention,
-        "cdc_tally": q_tally,
         "olap_heavy_hitters": cms.heavy_hitters_check,
         "docs_minhash_recall": dedup_recall.minhash_recall_check,
         "docs_source_cap": q_docs_source_cap,
@@ -1033,12 +1039,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_normalize": normalize_mod.planted_normalize,
         "docs_bloom_filter": bloom.bloom_filter_check,
         "olap_hll_relational": hll.hll_relational_check,
-        "cdc_route_fanout": q_route_fanout,
-        "cdc_envelope_roundtrip": q_envelope_roundtrip,
-        "cdc_read_optin": q_read_optin,
-        "cdc_toast_placeholder": q_toast_placeholder,
-        "cdc_pgoutput_roundtrip": q_pgoutput_roundtrip,
-        "cdc_json_ingest": q_json_ingest,
         "docs_dedup_survivors": q_docs_dedup_survivors,
         "docs_curate": q_docs_curate,
         "docs_incremental_dedup": q_docs_incremental_dedup,
