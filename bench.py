@@ -297,7 +297,10 @@ def main() -> None:
             )
             sink(delivery, 0)  # warm the Python workers + producers
             sink_trials = []
-            for trial in range(2):
+            for trial in range(3):  # min-of-3: this leg swings ~1.6x
+                # between runs with identical code (r12 observed
+                # 69-114k); a third sample caps the tail like the
+                # timed-query loop's third pass does
                 t1 = time.perf_counter()
                 sink(delivery, 1 + trial)
                 sink_trials.append(time.perf_counter() - t1)
