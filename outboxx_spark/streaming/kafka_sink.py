@@ -76,6 +76,8 @@ def make_kafka_sink(
     honest price of total per-key order at scale; pipelines that only
     need at-least-once set-delivery skip it. Null keys hash to one
     partition — key-less streams should leave this off."""
+    if sink_parallelism is not None and sink_parallelism <= 0:
+        raise ValueError("sink_parallelism must be a positive task count")
     bootstrap = list(bootstrap or [])
 
     def sink(delivery: DataFrame, epoch_id: int) -> None:
@@ -127,7 +129,16 @@ def make_kafka_sink(
         ]
         if order_by is not None:
             frame = delivery.select(*cols, F.col(order_by).alias("_ord"))
-            npart = sink_parallelism or frame.rdd.getNumPartitions()
+            # defaultParallelism, NOT the upstream partition count: a
+            # file-trigger batch can carry max_files_per_trigger
+            # splits, the over-parallelism regime the sink_parallelism
+            # docstring measures as throughput-destroying; and reading
+            # rdd.getNumPartitions() would pay a plan conversion per
+            # micro-batch just to learn a number (r12 review)
+            npart = (
+                sink_parallelism
+                or delivery.sparkSession.sparkContext.defaultParallelism
+            )
             frame = (
                 frame.repartition(npart, "destination", "key")
                 .sortWithinPartitions("destination", "key", "_ord")

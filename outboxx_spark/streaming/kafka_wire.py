@@ -674,14 +674,7 @@ class WireProducer:
         (no routing state) degrades to the plain connection."""
         if (topic, partition) not in self._leaders:
             self._refresh_metadata(topic)
-        node = self._leaders.get((topic, partition))
-        if node is None or node not in self._brokers:
-            return self._connection()
-        conn = self._node_conns.get(node)
-        if conn is None:
-            conn = self._new_conn(*self._brokers[node])
-            self._node_conns[node] = conn
-        return conn
+        return self._node_conn(self._route_node(topic, partition))
 
     def _drop_node_connection(self, node: int | None) -> None:
         """Close the connection a failed produce actually used: the

@@ -430,6 +430,32 @@ def test_metadata_refresh_drains_pipelined_produce_first(broker):
     assert broker.record_count("pipe.b") == 1
 
 
+def test_rotate_all_leaders_skips_dead_brokers(cluster):
+    # a rotation after a broker death must never hand leadership to
+    # the dead node (r12 review: the shared helper used modulo over
+    # ALL brokers, resurrecting the advertised-dead-leader hazard)
+    p = WireProducer(
+        cluster.brokers[1].host, cluster.brokers[1].port,
+        bootstrap=cluster.bootstrap(), retry_backoff_ms=10,
+    )
+    for i in range(100):
+        p.send("rot.t", str(i).encode(), json.dumps({"i": i}).encode())
+    p.flush()
+    cluster.stop_broker(0)
+    moves, landed = cluster.rotate_all_leaders(min_new_records=0, deadline_s=5)
+    assert moves > 0 and landed is not None
+    assert all(
+        cluster.leader_of("rot.t", pid) != 0 for pid in range(6)
+    )
+    for i in range(100, 200):
+        p.send("rot.t", str(i).encode(), json.dumps({"i": i}).encode())
+    p.flush()
+    assert p.delivery_errors == 0
+    msgs = consume_all(cluster.brokers[1].host, cluster.brokers[1].port, "rot.t")
+    assert sorted(json.loads(m["value"])["i"] for m in msgs) == list(range(200))
+    p.close()
+
+
 def test_topic_absent_from_metadata_raises(broker):
     # a refresh that succeeds but omits the topic must surface, not
     # silently route everything to partition 0 (r11 advice)

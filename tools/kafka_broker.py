@@ -621,9 +621,20 @@ class KafkaCluster:
             _time.sleep(poll_s)
         with self._lock:
             keys = list(self._leader)
-        n = len(self.brokers)
+        # rotate within LIVE brokers only — assigning leadership to a
+        # stopped node would advertise a dead leader, the invariant
+        # stop_broker's reassignment exists to prevent (r12 review)
+        live = [b.node_id for b in self.brokers if b.node_id not in self._dead]
+        if not live:
+            return 0, None
         for tp in keys:
-            self.move_leader(tp[0], tp[1], (self.leader_of(*tp) + 1) % n)
+            cur = self.leader_of(*tp)
+            nxt = (
+                live[(live.index(cur) + 1) % len(live)]
+                if cur in live
+                else live[0]
+            )
+            self.move_leader(tp[0], tp[1], nxt)
         return len(keys), _time.monotonic()
 
     def stop_broker(self, node_id: int) -> None:

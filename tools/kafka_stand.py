@@ -15,10 +15,18 @@ What runs (all real, no stubs):
 3. Consume-back of every destination topic from offset 0 and the
    reference-style gap check (`tests/load/scripts/check-gaps.sh`
    semantics): delivered LSN set per topic == routing-oracle LSN set;
-   duplicates reported (at-least-once allows them), gaps fatal.
+   duplicates reported (at-least-once allows them), gaps fatal; and
+   (r12) the per-key ORDER gate — first-delivery LSNs per (partition,
+   key) must be monotone (replay duplicates are skipped: a lost-ACK
+   replay legally re-appends older LSNs, that is the at-least-once
+   contract, not disorder). Assumes the feed files arrive in LSN
+   order (true for the driver-generated testdata), since the sink's
+   order_by sorts within a micro-batch, not across batches.
 
 Usage: python tools/kafka_stand.py [--sf /root/testdata/sf0.01]
-Prints one JSON line with measured numbers; exit 1 on any gap.
+Prints one JSON line with measured numbers; exit 1 on any gap, any
+first-delivery order violation, or (--brokers N>1) a run where the
+election never landed.
 """
 
 from __future__ import annotations
@@ -157,13 +165,21 @@ def main() -> int:
             got = []
             # per-key ordering check (reference contract: a consumer
             # reads each key's changes in WAL order; the sink's
-            # order_by="lsn" + producer in-flight=1 must deliver it)
+            # order_by="lsn" + producer in-flight=1 must deliver it).
+            # Replay DUPLICATES are skipped before the monotonicity
+            # test: a lost-ACK batch replay legally re-appends older
+            # LSNs after newer ones — that is at-least-once, not
+            # disorder; the gate judges FIRST deliveries only.
             per_key_last: dict[tuple, int] = {}
+            seen_lsns: set[int] = set()
             for m in sorted(msgs, key=lambda m: (m["partition"], m["offset"])):
                 env = json.loads(m["value"])
                 hi, lo = env["meta"]["lsn"].split("/")
                 lsn = (int(hi, 16) << 32) | int(lo, 16)
                 got.append(lsn)
+                if lsn in seen_lsns:
+                    continue  # replay duplicate: counted via dups
+                seen_lsns.add(lsn)
                 kk = (m["partition"], m["key"])
                 if per_key_last.get(kk, -1) > lsn:
                     order_violations += 1
@@ -201,7 +217,11 @@ def main() -> int:
         "topics": per_topic,
     }
     print(json.dumps(report))
-    return 1 if gaps or order_violations else 0
+    # an advertised election run where the rotation never landed
+    # proves nothing — fail it rather than passing silently (r12
+    # review: rotate_all_leaders returns (0, None) on deadline expiry)
+    election_missing = args.brokers > 1 and leadership_moves == 0
+    return 1 if gaps or order_violations or election_missing else 0
 
 
 if __name__ == "__main__":
