@@ -430,6 +430,27 @@ def test_metadata_refresh_drains_pipelined_produce_first(broker):
     assert broker.record_count("pipe.b") == 1
 
 
+def test_retry_under_pipelining_preserves_order(broker):
+    # the in-flight=1 ordering proof: the first (pipelined, inline)
+    # dispatch fails retriably; its retry must confirm BEFORE the
+    # flush dispatches the second batch, so the consumer still reads
+    # one key's records in send order with zero inversions
+    broker.fail_next_produces(1)
+    p = WireProducer(
+        broker.host, broker.port, batch_max_messages=50, retry_backoff_ms=10
+    )
+    for i in range(100):
+        p.send("ordretry.t", b"k", str(i).encode(), n_partitions=4)
+    p.flush()
+    assert p.delivery_errors == 0 and p.sent == 100
+    msgs = consume_all(broker.host, broker.port, "ordretry.t")
+    vals = [
+        int(m["value"])
+        for m in sorted(msgs, key=lambda m: (m["partition"], m["offset"]))
+    ]
+    assert vals == list(range(100))
+
+
 def test_rotate_all_leaders_skips_dead_brokers(cluster):
     # a rotation after a broker death must never hand leadership to
     # the dead node (r12 review: the shared helper used modulo over
