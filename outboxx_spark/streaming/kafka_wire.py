@@ -33,8 +33,8 @@ versions chosen so the encoding is small and CRC-checkable):
   error path.
 
 The client is deliberately executor-friendly: `WireProducer` holds one
-socket, no threads, no global state — `foreachPartition` opens one per
-task (see `streaming/kafka_sink.py`).
+socket set, no threads, no global state — the sink's `mapInPandas`
+opens one per task (see `streaming/kafka_sink.py`).
 """
 
 from __future__ import annotations
@@ -553,8 +553,8 @@ class WireProducer:
     """Minimal producer with the reference's delivery semantics
     (`producer.zig:111-176` configs; `:286-378` send/flush contract).
 
-    NOT thread-safe by design (one per task/partition — Spark's
-    foreachPartition gives each task its own)."""
+    NOT thread-safe by design (one per task/partition — the sink's
+    mapInPandas gives each task its own)."""
 
     host: str
     port: int
