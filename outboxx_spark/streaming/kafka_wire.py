@@ -891,6 +891,17 @@ class WireProducer:
         self, topic: str, partition: int, message_set: bytes, *, attempt: int = 0
     ) -> None:
         while True:
+            # entering with attempt > 0 means that many attempts were
+            # already dispatched (the pipelined path counts its failed
+            # dispatch as attempt 1) — the budget check must precede
+            # the produce, or a retries=0 producer gets a free extra
+            # attempt here (r12 advice finding)
+            if attempt > self.retries:
+                self.delivery_errors += 1
+                raise DeliveryError(
+                    f"produce to {topic}[{partition}] failed after "
+                    f"{attempt} attempts (retry budget {self.retries} exhausted)"
+                )
             try:
                 res = self._leader_connection(topic, partition).produce(
                     topic, partition, message_set, acks=self.acks

@@ -135,15 +135,18 @@ def test_touched_queries_are_inside_driver_window():
     )
 
 
-def test_round_base_commit_survives_untracked_newest(tmp_path):
+def test_round_base_commit_boundary_state_uses_head(tmp_path):
     # r8 judge finding: at the driver round boundary the newest
     # CORRECTNESS_r*.json exists but is UNTRACKED — `git log -1 -- f`
     # emits '' with exit 0, and the '' base crashed touched_queries()
-    # with CalledProcessError (exit 128 from `git diff ''`) instead of
-    # the designed rotate-these-queries assertion. The base derivation
-    # must fall back to the newest *committed* correctness file, and
-    # raise FileNotFoundError (the contract test's skip path) when no
-    # correctness file is committed at all.
+    # with CalledProcessError (exit 128 from `git diff ''`). r12 judge
+    # finding on the r8 fix: falling back to the PREVIOUS committed
+    # correctness file double-counted the entire prior round's diff as
+    # "touched", making the feasibility lookahead fire at every round
+    # boundary. The contract now: untracked newest file -> base is
+    # HEAD (the driver measured the repo as committed); committed
+    # newest file -> its last-touching commit; no correctness file at
+    # all -> FileNotFoundError (the contract test's skip path).
     import subprocess
     from pathlib import Path
 
@@ -162,14 +165,24 @@ def test_round_base_commit_survives_untracked_newest(tmp_path):
     (tmp_path / "CORRECTNESS_r01.json").write_text("{}")
     git("add", "CORRECTNESS_r01.json")
     git("commit", "-qm", "r1")
+    r1_commit = git("rev-parse", "HEAD")
+    # round work lands after the r01 artifact commit
+    (tmp_path / "work.py").write_text("x = 1\n")
+    git("add", "work.py")
+    git("commit", "-qm", "round work")
     head = git("rev-parse", "HEAD")
-    # the boundary state: driver wrote r02, nothing committed it yet
-    (tmp_path / "CORRECTNESS_r02.json").write_text("{}")
     old_repo = tq.REPO
     try:
         tq.REPO = tmp_path
+        # committed newest file: its last-touching commit is the base
+        assert tq.round_base_commit() == r1_commit
+        # the boundary state: driver wrote r02, nothing committed it
+        # yet -> the base is HEAD, NOT the stale r01 commit (which
+        # would re-flag the whole round's diff as touched)
+        (tmp_path / "CORRECTNESS_r02.json").write_text("{}")
         assert tq.round_base_commit() == head
-        # nothing committed at all -> FileNotFoundError, not a git crash
+        # no correctness file at all -> FileNotFoundError, not a crash
+        (tmp_path / "CORRECTNESS_r02.json").unlink()
         (tmp_path / "CORRECTNESS_r01.json").unlink()
         git("rm", "-q", "--cached", "CORRECTNESS_r01.json")
         git("commit", "-qm", "drop")
@@ -177,6 +190,56 @@ def test_round_base_commit_survives_untracked_newest(tmp_path):
 
         with pytest.raises(FileNotFoundError):
             tq.round_base_commit()
+    finally:
+        tq.REPO = old_repo
+
+
+def test_build_window_feasible_at_boundary_state(tmp_path, monkeypatch):
+    # End-to-end pin of the r12 "Next round #2" ask: in the boundary
+    # state (untracked newest CORRECTNESS file, round work committed at
+    # HEAD), build_window() must be FEASIBLE — the forced set is only
+    # the genuinely stale queries, not stale + the whole prior round's
+    # diff. Exercised against the real entry surface with a synthetic
+    # git repo standing in for the boundary.
+    import subprocess
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import touched_queries as tq
+
+    repo = Path(__file__).resolve().parent.parent
+
+    def git(*args, cwd=tmp_path):
+        return subprocess.run(
+            ["git", *args], cwd=cwd, capture_output=True,
+            text=True, check=True,
+        ).stdout.strip()
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    # mirror the real correctness history + entry/oracle state so the
+    # staleness inputs are the live ones, then leave the newest file
+    # untracked (the boundary)
+    import shutil
+
+    corr = sorted(repo.glob("CORRECTNESS_r*.json"))
+    for f in corr[:-1]:
+        shutil.copy(f, tmp_path / f.name)
+    shutil.copy(repo / "__spark_entry__.py", tmp_path / "__spark_entry__.py")
+    git("add", "-A")
+    git("commit", "-qm", "prior rounds")
+    shutil.copy(corr[-1], tmp_path / corr[-1].name)  # untracked newest
+    old_repo = tq.REPO
+    try:
+        tq.REPO = tmp_path
+        base = tq.round_base_commit()
+        assert base == git("rev-parse", "HEAD")
+        # worktree == HEAD for the entry file, so no touched queries
+        # come from the boundary itself; the window must build without
+        # the infeasibility RuntimeError
+        window = tq.build_window(E, base)
+        assert len(window) == tq.WINDOW_SIZE
     finally:
         tq.REPO = old_repo
 

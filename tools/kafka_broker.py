@@ -233,7 +233,12 @@ class KafkaBroker:
             body = struct.pack(">hi", ERR_NONE, 6)
             for k, lo, hi in ((API_PRODUCE, 0, 2), (API_FETCH, 0, 2),
                               (API_METADATA, 0, 0), (API_VERSIONS, 0, 0),
-                              (API_SASL_HANDSHAKE, 0, 1),
+                              # v1 only: the v0 flow sends raw
+                              # size-framed SASL tokens the dispatcher
+                              # would misparse as Kafka request frames;
+                              # only the v1 wrapped-token flow
+                              # (SaslAuthenticate) is implemented
+                              (API_SASL_HANDSHAKE, 1, 1),
                               (API_SASL_AUTHENTICATE, 0, 0)):
                 body += struct.pack(">hhh", k, lo, hi)
             return head + body

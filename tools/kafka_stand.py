@@ -171,15 +171,19 @@ def main() -> int:
             # LSNs after newer ones — that is at-least-once, not
             # disorder; the gate judges FIRST deliveries only.
             per_key_last: dict[tuple, int] = {}
-            seen_lsns: set[int] = set()
+            # dedupe on (key, lsn), not bare lsn: if two different
+            # keys ever carried the same LSN, a bare-LSN skip would
+            # silently exclude the second key's FIRST delivery from
+            # the monotonicity check (r12 advice finding)
+            seen: set[tuple] = set()
             for m in sorted(msgs, key=lambda m: (m["partition"], m["offset"])):
                 env = json.loads(m["value"])
                 hi, lo = env["meta"]["lsn"].split("/")
                 lsn = (int(hi, 16) << 32) | int(lo, 16)
                 got.append(lsn)
-                if lsn in seen_lsns:
+                if (m["key"], lsn) in seen:
                     continue  # replay duplicate: counted via dups
-                seen_lsns.add(lsn)
+                seen.add((m["key"], lsn))
                 kk = (m["partition"], m["key"])
                 if per_key_last.get(kk, -1) > lsn:
                     order_violations += 1
