@@ -45,7 +45,7 @@ from outboxx_spark.dataops.multimodal import (
 from outboxx_spark.functions.envelope import serialize_feed
 from outboxx_spark.functions.typemap import toast_or_value
 from outboxx_spark.operators.dedup import dedup_events
-from outboxx_spark.operators.routing import route, streams_dim
+from outboxx_spark.operators.routing import route_config
 from outboxx_spark.operators.tally import tally
 from outboxx_spark.pipeline import FEED_DATA_COLS, routed_envelopes
 from outboxx_spark import integrity, olap, olap_approx, olap_tpch, olap_tpch_heavy, olap_tpch_rest
@@ -92,7 +92,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = read_feed(spark, sf_dir)
-    return route(feed, streams_dim(spark, default_config().streams))
+    return route_config(feed, default_config().streams)
 
 
 def q_route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:

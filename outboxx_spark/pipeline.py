@@ -8,13 +8,16 @@ thing is one declarative plan:
     parquet scan (pruned)            -- S1 analog
       -> project feed columns        -- S8 converter
       -> to_json envelope            -- F1, serialize ONCE
-      -> broadcast-hash join streams -- R1/R2, fan-out, no shuffle
+      -> explode(config map lookup)  -- R1/R2, fan-out, no join at all
       -> partition key               -- R3
       -> sink (per-destination)      -- K1
 
-Catalyst keeps everything in one WholeStageCodegen span up to the sink;
-the only shuffle in the entire pipeline is the optional repartition by
-destination before a partitioned write.
+Routing is a plan-constant map literal probed per event
+(`operators/routing.py:route_config`) — no broadcast exchange, no
+per-plan createDataFrame. Catalyst keeps everything in one
+WholeStageCodegen span up to the sink; the only shuffle in the entire
+pipeline is the optional repartition by destination before a
+partitioned write.
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ from outboxx_spark.config import PipelineConfig
 from outboxx_spark.dataops.util import parallelized
 from outboxx_spark.functions.envelope import serialize_feed
 from outboxx_spark.operators.keys import partition_key
-from outboxx_spark.operators.routing import route, streams_dim
+from outboxx_spark.operators.routing import route_config
 from outboxx_spark.sources.feed import read_feed
 
 FEED_DATA_COLS = ["user_id", "event_type", "value", "props"]
@@ -44,7 +47,7 @@ def routed_envelopes(
     # feed (Kafka / many files) skips this — inputFiles >= cores.
     feed = parallelized(read_feed(spark, sf_dir))
     serialized = serialize_feed(feed, FEED_DATA_COLS)  # once per event
-    routed = route(serialized, streams_dim(spark, config.streams))
+    routed = route_config(serialized, config.streams)
     return routed.withColumn(
         "key", partition_key(F.col("user_id"), fail_on_null=fail_on_null_key)
     ).select("stream", "destination", "key", "value", "resource", "op", "lsn")

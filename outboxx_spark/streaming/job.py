@@ -33,7 +33,7 @@ from outboxx_spark.config import PipelineConfig
 from outboxx_spark.fsutil import fs_exists
 from outboxx_spark.functions.envelope import serialize_feed
 from outboxx_spark.operators.keys import partition_key
-from outboxx_spark.operators.routing import route, streams_dim
+from outboxx_spark.operators.routing import route_config
 from outboxx_spark.pipeline import FEED_DATA_COLS
 from outboxx_spark.sources.feed import read_feed_stream
 from outboxx_spark.sources.snapshot import snapshot_table
@@ -82,9 +82,9 @@ def _dynamic_key(data_cols: list[str]) -> F.Column:
     return partition_key(F.create_map(*kv)[F.col("routing_key")])
 
 
-def _route_and_serialize(batch: DataFrame, streams: DataFrame) -> DataFrame:
+def _route_and_serialize(batch: DataFrame, streams: list) -> DataFrame:
     serialized = serialize_feed(batch, FEED_DATA_COLS)  # once per event (F1)
-    routed = route(serialized, streams)  # fan-out (R1/R2)
+    routed = route_config(serialized, streams)  # fan-out (R1/R2)
     return routed.withColumn("key", _dynamic_key(FEED_DATA_COLS))  # R3
 
 
@@ -137,7 +137,6 @@ def run_snapshot_phase(
     aborts the job before an offset is ever committed. Returns rows
     written."""
     total = 0
-    streams = streams_dim(spark, config.streams)
     for resource in snapshot_tables_preflight(sf_dir, config, spark):
         table = resource.split(".", 1)[1]
         snap = snapshot_table(
@@ -145,7 +144,7 @@ def run_snapshot_phase(
         )
         data_cols = [c for c in snap.columns if c not in ("op", "resource", "lsn", "commit_ts")]
         serialized = serialize_feed(snap, data_cols)
-        routed = route(serialized, streams)
+        routed = route_config(serialized, config.streams)
         keyed = routed.withColumn("key", _dynamic_key(data_cols))
         out = keyed.select("destination", "key", "value", "resource", "op", "lsn")
         out.write.mode("append").partitionBy("destination").parquet(out_dir)
@@ -174,7 +173,7 @@ def start_stream(
     idempotent-producer semantics for files (the Kafka path gets the
     same from ``enable.idempotence`` + checkpoint replay)."""
     registry = registry or MetricsRegistry()
-    streams = streams_dim(spark, config.streams)
+    streams = config.streams
 
     def process_batch(batch: DataFrame, epoch_id: int) -> None:
         if exactly_once:

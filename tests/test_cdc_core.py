@@ -196,6 +196,26 @@ def test_route_case_insensitive_op(spark):
     assert routed.count() == 2  # both t0 streams match regardless of case
 
 
+def test_route_config_matches_dim_join(spark):
+    # the literal-map production shape (route_config) and the dim-table
+    # broadcast-join shape (route) must produce identical rows — same
+    # fan-out, same drops, same columns in the same order
+    from outboxx_spark.operators.routing import route_config
+
+    ev = _mini_events(spark).unionAll(
+        spark.createDataFrame(
+            [("iNsErT", "public.t0", 9, 100, 14)],
+            "op string, resource string, lsn long, commit_ts long, user_id long",
+        )
+    )
+    lit_out = route_config(ev, DEFAULT_STREAMS)
+    join_out = route(ev, streams_dim(spark, DEFAULT_STREAMS))
+    assert lit_out.columns == join_out.columns
+    assert lit_out.exceptAll(join_out).count() == 0
+    assert join_out.exceptAll(lit_out).count() == 0
+    assert lit_out.count() == join_out.count() > 0
+
+
 def test_dedup_on_resource_lsn(spark):
     ev = _mini_events(spark)
     assert dedup_events(ev.unionAll(ev)).count() == ev.count()

@@ -21,10 +21,14 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
-def test_routing_is_broadcast_join_no_shuffle_of_events(spark, sf_dir):
+def test_routing_is_joinless_generate_no_shuffle_of_events(spark, sf_dir):
+    # r13: routing is a plan-constant map literal probed per event and
+    # exploded (route_config) — no join node of any kind and no
+    # broadcast exchange; the event side never hash-exchanges
     plan = _plan(routed_envelopes(spark, sf_dir, default_config()))
-    assert "BroadcastHashJoin" in plan
-    # the event side must not hash-exchange for the routing join
+    assert "Generate" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastExchange" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
 

@@ -41,7 +41,7 @@ def main() -> int:
 
     from outboxx_spark.functions.envelope import serialize_feed
     from outboxx_spark.operators.keys import partition_key
-    from outboxx_spark.operators.routing import route, streams_dim
+    from outboxx_spark.operators.routing import route_config
     from outboxx_spark.pipeline import FEED_DATA_COLS
     from outboxx_spark.session import get_spark
     from outboxx_spark.sources.feed import read_feed
@@ -67,7 +67,7 @@ def main() -> int:
         n = n1 * n_copies
 
         cfg = default_config()
-        streams = streams_dim(spark, cfg.streams)
+        streams = cfg.streams
 
         def feed():
             return read_feed(spark, root)
@@ -80,8 +80,8 @@ def main() -> int:
             "scan": lambda: spark.read.parquet(f"{root}/events.parquet"),
             "converter": feed,  # op mapping, resource, lsn, commit_ts (S8/S9)
             "serialize": lambda: serialize_feed(feed(), FEED_DATA_COLS),  # F1
-            "route": lambda: route(serialize_feed(feed(), FEED_DATA_COLS), streams),  # R1/R2
-            "key": lambda: route(serialize_feed(feed(), FEED_DATA_COLS), streams).withColumn(
+            "route": lambda: route_config(serialize_feed(feed(), FEED_DATA_COLS), streams),  # R1/R2
+            "key": lambda: route_config(serialize_feed(feed(), FEED_DATA_COLS), streams).withColumn(
                 "key", partition_key(F.col("user_id"))
             ),  # R3
         }
