@@ -933,6 +933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ivf_pq_topk": q_emb_ivf_pq_topk,
         "olap_cohort_retention": q_olap_cohort_retention,
+        "cdc_tally": q_tally,
+        "cdc_route_fanout": q_route_fanout,
+        "cdc_read_optin": q_read_optin,
         "olap_small_qty_revenue": olap_tpch.small_qty_revenue,
         "olap_lone_return_supplier": olap_tpch.lone_return_supplier,
         "olap_market_share": olap_tpch.market_share,
@@ -963,12 +966,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_datasource_feed": q_datasource_feed,
         "cdc_windowed_tally": q_windowed_tally,
         "cdc_update_pairs": q_cdc_update_pairs,
-        "cdc_snapshot_diff": q_cdc_snapshot_diff,
-        "cdc_state_as_of": q_cdc_state_as_of,
-        "cdc_gap_check": q_cdc_gap_check,
         # ---- tail (positions 51+): green at their latest check in
         # unchanged formulation; the staleness policy rotates each
         # back within MAX_STALENESS rounds ----
+        "cdc_snapshot_diff": q_cdc_snapshot_diff,
+        "cdc_state_as_of": q_cdc_state_as_of,
+        "cdc_gap_check": q_cdc_gap_check,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_near_dup_ivf": q_emb_near_dup_ivf,
         "emb_near_dup": q_emb_near_dup,
@@ -990,10 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_metadata": q_mm_metadata,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_features": q_mm_features,
-        "cdc_tally": q_tally,
-        "cdc_route_fanout": q_route_fanout,
         "cdc_envelope_roundtrip": q_envelope_roundtrip,
-        "cdc_read_optin": q_read_optin,
         "cdc_toast_placeholder": q_toast_placeholder,
         "cdc_pgoutput_roundtrip": q_pgoutput_roundtrip,
         "cdc_json_ingest": q_json_ingest,
