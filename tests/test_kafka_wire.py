@@ -430,6 +430,28 @@ def test_metadata_refresh_drains_pipelined_produce_first(broker):
     assert broker.record_count("pipe.b") == 1
 
 
+def test_pipelined_dispatch_respects_zero_retry_budget(broker):
+    # r12 advice finding: the failed pipelined dispatch counts as
+    # attempt 1 against the budget, so a retries=0 producer must fail
+    # at drain WITHOUT another produce attempt. Before the fix the
+    # drain path's retry loop always produced once before checking the
+    # budget — here that free attempt would SUCCEED (only one failure
+    # is injected) and flush would return cleanly, silently granting a
+    # retry the configuration forbade.
+    broker.fail_next_produces(1)
+    p = WireProducer(
+        broker.host, broker.port, retries=0, retry_backoff_ms=10,
+        batch_max_messages=5,
+    )
+    for i in range(6):  # overflow -> inline pipelined dispatch of batch 1
+        p.send("zerobudget.t", b"k", str(i).encode(), n_partitions=4)
+    with pytest.raises(DeliveryError):
+        p.flush()
+    assert p.delivery_errors == 1
+    # the failed 5-record batch must not have been re-produced
+    assert broker.record_count("zerobudget.t") < 6
+
+
 def test_retry_under_pipelining_preserves_order(broker):
     # the in-flight=1 ordering proof: the first (pipelined, inline)
     # dispatch fails retriably; its retry must confirm BEFORE the
