@@ -216,6 +216,43 @@ def test_route_config_matches_dim_join(spark):
     assert lit_out.count() == join_out.count() > 0
 
 
+def test_route_config_scales_to_large_configs(spark):
+    # the map literal must stay a single folded plan constant at the
+    # config sizes SCALING.md claims (streams x ops ≤ a few thousand
+    # entries): 1000 streams x 2 ops over 100 resources, correct
+    # fan-out, and no join/broadcast node in the plan
+    import contextlib
+    import io
+
+    from outboxx_spark.config import StreamConfig
+    from outboxx_spark.operators.routing import route_config
+
+    streams = [
+        StreamConfig(
+            name=f"s{i}",
+            resource=f"public.t{i % 100}",
+            operations=["insert", "delete"],
+            destination=f"topic{i}",
+            routing_key="user_id",
+        )
+        for i in range(1000)
+    ]
+    ev = spark.createDataFrame(
+        [("INSERT", "public.t7", 1, 100, 10), ("DELETE", "public.t999", 2, 100, 11)],
+        "op string, resource string, lsn long, commit_ts long, user_id long",
+    )
+    out = route_config(ev, streams)
+    # 10 streams match t7 (i % 100 == 7); t999 does not exist as a resource
+    assert out.count() == 10
+    assert {r["stream"] for r in out.collect()} == {f"s{7 + 100 * j}" for j in range(10)}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Generate" in plan
+    assert "Join" not in plan and "BroadcastExchange" not in plan
+
+
 def test_dedup_on_resource_lsn(spark):
     ev = _mini_events(spark)
     assert dedup_events(ev.unionAll(ev)).count() == ev.count()
