@@ -216,41 +216,57 @@ def test_route_config_matches_dim_join(spark):
     assert lit_out.count() == join_out.count() > 0
 
 
-def test_route_config_scales_to_large_configs(spark):
-    # the map literal must stay a single folded plan constant at the
-    # config sizes SCALING.md claims (streams x ops ≤ a few thousand
-    # entries): 1000 streams x 2 ops over 100 resources, correct
-    # fan-out, and no join/broadcast node in the plan
+def test_route_config_size_hybrid(spark):
+    # route_config's shape policy: small configs route through the
+    # folded map literal (Generate, no join); past
+    # ROUTE_LITERAL_MAX_ENTRIES the per-event GetMapValue LINEAR scan
+    # would tax every event, so large configs take the broadcast-HASH
+    # dim join instead. Both shapes: correct fan-out, event side never
+    # shuffles.
     import contextlib
     import io
 
     from outboxx_spark.config import StreamConfig
-    from outboxx_spark.operators.routing import route_config
+    from outboxx_spark.operators.routing import (
+        ROUTE_LITERAL_MAX_ENTRIES,
+        route_config,
+    )
 
-    streams = [
-        StreamConfig(
-            name=f"s{i}",
-            resource=f"public.t{i % 100}",
-            operations=["insert", "delete"],
-            destination=f"topic{i}",
-            routing_key="user_id",
-        )
-        for i in range(1000)
-    ]
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def mk_streams(n):
+        return [
+            StreamConfig(
+                name=f"s{i}",
+                resource=f"public.t{i % 100}",
+                operations=("insert", "delete"),
+                destination=f"topic{i}",
+                routing_key="user_id",
+            )
+            for i in range(n)
+        ]
+
     ev = spark.createDataFrame(
         [("INSERT", "public.t7", 1, 100, 10), ("DELETE", "public.t999", 2, 100, 11)],
         "op string, resource string, lsn long, commit_ts long, user_id long",
     )
-    out = route_config(ev, streams)
-    # 10 streams match t7 (i % 100 == 7); t999 does not exist as a resource
-    assert out.count() == 10
-    assert {r["stream"] for r in out.collect()} == {f"s{7 + 100 * j}" for j in range(10)}
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        out.explain("formatted")
-    plan = buf.getvalue()
-    assert "Generate" in plan
-    assert "Join" not in plan and "BroadcastExchange" not in plan
+    # small config (testbed-sized): literal map, joinless
+    small = route_config(ev, mk_streams(10))
+    p = plan_of(small)
+    assert "Generate" in p and "Join" not in p and "BroadcastExchange" not in p
+    # large config (1000 streams x 2 ops > threshold): broadcast-hash
+    # join, no event-side shuffle; fan-out still correct
+    assert 2000 > ROUTE_LITERAL_MAX_ENTRIES
+    big = route_config(ev, mk_streams(1000))
+    p = plan_of(big)
+    assert "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning" not in p and "SortMergeJoin" not in p
+    assert big.count() == 10  # 10 streams match t7; t999 matches none
+    assert {r["stream"] for r in big.collect()} == {f"s{7 + 100 * j}" for j in range(10)}
 
 
 def test_dedup_on_resource_lsn(spark):
