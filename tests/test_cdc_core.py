@@ -269,6 +269,45 @@ def test_route_config_size_hybrid(spark):
     assert {r["stream"] for r in big.collect()} == {f"s{7 + 100 * j}" for j in range(10)}
 
 
+def test_route_shapes_agree_on_random_config(spark):
+    # seeded-random cross-check of the hybrid's two shapes: a config
+    # drawn over shared resources with random op subsets and duplicate
+    # (resource, op) coverage, against events spanning matched,
+    # unmatched, case-twisted, and null-resource rows — the literal map
+    # and the dim join must agree row-for-row
+    import random
+
+    from outboxx_spark.config import StreamConfig
+    from outboxx_spark.operators.routing import route_config
+
+    rng = random.Random(1313)
+    ops = ["insert", "update", "delete", "read"]
+    streams = [
+        StreamConfig(
+            name=f"s{i}",
+            resource=f"public.t{rng.randrange(12)}",
+            operations=tuple(rng.sample(ops, rng.randrange(1, 5))),
+            destination=f"topic{rng.randrange(6)}",
+            routing_key="user_id",
+        )
+        for i in range(40)
+    ]
+    rows = []
+    for i in range(200):
+        op = rng.choice(["INSERT", "insert", "UpDaTe", "DELETE", "READ", "TRUNCATE"])
+        res = rng.choice([f"public.t{rng.randrange(15)}", None])
+        rows.append((op, res, i, 100, i % 7))
+    ev = spark.createDataFrame(
+        rows, "op string, resource string, lsn long, commit_ts long, user_id long"
+    )
+    lit_out = route_config(ev, streams)
+    join_out = route(ev, streams_dim(spark, streams))
+    assert lit_out.columns == join_out.columns
+    assert lit_out.exceptAll(join_out).count() == 0
+    assert join_out.exceptAll(lit_out).count() == 0
+    assert lit_out.count() == join_out.count() > 0
+
+
 def test_dedup_on_resource_lsn(spark):
     ev = _mini_events(spark)
     assert dedup_events(ev.unionAll(ev)).count() == ev.count()
