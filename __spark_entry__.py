@@ -936,6 +936,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tally": q_tally,
         "cdc_route_fanout": q_route_fanout,
         "cdc_read_optin": q_read_optin,
+        "emb_near_dup_ivf": q_emb_near_dup_ivf,
+        "emb_kmeans_assign": q_emb_kmeans_assign,
+        "emb_diversity_sample": q_emb_diversity_sample,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "emb_ann_ivf": q_emb_ann_ivf,
         "olap_small_qty_revenue": olap_tpch.small_qty_revenue,
         "olap_lone_return_supplier": olap_tpch.lone_return_supplier,
         "olap_market_share": olap_tpch.market_share,
@@ -961,22 +966,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_minhash_dedup": q_docs_minhash_dedup,
+        # ---- tail (positions 51+): green at their latest check in
+        # unchanged formulation; the staleness policy rotates each
+        # back within MAX_STALENESS rounds ----
         "docs_ngram_dedup": q_docs_ngram_dedup,
         "cdc_lag": q_lag,
         "cdc_datasource_feed": q_datasource_feed,
         "cdc_windowed_tally": q_windowed_tally,
         "cdc_update_pairs": q_cdc_update_pairs,
-        # ---- tail (positions 51+): green at their latest check in
-        # unchanged formulation; the staleness policy rotates each
-        # back within MAX_STALENESS rounds ----
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_state_as_of": q_cdc_state_as_of,
         "cdc_gap_check": q_cdc_gap_check,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "emb_near_dup_ivf": q_emb_near_dup_ivf,
         "emb_near_dup": q_emb_near_dup,
-        "emb_kmeans_assign": q_emb_kmeans_assign,
-        "emb_diversity_sample": q_emb_diversity_sample,
         "olap_spend_deciles_approx": olap_approx.customer_spend_deciles_approx_check,
         "mm_jpeg_prog_adv": q_mm_jpeg_prog_adv,
         "olap_pagerank": pagerank.q_pagerank,
@@ -1035,7 +1037,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_supplier_diversity": olap_tpch_rest.part_supplier_diversity,
         "olap_dominant_suppliers": olap_tpch_rest.dominant_part_suppliers,
         "docs_source_cap": q_docs_source_cap,
-        "emb_semantic_dedup": q_emb_semantic_dedup,
         "docs_substring_spans": q_docs_substring_spans,
         "mm_audio_features": audio_mod.planted_audio_features,
         "mm_audio_decimate": audio_mod.planted_audio_decimate,
@@ -1052,7 +1053,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_edit_dedup": q_docs_edit_dedup,
         "emb_ann_lsh": q_emb_ann_lsh,
-        "emb_ann_ivf": q_emb_ann_ivf,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_ann_recall": q_emb_ann_recall,
         "docs_vocab_topk": q_docs_vocab_topk,
