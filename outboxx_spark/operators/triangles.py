@@ -61,8 +61,19 @@ def _degrees(und: DataFrame) -> DataFrame:
 
 def triangle_counts(und: DataFrame) -> DataFrame:
     """(node, deg, tri_count) for every node of the undirected graph;
-    tri_count = triangles incident to the node (0 included)."""
-    deg = _degrees(und)
+    tri_count = triangles incident to the node (0 included).
+
+    Lineage policy (the pagerank r12 lesson, applied r13): ``und``,
+    ``deg`` and ``oriented`` each feed 2-3 consumers below, and the
+    consumers shuffle them by DIFFERENT keys, so exchange reuse cannot
+    deduplicate the subtrees — the un-cut plan expanded the upstream
+    edge-builder lineage 47 times (47 scans / 114 exchanges at sf0.1).
+    Eager ``localCheckpoint`` (lineage-private, no CacheManager plan
+    substitution into sibling queries that share the edge builder)
+    computes each tier once; all three frames are |E|- or |V|-scale,
+    the same magnitude pagerank already checkpoints."""
+    und = und.localCheckpoint(eager=True)
+    deg = _degrees(und).localCheckpoint(eager=True)
     # orient: src = lower (deg, node), dst = higher; carry both ranks
     e = (
         und.join(deg.withColumnsRenamed({"node": "a", "deg": "da"}), "a")
@@ -77,7 +88,7 @@ def triangle_counts(und: DataFrame) -> DataFrame:
         F.when(a_first, F.struct("db", "b")).otherwise(
             F.struct(F.col("da").alias("db"), F.col("a").alias("b"))
         ).alias("dst_rank"),
-    )
+    ).localCheckpoint(eager=True)
     e1 = oriented.select(
         "src", F.col("dst").alias("v1"), F.col("dst_rank").alias("r1")
     )
@@ -91,10 +102,15 @@ def triangle_counts(und: DataFrame) -> DataFrame:
         oriented.select(F.col("src").alias("v1"), F.col("dst").alias("v2")),
         ["v1", "v2"],
     ).select("src", "v1", "v2")
+    # one pass over the triangle list: explode the corner array instead
+    # of a 3-way union (the union branches project different columns,
+    # so each would re-run the wedge+closing joins — 3x the heavy step)
     per_node = (
-        tris.select(F.col("src").alias("node"))
-        .unionAll(tris.select(F.col("v1")))
-        .unionAll(tris.select(F.col("v2")))
+        tris.select(
+            F.explode(F.array(F.col("src"), F.col("v1"), F.col("v2"))).alias(
+                "node"
+            )
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("tri_count"))
     )
