@@ -265,11 +265,22 @@ def theta_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def source_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certification (staged oracle ``docs_source_overlap``): the
-    per-source workflow end-to-end — ONE grouped sketch pass over the
-    corpus, then the full pairwise overlap matrix computed from the
-    G·k collected sample rows alone. Exact pair intersections are the
-    checked columns; each estimate's flag pins it within 5 sigma
-    (equality in the exact-below-k regime)."""
+    per-source workflow end-to-end — ONE corpus pass materializes the
+    distinct (lang, seg) frame (eager localCheckpoint, lineage-private
+    per the pagerank cache lesson), then the grouped sketch pass and
+    the exact side both read it. The full pairwise overlap matrix is
+    computed from the G·k collected sample rows alone. Exact pair
+    intersections are the checked columns; each estimate's flag pins
+    it within 5 sigma (equality in the exact-below-k regime).
+
+    Exact-side shape: per seg, every unordered lang pair counts once,
+    so instead of a distinct self-join on seg (the chunk+distinct
+    subtree twice feeding a SortMergeJoin) it is groupBy(seg).
+    collect_set(lang) -> in-row pair explosion -> count — identical
+    pair counts by construction, one shuffle on seg, no join, and the
+    final count gets map-side partial aggregation. The set of langs
+    per seg is G-bounded, so the explosion is at most G^2 rows per
+    seg, never data-sized."""
     k = K_DEFAULT
     docs = read_table(spark, sf_dir, "documents")
     segs = chunk_documents(docs, window=3, stride=3).select(
@@ -278,8 +289,9 @@ def source_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsegs = segs.join(docs.select("doc_id", "lang"), "doc_id").select(
         "lang", "seg"
     )
+    d = lsegs.localCheckpoint(eager=True)
     per: dict[str, list[int]] = {}
-    for r in theta_sketch_by(lsegs, "lang", "seg", k).collect():  # G*k rows
+    for r in theta_sketch_by(d, "lang", "seg", k).collect():  # G*k rows
         per.setdefault(r["group"], []).append(r["h"])
     for hs in per.values():
         hs.sort()
@@ -293,17 +305,13 @@ def source_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_a string, lang_b string, est double, theta double",
         )
     )
-    d = lsegs.distinct()
     exact = (
-        d.alias("a")
-        .join(
-            d.alias("b"),
-            (F.col("a.seg") == F.col("b.seg"))
-            & (F.col("a.lang") < F.col("b.lang")),
-        )
-        .groupBy(
-            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
-        )
+        d.groupBy("seg")
+        .agg(F.collect_set("lang").alias("ls"))
+        .select(F.explode("ls").alias("lang_a"), "ls")
+        .select("lang_a", F.explode("ls").alias("lang_b"))
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
         .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
     )
     sigma = F.sqrt((1.0 - F.col("theta")) / (F.col("exact_inter") * F.col("theta")))
