@@ -83,7 +83,7 @@ def strip_boilerplate(
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
     segs = chunk_documents(df, window=seg_len, stride=seg_len).select(
         "doc_id", F.col("chunk_id").alias("seg_id"), F.col("chunk").alias("segment")
-    )
+    ).localCheckpoint(eager=True)
     boiler = F.broadcast(
         _boiler_from_segments(segs, min_docs).select(
             "segment", F.lit(True).alias("_boiler")
