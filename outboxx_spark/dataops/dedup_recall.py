@@ -36,14 +36,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from outboxx_spark.dataops.dedup import (
-    NGRAM_MAX_DF,
-    _materialize_corpus,
-    _parallelized,
-    lsh_band_buckets_from_sets,
-    lsh_bucket_pairs,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
     ngram_jaccard_pairs_sql,
-    shingles,
-    verify_jaccard_pairs,
 )
 from outboxx_spark.sources.tables import read_table
 
@@ -54,50 +49,8 @@ def minhash_recall_check(
     spark: SparkSession, sf_dir: str, k: int = 3, threshold: float = 0.5
 ) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # ONE corpus text pass: the per-doc distinct-shingle-set table is
-    # materialized once and feeds BOTH certification sides — the exact
-    # inverted index derives from it by a cheap explode (bit-identical
-    # to shingle_index: same shingles(), same max_df anti-join) and the
-    # banded side is minhash_dedup_pairs' body verbatim over the same
-    # sets. Previously each side re-scanned and re-shingled the corpus
-    # behind its own materialization (r13: 2.8 s -> ~2.2 s at sf0.1).
-    sets_ = _materialize_corpus(
-        _parallelized(docs).select("doc_id", shingles(F.col("text"), k).alias("sh"))
-    )
-    idx = sets_.select("doc_id", F.explode("sh").alias("s"))
-    hot = idx.groupBy("s").agg(F.count("*").alias("df_")).filter(
-        F.col("df_") > NGRAM_MAX_DF
-    )
-    idx = _materialize_corpus(idx.join(F.broadcast(hot.select("s")), "s", "left_anti"))
-    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a_i = idx.alias("a")
-    b_i = idx.alias("b")
-    inter = (
-        a_i.join(
-            b_i,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    exact = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            F.col("inter").cast("double")
-            >= F.lit(threshold) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
-        )
-        .select("doc_a", "doc_b")
-    )
-    cands = lsh_bucket_pairs(
-        lsh_band_buckets_from_sets(sets_).localCheckpoint(eager=True)
-    )
-    found = verify_jaccard_pairs(cands, sets_, sets_, threshold).select(
-        "doc_a", "doc_b"
-    )
+    exact = ngram_jaccard_pairs(docs, k, threshold).select("doc_a", "doc_b")
+    found = minhash_dedup_pairs(docs, k, threshold).select("doc_a", "doc_b")
     # one pass over the (tiny) pair frames: full outer classifies every
     # pair as hit / miss / false-positive
     joined = exact.withColumn("_e", F.lit(1)).join(
