@@ -939,6 +939,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_triangles": triangles.q_triangles,
         "olap_theta_sketch": theta.theta_sketch_check,
         "docs_source_overlap": theta.source_overlap_check,
+        "mm_jpeg_prog_adv": q_mm_jpeg_prog_adv,
+        "mm_pixel_stats": q_mm_pixel_stats,
+        "mm_image_dhash": q_mm_image_dhash,
+        "mm_jpeg_stats": q_mm_jpeg_stats,
+        "mm_jpeg_color_stats": q_mm_jpeg_color_stats,
+        "mm_gif_stats": q_mm_gif_stats,
+        "mm_jpeg420_stats": q_mm_jpeg420_stats,
+        "mm_jpeg_prog_stats": q_mm_jpeg_prog_stats,
+        "mm_video_frames": q_mm_video_frames,
+        "mm_tiff_stats": q_mm_tiff_stats,
+        "mm_metadata": q_mm_metadata,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_features": q_mm_features,
         "docs_minhash_recall": dedup_recall.minhash_recall_check,
         "olap_small_qty_revenue": olap_tpch.small_qty_revenue,
         "olap_lone_return_supplier": olap_tpch.lone_return_supplier,
@@ -953,6 +966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_drift": q_cdc_schema_drift,
         "olap_fk_orphans": integrity.referential_integrity,
         "docs_corpus_diff": corpus_diff_mod.planted_corpus_diff,
+        # ---- tail (positions 51+): green at their latest check in
+        # unchanged formulation; the staleness policy rotates each
+        # back within MAX_STALENESS rounds ----
         "docs_normalize": normalize_mod.planted_normalize,
         "docs_bloom_filter": bloom.bloom_filter_check,
         "olap_hll_relational": hll.hll_relational_check,
@@ -966,9 +982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "docs_ngram_dedup": q_docs_ngram_dedup,
         "cdc_lag": q_lag,
-        # ---- tail (positions 51+): green at their latest check in
-        # unchanged formulation; the staleness policy rotates each
-        # back within MAX_STALENESS rounds ----
         "emb_near_dup_ivf": q_emb_near_dup_ivf,
         "emb_kmeans_assign": q_emb_kmeans_assign,
         "emb_diversity_sample": q_emb_diversity_sample,
@@ -983,20 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_near_dup": q_emb_near_dup,
         "olap_spend_deciles_approx": olap_approx.customer_spend_deciles_approx_check,
-        "mm_jpeg_prog_adv": q_mm_jpeg_prog_adv,
         "olap_pagerank": pagerank.q_pagerank,
-        "mm_pixel_stats": q_mm_pixel_stats,
-        "mm_image_dhash": q_mm_image_dhash,
-        "mm_jpeg_stats": q_mm_jpeg_stats,
-        "mm_jpeg_color_stats": q_mm_jpeg_color_stats,
-        "mm_gif_stats": q_mm_gif_stats,
-        "mm_jpeg420_stats": q_mm_jpeg420_stats,
-        "mm_jpeg_prog_stats": q_mm_jpeg_prog_stats,
-        "mm_video_frames": q_mm_video_frames,
-        "mm_tiff_stats": q_mm_tiff_stats,
-        "mm_metadata": q_mm_metadata,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_features": q_mm_features,
         "cdc_envelope_roundtrip": q_envelope_roundtrip,
         "cdc_toast_placeholder": q_toast_placeholder,
         "cdc_pgoutput_roundtrip": q_pgoutput_roundtrip,

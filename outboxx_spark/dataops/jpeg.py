@@ -55,6 +55,10 @@ for s in range(15):
         _ZZ.append((i, s - i))
 ZIGZAG = tuple(_ZZ)
 
+# flat (row*8+col) position of the k-th zigzag coefficient: one fancy
+# assignment de-zigzags a whole (..., 64) coefficient array at C speed
+_ZZ_FLAT = np.array([r * 8 + c for r, c in ZIGZAG], dtype=np.intp)
+
 
 def _dct_mat() -> np.ndarray:
     x = np.arange(8)
@@ -111,6 +115,14 @@ def _dht_segment(table_class: int, table_id: int, enc: dict, length: int) -> byt
 
 
 class _BitWriter:
+    """Entropy bit writer: whole bytes drain from the accumulator in
+    one ``int.to_bytes`` per call, and 0xFF byte stuffing happens once
+    at ``flush`` with a C-speed ``bytes.replace`` (inserting 0x00
+    after every 0xFF is exactly the per-byte stuffing rule, and each
+    scan uses a fresh writer flushed once)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
     def __init__(self) -> None:
         self.out = bytearray()
         self.acc = 0
@@ -118,20 +130,18 @@ class _BitWriter:
 
     def write(self, value: int, nbits: int) -> None:
         self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
-        self.nbits += nbits
-        while self.nbits >= 8:
-            b = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.out.append(b)
-            if b == 0xFF:
-                self.out.append(0x00)  # byte stuffing
-            self.nbits -= 8
-        self.acc &= (1 << self.nbits) - 1
+        n = self.nbits + nbits
+        rem = n & 7
+        if n >= 8:
+            self.out += (self.acc >> rem).to_bytes(n >> 3, "big")
+            self.acc &= (1 << rem) - 1
+        self.nbits = rem
 
     def flush(self) -> bytes:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
-        return bytes(self.out)
+        return bytes(self.out).replace(b"\xff", b"\xff\x00")
 
 
 def rgb_to_ycbcr_int(rgb: np.ndarray) -> np.ndarray:
@@ -178,17 +188,33 @@ def _check_quant(quant: int | np.ndarray) -> np.ndarray:
     return q
 
 
-def _encode_block(bw: _BitWriter, block: np.ndarray, q: np.ndarray, prev_dc: int) -> int:
-    coef = np.rint(_fdct(block) / q).astype(np.int64)
-    zz = [int(coef[r, c]) for r, c in ZIGZAG]
+def _plane_zz(plane: np.ndarray, q: np.ndarray) -> list[list[int]]:
+    """Quantized zigzag lists for every 8x8 block of a level-shifted
+    plane, raster order — the whole plane's FDCT/quant/round/zigzag
+    batched (per-slice matmul and elementwise ops are bit-identical
+    to the old per-block path)."""
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    coef = np.rint((_M @ blocks @ _M.T) / q).astype(np.int64)
+    return coef.reshape(nby * nbx, 64)[:, _ZZ_FLAT].tolist()
+
+
+def _encode_block(bw: _BitWriter, zz: list[int], prev_dc: int) -> int:
+    """Entropy-code one precomputed zigzag list. Huffman code and
+    amplitude emit as one fused write per symbol (same bits)."""
     diff = zz[0] - prev_dc
     s = _category(diff)
     code, n = _DC_ENC[s]
-    bw.write(code, n)
     if s:
-        bw.write(_amplitude(diff, s), s)
+        bw.write((code << s) | _amplitude(diff, s), n + s)
+    else:
+        bw.write(code, n)
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
     run = 0
-    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
     for k in range(1, last_nz + 1):
         v = zz[k]
         if v == 0:
@@ -202,8 +228,7 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, q: np.ndarray, prev_dc: int
         if s > 11:
             raise ValueError("AC coefficient out of representable range")
         code, n = _AC_ENC[(run << 4) | s]
-        bw.write(code, n)
-        bw.write(_amplitude(v, s), s)
+        bw.write((code << s) | _amplitude(v, s), n + s)
         run = 0
     if last_nz < 63:
         code, n = _AC_ENC[0x00]  # EOB
@@ -243,15 +268,17 @@ def _encode(
     mcux = plane0.shape[1] // (8 * comps[0][1]) if comps[0][1] else 0
     bw = _BitWriter()
     prev = [0] * ncomp
+    zzs = [_plane_zz(plane, qs[qsel]) for plane, _, _, qsel in comps]
+    nbx = [plane.shape[1] // 8 for plane, _, _, _ in comps]
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, (plane, hi, vi, qsel) in enumerate(comps):
                 for byy in range(vi):
                     for bxx in range(hi):
-                        y0 = (my * vi + byy) * 8
-                        x0 = (mx * hi + bxx) * 8
-                        block = plane[y0 : y0 + 8, x0 : x0 + 8]
-                        prev[ci] = _encode_block(bw, block, qs[qsel], prev[ci])
+                        zz = zzs[ci][
+                            (my * vi + byy) * nbx[ci] + mx * hi + bxx
+                        ]
+                        prev[ci] = _encode_block(bw, zz, prev[ci])
     return bytes(head) + bw.flush() + b"\xff\xd9"
 
 
@@ -326,51 +353,154 @@ def encode_jpeg_color(
 
 
 class _BitReader:
+    """Entropy-scan bit reader over an eagerly UNSTUFFED prefix.
+
+    The constructor finds the scan's terminator (the first 0xFF not
+    followed by a stuffed 0x00) with C-speed ``bytes.find`` and strips
+    the 0xFF00 stuffing once with ``bytes.replace``; ``read`` then
+    refills the accumulator 8 bytes at a time instead of per byte.
+    Error behaviour is bit-identical to the old per-byte reader: the
+    terminator's kind is remembered and the matching ValueError (plain
+    truncation / truncated at 0xFF / truncated before EOI / unexpected
+    marker) is raised only at the moment a read actually needs bits
+    past the unstuffed prefix — exactly when the old reader would have
+    reached that byte."""
+
+    __slots__ = ("data", "valid", "nvalid", "bytepos", "acc", "nbits", "_term")
+
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = 0
+        i = 0
+        n = len(data)
+        while True:
+            j = data.find(b"\xff", i)
+            if j == -1:
+                vend, term = n, -1  # clean end of data
+                break
+            if j + 1 >= n:
+                vend, term = j, -2  # 0xFF then end of data
+                break
+            nxt = data[j + 1]
+            if nxt == 0x00:
+                i = j + 2  # stuffed byte, keep scanning
+                continue
+            vend, term = j, nxt  # real marker terminates the scan
+            break
+        self.valid = data[:vend].replace(b"\xff\x00", b"\xff")
+        self.nvalid = len(self.valid)
+        self._term = term
+        self.bytepos = 0
         self.acc = 0
         self.nbits = 0
 
+    @property
+    def pos(self) -> int:
+        """Stuffed-coordinate index of the next unread byte (every
+        0xFF inside the unstuffed prefix consumed a stuffed pair)."""
+        return self.bytepos + self.valid.count(0xFF, 0, self.bytepos)
+
+    def _raise_exhausted(self) -> None:
+        t = self._term
+        if t == -1:
+            raise ValueError("entropy stream truncated")
+        if t == -2:
+            raise ValueError("entropy stream truncated at 0xFF")
+        if t == 0xD9:  # EOI reached while bits were needed
+            raise ValueError("entropy stream truncated before EOI")
+        raise ValueError(f"unexpected marker 0xFF{t:02X} in scan")
+
     def read(self, n: int) -> int:
         while self.nbits < n:
-            if self.pos >= len(self.data):
-                raise ValueError("entropy stream truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("entropy stream truncated at 0xFF")
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                elif nxt == 0xD9:  # EOI reached while bits were needed
-                    raise ValueError("entropy stream truncated before EOI")
-                else:
-                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
+            take = self.nvalid - self.bytepos
+            if take <= 0:
+                self._raise_exhausted()
+            if take > 8:
+                take = 8
+            self.acc = (self.acc << (8 * take)) | int.from_bytes(
+                self.valid[self.bytepos : self.bytepos + take], "big"
+            )
+            self.nbits += 8 * take
+            self.bytepos += take
         out = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
         self.nbits -= n
         self.acc &= (1 << self.nbits) - 1
         return out
 
 
-def _build_dec(counts: list[int], vals: bytes) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol from a DHT's canonical description."""
-    table = {}
+class _HuffDec(dict):
+    """(length, code) -> symbol decode table plus a prefix LUT:
+    ``lut[next maxlen bits] = (symbol, code length) | None``."""
+
+    __slots__ = ("lut", "maxlen")
+
+
+def _dec_key(counts: bytes, vals: bytes):
+    return (counts, vals)
+
+
+_DEC_CACHE: dict = {}
+
+
+def _build_dec(counts: list[int], vals: bytes) -> _HuffDec:
+    """(length, code) -> symbol from a DHT's canonical description,
+    with a prefix LUT for O(1) decode. Tables are immutable after
+    construction and memoized on the DHT payload, so repeated decodes
+    of same-table streams (one blob per row in the mm certification
+    corpora) skip the LUT build."""
+    key = (bytes(counts), bytes(vals))
+    hit = _DEC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    table = _HuffDec()
     code = 0
     vi = 0
+    maxlen = 1
     for ln in range(1, 17):
         for _ in range(counts[ln - 1]):
             table[(ln, code)] = vals[vi]
+            maxlen = ln
             code += 1
             vi += 1
         code <<= 1
+    lut: list = [None] * (1 << maxlen)
+    for (ln, code), sym in table.items():
+        start = code << (maxlen - ln)
+        lut[start : start + (1 << (maxlen - ln))] = [(sym, ln)] * (
+            1 << (maxlen - ln)
+        )
+    table.lut = lut
+    table.maxlen = maxlen
+    if len(_DEC_CACHE) >= 256:
+        _DEC_CACHE.clear()
+    _DEC_CACHE[key] = table
     return table
 
 
 def _huff_read(br: _BitReader, table: dict) -> int:
+    lut = getattr(table, "lut", None)
+    if lut is not None:
+        L = table.maxlen
+        nbits = br.nbits
+        if nbits < L:
+            take = br.nvalid - br.bytepos
+            if take > 0:
+                if take > 8:
+                    take = 8
+                br.acc = (br.acc << (8 * take)) | int.from_bytes(
+                    br.valid[br.bytepos : br.bytepos + take], "big"
+                )
+                nbits = br.nbits = br.nbits + 8 * take
+                br.bytepos += take
+        if nbits >= L:
+            hit = lut[(br.acc >> (nbits - L)) & ((1 << L) - 1)]
+            if hit is not None:
+                sym, ln = hit
+                br.nbits = nbits - ln
+                br.acc &= (1 << br.nbits) - 1
+                return sym
+        # fewer than maxlen bits left, or no code within maxlen bits:
+        # replay bit-by-bit below so stream-end / invalid-code errors
+        # fire exactly as the per-bit reader's did.
     code = 0
     for ln in range(1, 17):
         code = (code << 1) | br.read(1)
@@ -504,6 +634,10 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
 
 
 def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict, prev_dc: int):
+    """One block's zigzag coefficient list (length 64) and its DC.
+    De-zigzag + IDCT happen batched in the caller (one fancy-index
+    assignment and one stacked matmul per plane instead of two numpy
+    round trips per block)."""
     zz = [0] * 64
     s = _huff_read(br, dc_tab)
     diff = _extend(br.read(s), s) if s else 0
@@ -523,10 +657,20 @@ def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict, prev_dc: int):
             raise ValueError("AC run past block end")
         zz[k] = _extend(br.read(size), size)
         k += 1
-    coef = np.zeros((8, 8))
-    for kk, (r, c) in enumerate(ZIGZAG):
-        coef[r, c] = zz[kk]
-    return coef, dc
+    return zz, dc
+
+
+def _blocks_to_plane(zzs: list, bh: int, bw: int, q: np.ndarray) -> np.ndarray:
+    """Batched dequant + de-zigzag + IDCT: ``zzs`` is the row-major
+    list of per-block zigzag lists for a (bh, bw) block grid. The
+    matmul broadcasts over the block axis, running the same float64
+    8x8 sandwich per slice the per-block path ran, so results are
+    bit-identical."""
+    coef = np.empty((bh * bw, 64))
+    coef[:, _ZZ_FLAT] = np.asarray(zzs, dtype=np.float64)
+    coef = coef.reshape(bh, bw, 8, 8) * q
+    blocks = (_M.T @ coef @ _M) + 128.0
+    return blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
 
 
 def _decode_scan(
@@ -539,9 +683,11 @@ def _decode_scan(
     vmax = max(p[4] for p in plan)
     mcu_h, mcu_w = 8 * vmax, 8 * hmax
     mcuy, mcux = (h + mcu_h - 1) // mcu_h, (w + mcu_w - 1) // mcu_w
-    # per-component plane at ITS resolution (hi/hmax of full)
-    planes = [
-        np.zeros((mcuy * 8 * vi, mcux * 8 * hi)) for (_, _, _, hi, vi) in plan
+    # per-component zigzag grids at ITS resolution (hi/hmax of full);
+    # entropy decode fills them in MCU order, then one batched
+    # dequant+IDCT per plane replaces the per-block numpy round trips
+    grids: list[list] = [
+        [None] * (mcuy * vi * mcux * hi) for (_, _, _, hi, vi) in plan
     ]
     br = _BitReader(scan)
     prev = [0] * len(plan)
@@ -550,13 +696,16 @@ def _decode_scan(
             for ci, (q, dc_tab, ac_tab, hi, vi) in enumerate(plan):
                 for byy in range(vi):
                     for bxx in range(hi):
-                        coef, prev[ci] = _decode_block(
+                        zz, prev[ci] = _decode_block(
                             br, dc_tab, ac_tab, prev[ci]
                         )
-                        block = _idct(coef * q) + 128.0
-                        y0 = (my * vi + byy) * 8
-                        x0 = (mx * hi + bxx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                        grids[ci][
+                            (my * vi + byy) * mcux * hi + mx * hi + bxx
+                        ] = zz
+    planes = [
+        _blocks_to_plane(grids[ci], mcuy * vi, mcux * hi, q)
+        for ci, (q, _, _, hi, vi) in enumerate(plan)
+    ]
     out = []
     for p, (_, _, _, hi, vi) in zip(planes, plan):
         if hi != hmax or vi != vmax:
@@ -665,16 +814,9 @@ def _decode_progressive(blob: bytes, _sof_pos: int | None = None) -> np.ndarray:
     for ci, (_, qid, hi, vi) in enumerate(comps):
         q = qtables[qid]
         bh_i, bw_i = grids[ci]
-        plane = np.zeros((bh_i * 8, bw_i * 8))
-        for by in range(bh_i):
-            for bx in range(bw_i):
-                zz = coefs[ci][by][bx]
-                coef = np.zeros((8, 8))
-                for kk, (r, c) in enumerate(ZIGZAG):
-                    coef[r, c] = zz[kk]
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _idct(coef * q) + 128.0
-                )
+        plane = _blocks_to_plane(
+            [zz for row in coefs[ci] for zz in row], bh_i, bw_i, q
+        )
         if hi != hmax or vi != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
@@ -839,13 +981,7 @@ def _refine_ac_block(br, zz, ss, se, al, eobrun, ac_tab) -> int:
 def _blocks_zigzag(plane: np.ndarray, q: np.ndarray) -> list[list[int]]:
     """Quantized zigzag coefficient lists for every 8x8 block of a
     level-shifted plane, raster order."""
-    out = []
-    for by in range(plane.shape[0] // 8):
-        for bx in range(plane.shape[1] // 8):
-            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = np.rint(_fdct(block) / q).astype(np.int64)
-            out.append([int(coef[r, c]) for r, c in ZIGZAG])
-    return out
+    return _plane_zz(plane, q)
 
 
 class _ProgACEmitter:
