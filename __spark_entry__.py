@@ -952,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_metadata": q_mm_metadata,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_features": q_mm_features,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         "docs_minhash_recall": dedup_recall.minhash_recall_check,
         "olap_small_qty_revenue": olap_tpch.small_qty_revenue,
         "olap_lone_return_supplier": olap_tpch.lone_return_supplier,
@@ -965,10 +966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "cdc_schema_drift": q_cdc_schema_drift,
         "olap_fk_orphans": integrity.referential_integrity,
-        "docs_corpus_diff": corpus_diff_mod.planted_corpus_diff,
         # ---- tail (positions 51+): green at their latest check in
         # unchanged formulation; the staleness policy rotates each
         # back within MAX_STALENESS rounds ----
+        "docs_corpus_diff": corpus_diff_mod.planted_corpus_diff,
         "docs_normalize": normalize_mod.planted_normalize,
         "docs_bloom_filter": bloom.bloom_filter_check,
         "olap_hll_relational": hll.hll_relational_check,
@@ -985,7 +986,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_ivf": q_emb_near_dup_ivf,
         "emb_kmeans_assign": q_emb_kmeans_assign,
         "emb_diversity_sample": q_emb_diversity_sample,
-        "emb_semantic_dedup": q_emb_semantic_dedup,
         "emb_ann_ivf": q_emb_ann_ivf,
         "cdc_datasource_feed": q_datasource_feed,
         "cdc_windowed_tally": q_windowed_tally,

@@ -127,7 +127,12 @@ def planted_semantic_dedup(
 
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = _train_corpus_centroids(emb, n_clusters, 1024)
-    aug = with_planted_near_dups(emb, n_plant=n_plant)
+    # The augmented corpus feeds the assignment pass AND both vector
+    # sides of the verify join; un-cut, each consumer re-runs the
+    # scan + planted-union (4 embeddings scans in the r13 sink plan).
+    # The frame is tiny (n + n_plant rows of one 64-float vector), so
+    # one eager checkpoint is strictly narrower than its recompute.
+    aug = with_planted_near_dups(emb, n_plant=n_plant).localCheckpoint(eager=True)
     return semantic_dedup_with_centroids(aug, centroids, threshold=threshold)
 
 
