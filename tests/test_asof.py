@@ -3,9 +3,12 @@ tie-break among equal right timestamps."""
 
 from __future__ import annotations
 
+import pytest
+
 from outboxx_spark.operators.asof import asof_join
 
 
+@pytest.mark.slow
 def test_asof_semantics(spark):
     left = spark.createDataFrame(
         [(1, 100, 10), (2, 100, 5), (3, 100, 50), (4, 200, 10)],

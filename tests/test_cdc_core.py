@@ -179,6 +179,7 @@ def _mini_events(spark):
     )
 
 
+@pytest.mark.slow
 def test_route_fanout_and_drop(spark):
     routed = route(_mini_events(spark), streams_dim(spark, DEFAULT_STREAMS))
     rows = [(r["stream"], r["lsn"]) for r in routed.collect()]
@@ -196,6 +197,7 @@ def test_route_case_insensitive_op(spark):
     assert routed.count() == 2  # both t0 streams match regardless of case
 
 
+@pytest.mark.slow
 def test_route_config_matches_dim_join(spark):
     # the literal-map production shape (route_config) and the dim-table
     # broadcast-join shape (route) must produce identical rows — same

@@ -171,6 +171,7 @@ def test_perm_chunk_budget_admits_only_fitting_docs(monkeypatch):
     assert _np.array_equal(expected, got)
 
 
+@pytest.mark.slow
 def test_verify_pairs_arrow_fold_bit_identical(spark, sf_dir):
     # the Arrow sequential-fold cosine kernel must admit EXACTLY the
     # pairs the JVM fold admits — near-dup oracles hash-check the
@@ -626,6 +627,7 @@ def test_weighted_mix_copy_semantics(spark, sf_dir):
     assert 0 < part < full
 
 
+@pytest.mark.slow
 def test_dup_clusters_transitive(spark):
     from outboxx_spark.dataops import curation as cu
 
@@ -638,6 +640,7 @@ def test_dup_clusters_transitive(spark):
     assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
 
 
+@pytest.mark.slow
 def test_dup_clusters_deep_chain_contracts(spark):
     # a 40-node chain (diameter 39 > the 25-round propagation budget)
     # must converge via the star-contraction fallback and still match
@@ -659,6 +662,7 @@ def test_dup_clusters_deep_chain_contracts(spark):
         cu.dup_clusters(pairs, max_iter=3, on_unconverged="raise")
 
 
+@pytest.mark.slow
 def test_star_contraction_matches_union_find(spark):
     # randomized graphs (chains, stars, cliques, forests) against a
     # driver-side union-find: the contraction path must agree exactly
@@ -702,6 +706,7 @@ def test_star_contraction_matches_union_find(spark):
         assert got == expected, f"trial {trial}"
 
 
+@pytest.mark.slow
 def test_seeded_fallback_on_multi_component_deep_graph(spark):
     # r8: the fallback contracts the LABEL QUOTIENT graph (reusing the
     # propagation rounds) instead of the raw edges. Pin the member ->
@@ -789,6 +794,7 @@ def test_repetition_counts_hand_checked(spark):
     assert rows[2] == (0, 0, 0)  # shorter than n
 
 
+@pytest.mark.slow
 def test_edit_distance_pairs_matches_bruteforce(spark):
     """Prefix-filter completeness: a synthetic corpus with typo'd
     copies, padded variants, and unrelated docs must yield exactly the
@@ -829,6 +835,7 @@ def test_edit_distance_pairs_matches_bruteforce(spark):
     assert got == want and len(want) >= 2
 
 
+@pytest.mark.slow
 def test_edit_distance_short_doc_bucket(spark):
     """Docs below the count-filter bound (len <= d*q + q - 1) can be
     within distance d WITHOUT sharing any q-gram — the short bucket
@@ -857,6 +864,7 @@ def test_positional_grams_empty_for_subgram_docs(spark):
     rows = _positional_grams(docs, 3, "doc_id", "text").collect()
     assert [(r.doc_id, r.g) for r in rows] == [(2, "abc")]
 
+@pytest.mark.slow
 def test_edit_distance_salted_path_equals_default(spark):
     """n_salt only changes task placement, never the pair set: the
     salted join must emit exactly the unsalted result (each pair once,

@@ -4,6 +4,8 @@ replay idempotence, torn-generation invisibility, pruning
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 from pathlib import Path
 
@@ -55,6 +57,7 @@ def _report(df):
     }
 
 
+@pytest.mark.slow
 def test_stream_converges_to_batch_audit(spark, tmp_path):
     src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
     for rows in (PART_A, PART_B, PART_C):
@@ -85,6 +88,7 @@ def test_replayed_epoch_is_a_noop(spark, tmp_path):
     assert _report(read_drift_report(spark, state)) == before
 
 
+@pytest.mark.slow
 def test_torn_generation_is_invisible_then_overwritten(spark, tmp_path):
     state = str(tmp_path / "state")
     apply_drift_batch(_df(spark, PART_A), state, 0)

@@ -102,6 +102,7 @@ def test_torn_export_detected(spark, exported, tmp_path):
         verify_export(spark, out)
 
 
+@pytest.mark.slow
 def test_verifier_catches_lost_and_corrupt_shards(spark, exported, tmp_path):
     docs, _, _ = exported
     out = str(tmp_path / "tampered")

@@ -50,6 +50,7 @@ def _stream(spark, src_dir):
     )
 
 
+@pytest.mark.slow
 def test_stream_drains_to_committed_verified_batches(spark, tmp_path):
     src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
     for k in range(3):
@@ -65,6 +66,7 @@ def test_stream_drains_to_committed_verified_batches(spark, tmp_path):
     assert got == list(range(120)), "every doc exactly once"
 
 
+@pytest.mark.slow
 def test_restart_resumes_without_duplicates(spark, tmp_path):
     src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
     _write_doc_file(spark, src, 0, 50, "a")

@@ -68,6 +68,7 @@ def _totals(df):
     }
 
 
+@pytest.mark.slow
 def test_stream_converges_to_batch_algebra(spark, tmp_path):
     src, table, ledger, ckpt = (
         str(tmp_path / d) for d in ("src", "table", "ledger", "ckpt")
@@ -93,6 +94,7 @@ def test_stream_converges_to_batch_algebra(spark, tmp_path):
     assert streamed["t1"] == (1, 9000)
 
 
+@pytest.mark.slow
 def test_restart_with_new_data_does_not_double_count(spark, tmp_path):
     src, table, ledger, ckpt = (
         str(tmp_path / d) for d in ("src", "table", "ledger", "ckpt")
@@ -118,6 +120,7 @@ def test_restart_with_new_data_does_not_double_count(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_crash_between_ledger_and_upsert_replays_clean(spark, tmp_path):
     table, ledger = str(tmp_path / "table"), str(tmp_path / "ledger")
     b0 = _feed_df(spark, OPS_A)
@@ -136,6 +139,7 @@ def test_crash_between_ledger_and_upsert_replays_clean(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_replay_after_full_apply_changes_nothing(spark, tmp_path):
     table, ledger = str(tmp_path / "table"), str(tmp_path / "ledger")
     b0, b1 = _feed_df(spark, OPS_A), _feed_df(spark, OPS_B)
@@ -147,6 +151,7 @@ def test_replay_after_full_apply_changes_nothing(spark, tmp_path):
     assert _totals(read_group_totals(spark, ledger)) == want
 
 
+@pytest.mark.slow
 def test_compact_ledger_preserves_totals_and_bounds_epochs(spark, tmp_path):
     import glob
 
@@ -173,6 +178,7 @@ def test_compact_ledger_preserves_totals_and_bounds_epochs(spark, tmp_path):
     assert got["t0"] == (2, 600 + 800)
 
 
+@pytest.mark.slow
 def test_crashed_compact_leftovers_are_ignored(spark, tmp_path):
     from outboxx_spark.streaming.incragg_stream import compact_ledger
 

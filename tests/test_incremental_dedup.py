@@ -96,6 +96,7 @@ def test_empty_batch_is_a_noop(spark, tmp_path):
     assert {r.doc_id for r in read_survivors(spark, store).collect()} == {1}
 
 
+@pytest.mark.slow
 def test_streaming_wrapper_end_to_end(spark, tmp_path):
     """File-source stream, one file per micro-batch: the final survivor
     set is the same regardless of which file becomes which batch (the
@@ -140,6 +141,7 @@ def _store_state(spark, store):
     return surv, pairs
 
 
+@pytest.mark.slow
 def test_compaction_folds_generations_and_keeps_pruning(spark, tmp_path):
     """Compaction bin-packs every batch generation into batch_id=-1 per
     tree: survivors/pairs unchanged, parquet file count drops, and a
@@ -171,6 +173,7 @@ def test_compaction_folds_generations_and_keeps_pruning(spark, tmp_path):
     assert _store_state(spark, store) == (surv, pairs)
 
 
+@pytest.mark.slow
 def test_compaction_recovery_rolls_forward_after_marker(spark, tmp_path, monkeypatch):
     """A crash AFTER the stage completed (_COMMIT_READY present) must
     roll forward at the next ingest: the staged generation commits and
@@ -211,6 +214,7 @@ def test_compaction_recovery_discards_unready_stage(spark, tmp_path):
     assert surv == sorted(before[0] + [4])
 
 
+@pytest.mark.slow
 def test_compaction_commit_crash_at_every_filesystem_step(spark, tmp_path, monkeypatch):
     """Exhaustive crash-point enumeration (r6): replay _commit_compaction's
     exact filesystem operation sequence — park each live generation,
@@ -335,6 +339,7 @@ def test_store_with_data_but_no_meta_fails_closed(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_pipelined_prepare_commit_equals_sequential(spark, tmp_path):
     """The prepare/commit split exists so delivery N+1's preparation can
     overlap delivery N's commit — pipelined execution must produce the

@@ -110,6 +110,7 @@ def test_dimension_drift_fail_stops(spark, tmp_path):
         proc(bad, 0)
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_adds(spark, tmp_path):
     emb = _emb(spark)
     batch_store = _store(spark, tmp_path, "batch")

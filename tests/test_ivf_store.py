@@ -134,6 +134,7 @@ def test_dimension_drift_fail_stops(spark, grown_store):
         ivf_index_add(bad, store)
 
 
+@pytest.mark.slow
 def test_compact_serves_identically_and_is_single_segment(spark, grown_store, tmp_path):
     from outboxx_spark.dataops.ivf_store import committed_generations, ivf_compact
 

@@ -6,6 +6,8 @@ space, not just the fixtures."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from hypothesis import given, settings
@@ -130,6 +132,7 @@ def test_envelope_escaping_over_generated_corpus(spark):
     texts=st.lists(st.text(alphabet="ab ", max_size=60), min_size=2, max_size=12),
     d=st.sampled_from([2, 4, 8]),
 )
+@pytest.mark.slow
 def test_edit_distance_blocking_is_complete(spark, texts, d):
     """The q-gram count/prefix blocking must emit EXACTLY the brute-force
     pair set for arbitrary corpora — a tiny alphabet forces gram
@@ -223,6 +226,7 @@ def test_snapshot_diff_matches_dict_model(spark, rows):
     texts=st.lists(st.text(alphabet="ab ", min_size=1, max_size=40), min_size=1, max_size=10),
     n_merges=st.sampled_from([3, 6]),
 )
+@pytest.mark.slow
 def test_bpe_train_matches_model_on_arbitrary_corpora(spark, texts, n_merges):
     """Spark BPE training must equal the from-scratch Python model on
     arbitrary tiny-alphabet corpora: 'ab '-only text forces heavy pair
@@ -303,6 +307,7 @@ def test_unigram_lm_matches_model_on_arbitrary_corpora(spark, texts):
         max_size=8,
     )
 )
+@pytest.mark.slow
 def test_fused_minhash_buckets_match_decomposed_on_arbitrary_text(spark, texts):
     """The fused Arrow band-bucket pass must equal the decomposed
     signatures->columns->concat->explode formulation on ARBITRARY
@@ -340,6 +345,7 @@ def test_fused_minhash_buckets_match_decomposed_on_arbitrary_text(spark, texts):
         max_size=8,
     )
 )
+@pytest.mark.slow
 def test_simhash_arrow_matches_groupby_on_arbitrary_text(spark, texts):
     """Fused SimHash (Arrow votes) vs the explode+groupBy reference on
     arbitrary unicode — the signature values are oracle-checked, so the

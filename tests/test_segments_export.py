@@ -142,6 +142,7 @@ def test_shards_match_single_node_cumsum(spark, n_buckets):
     assert got == _py_shards(weights, 40)
 
 
+@pytest.mark.slow
 def test_shards_invariant_to_input_partitioning(spark):
     weights = {d: (d % 13) + 1 for d in range(300)}
     df = spark.createDataFrame(list(weights.items()), "doc_id long, w long")

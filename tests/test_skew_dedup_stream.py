@@ -34,6 +34,7 @@ def test_salted_agg_minmax_count(spark, sf_dir):
     assert total == feed.count()
 
 
+@pytest.mark.slow
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """Duplicate the feed (two copies of the same file) -> streaming
     dedup must emit each (resource, lsn) exactly once."""

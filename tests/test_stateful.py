@@ -23,6 +23,7 @@ def multi_file_feed(spark, tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_stateful_state_survives_restart(spark, multi_file_feed, tmp_path):
     """Kill the stateful query mid-feed; the restart must resume from
     checkpointed GroupState and still converge to the batch winners."""
@@ -80,6 +81,7 @@ def test_stateful_state_survives_restart(spark, multi_file_feed, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_materialize_converges_to_batch(spark, multi_file_feed, tmp_path):
     stream = read_feed_stream(spark, multi_file_feed, max_files_per_trigger=1)
     out = streaming_materialize(stream)
@@ -127,6 +129,7 @@ def test_streaming_materialize_converges_to_batch(spark, multi_file_feed, tmp_pa
     assert len(emitted) >= len(got)
 
 
+@pytest.mark.slow
 def test_streaming_session_window_converges_to_batch(spark, multi_file_feed):
     from outboxx_spark.operators.windows import sessionize, streaming_sessionize
     from outboxx_spark.sources.feed import read_feed, read_feed_stream
@@ -159,6 +162,7 @@ def test_streaming_session_window_converges_to_batch(spark, multi_file_feed):
     assert got == expect and got
 
 
+@pytest.mark.slow
 def test_streaming_windowed_tally_converges_to_batch(spark, multi_file_feed):
     from outboxx_spark.operators.windows import streaming_windowed_tally, windowed_tally
     from outboxx_spark.sources.feed import read_feed, read_feed_stream
@@ -184,6 +188,7 @@ def test_streaming_windowed_tally_converges_to_batch(spark, multi_file_feed):
     assert got == expect and got
 
 
+@pytest.mark.slow
 def test_stream_stream_join_converges_to_batch(spark, multi_file_feed):
     """Watermarked stream-stream inner join (update<->insert pairing)
     must emit exactly the batch self-join's pairs once the feed drains
@@ -286,6 +291,7 @@ def test_tws_gate_raises_cleanly_when_unavailable(spark, multi_file_feed):
         streaming_materialize_tws(read_feed_stream(spark, multi_file_feed))
 
 
+@pytest.mark.slow
 def test_stream_stream_join_survives_restart(spark, multi_file_feed, tmp_path):
     """Kill the watermarked stream-stream join mid-feed; the restart
     must resume from checkpointed join state and still emit exactly the

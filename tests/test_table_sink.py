@@ -83,6 +83,7 @@ def test_upsert_applies_delete_tombstones(spark, tmp_path):
     assert rows == {8}
 
 
+@pytest.mark.slow
 def test_upsert_crash_at_every_commit_step_replays_to_convergence(
     spark, tmp_path, monkeypatch
 ):
