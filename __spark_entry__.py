@@ -943,6 +943,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": q_docs_contamination,
         "docs_pii_redact": q_docs_pii_redact,
         "docs_repetition": q_docs_repetition,
+        "docs_source_cap": q_docs_source_cap,
+        "docs_paragraph_dedup": q_docs_paragraph_dedup,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
+        "docs_unigram_lm": q_docs_unigram_lm,
+        "docs_chunk": q_docs_chunk,
+        "docs_pack_sequences": q_docs_pack_sequences,
+        "docs_strip_boilerplate": q_docs_strip_boilerplate,
+        "docs_shard_assign": q_docs_shard_assign,
+        "olap_theta_sketch": theta.theta_sketch_check,
+        "docs_source_overlap": theta.source_overlap_check,
+        "docs_minhash_recall": dedup_recall.minhash_recall_check,
+        "docs_tfidf": q_docs_tfidf,
+        "docs_bpe_merges": q_docs_bpe_merges,
+        "docs_simhash": q_docs_simhash,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
         "emb_ann_ivf": q_emb_ann_ivf,
         "olap_big_order_customers": olap_tpch_heavy.big_order_customers,
         "olap_disjunctive_revenue": olap_tpch_heavy.disjunctive_revenue,
@@ -951,6 +966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_late_priority": olap_tpch_rest.late_order_priority,
         "olap_forecast_revenue": olap_tpch_rest.forecast_revenue,
         "olap_volume_shipping": olap_tpch_rest.volume_shipping,
+        # ---- tail (positions 51+): green at their latest check in
+        # unchanged formulation; the staleness policy rotates each
+        # back within MAX_STALENESS rounds ----
         "olap_product_profit": olap_tpch_rest.product_profit,
         "olap_returned_items": olap_tpch_rest.returned_item_customers,
         "olap_important_stock": olap_tpch_rest.important_stock,
@@ -959,28 +977,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_top_supplier": olap_tpch_rest.top_supplier,
         "olap_supplier_diversity": olap_tpch_rest.part_supplier_diversity,
         "olap_dominant_suppliers": olap_tpch_rest.dominant_part_suppliers,
-        "docs_source_cap": q_docs_source_cap,
         "docs_substring_spans": q_docs_substring_spans,
         "mm_audio_features": audio_mod.planted_audio_features,
         "mm_audio_decimate": audio_mod.planted_audio_decimate,
-        "docs_paragraph_dedup": q_docs_paragraph_dedup,
         "olap_zorder_layout": zorder.q_zorder_keys,
         "mm_audio_g711": audio_mod.planted_g711_stats,
-        # ---- tail (positions 51+): green at their latest check in
-        # unchanged formulation; the staleness policy rotates each
-        # back within MAX_STALENESS rounds ----
         "olap_asof_enrich": q_asof_enrich,
         "cdc_props_extract": q_props_extract,
         "cdc_op_pivot": q_cdc_op_pivot,
         "cdc_scd2": q_cdc_scd2,
-        "docs_bpe_tokens": q_docs_bpe_tokens,
-        "docs_unigram_lm": q_docs_unigram_lm,
         "cdc_debezium_roundtrip": q_debezium_roundtrip,
         "cdc_skew_agg": q_skew_agg,
-        "docs_chunk": q_docs_chunk,
-        "docs_pack_sequences": q_docs_pack_sequences,
-        "docs_strip_boilerplate": q_docs_strip_boilerplate,
-        "docs_shard_assign": q_docs_shard_assign,
         "olap_range_join": q_olap_range_join,
         "olap_interval_overlap": q_olap_interval_overlap,
         "emb_pq_topk": q_emb_pq_topk,
@@ -990,8 +997,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_route_fanout": q_route_fanout,
         "cdc_read_optin": q_read_optin,
         "olap_triangles": triangles.q_triangles,
-        "olap_theta_sketch": theta.theta_sketch_check,
-        "docs_source_overlap": theta.source_overlap_check,
         "mm_jpeg_prog_adv": q_mm_jpeg_prog_adv,
         "mm_pixel_stats": q_mm_pixel_stats,
         "mm_image_dhash": q_mm_image_dhash,
@@ -1006,7 +1011,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "mm_features": q_mm_features,
         "emb_semantic_dedup": q_emb_semantic_dedup,
-        "docs_minhash_recall": dedup_recall.minhash_recall_check,
         "olap_small_qty_revenue": olap_tpch.small_qty_revenue,
         "olap_lone_return_supplier": olap_tpch.lone_return_supplier,
         "olap_market_share": olap_tpch.market_share,
@@ -1054,10 +1058,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_materialize": q_materialize,
         "olap_hll_by_group": hll.hll_by_group_check,
         "olap_sample_quantiles": reservoir.sample_quantiles_check,
-        "docs_tfidf": q_docs_tfidf,
-        "docs_bpe_merges": q_docs_bpe_merges,
-        "docs_simhash": q_docs_simhash,
-        "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_edit_dedup": q_docs_edit_dedup,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_topk": q_emb_ann_topk,

@@ -290,9 +290,23 @@ def tfidf_top_terms(
     occ = parallelized(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).filter(F.col("token") != "")
-    tf = occ.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    # ONE corpus explode (r14, §2.4): tf is materialized eagerly and
+    # docfreq DERIVED from it — tf holds exactly one row per distinct
+    # (doc, token), so the per-token row count IS the distinct-doc
+    # count. The cut is load-bearing, not belt-and-braces: without it
+    # Catalyst prunes tf's count and rewrites the derived branch back
+    # into a distinct-aggregate over the corpus (canonically different
+    # from tf's exchange, so AQE stage reuse never fires — verified on
+    # the executed adaptive plan in r13). tf's narrow (id, token, n)
+    # rows are strictly cheaper to re-read than the corpus explode
+    # that produces them (the §9 narrowness rule).
+    tf = (
+        occ.groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     n_docs = df.select(id_col).distinct().count()
-    docfreq = occ.groupBy("token").agg(F.count_distinct(id_col).alias("df_"))
+    docfreq = tf.groupBy("token").agg(F.count("*").alias("df_"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df_") + 1)) + 1.0
     scored = tf.join(F.broadcast(docfreq), "token").select(
         F.col(id_col),
